@@ -1,0 +1,192 @@
+"""Minimal lenient HTML DOM built on the stdlib ``html.parser``.
+
+The reference crawler parses pages with HtmlAgilityPack and a handful of
+XPath selectors (``/root/reference/CrawlerPet911/ParserPet911.fs``).  This
+module provides just enough DOM to re-express those selectors in Python with
+HtmlAgilityPack-compatible semantics:
+
+* ``inner_text`` concatenates descendant text nodes **without decoding HTML
+  entities** (HAP ``InnerText`` keeps ``&quot;`` raw — see
+  ``CrawlerLib/Downloader.fs:27-30`` decode + HAP behavior).
+* attribute values *are* entity-decoded (HAP decodes attribute values).
+* void elements and HTML5-ish implied end tags (``p``, ``li`` …) are handled
+  so real-world markup nests the way HAP nests it.
+
+This is intentionally not a general XPath engine: `find_all` supports the
+descendant/child + class/exact-attr predicates the reference uses.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+# open tags that implicitly close an open <p> (HTML5 spec subset)
+_P_CLOSERS = frozenset(
+    "address article aside blockquote details div dl fieldset figcaption figure "
+    "footer form h1 h2 h3 h4 h5 h6 header hr main menu nav ol p pre section "
+    "table ul".split()
+)
+
+# tag -> set of open ancestors it implicitly closes when re-opened
+_SELF_NESTING_CLOSERS = {
+    "li": {"li"},
+    "option": {"option"},
+    "tr": {"tr", "td", "th"},
+    "td": {"td", "th"},
+    "th": {"td", "th"},
+    "dt": {"dt", "dd"},
+    "dd": {"dt", "dd"},
+}
+
+
+class Node:
+    """One element / text node.  ``tag`` is None for text nodes."""
+
+    __slots__ = ("tag", "attrs", "children", "parent", "text")
+
+    def __init__(self, tag, attrs=None, parent=None, text=None):
+        self.tag = tag
+        self.attrs = attrs or {}
+        self.children = []
+        self.parent = parent
+        self.text = text
+
+    # -- HAP-compatible accessors -------------------------------------------------
+    def inner_text(self):
+        """Concatenated descendant text, entities left un-decoded (HAP InnerText)."""
+        if self.tag is None:
+            return self.text
+        out = []
+        stack = list(reversed(self.children))
+        while stack:
+            n = stack.pop()
+            if n.tag is None:
+                out.append(n.text)
+            else:
+                stack.extend(reversed(n.children))
+        return "".join(out)
+
+    def inner_html(self):
+        """Serialized children (attribute quoting is normalized; the reference
+        only ever substring-matches InnerHtml, ParserPet911.fs:24-31)."""
+        return "".join(_serialize(c) for c in self.children)
+
+    def get(self, name, default=None):
+        return self.attrs.get(name, default)
+
+    def classes(self):
+        return (self.attrs.get("class") or "").split()
+
+    # -- tiny query engine --------------------------------------------------------
+    def iter_descendants(self):
+        stack = list(reversed(self.children))
+        while stack:
+            n = stack.pop()
+            if n.tag is not None:
+                yield n
+                stack.extend(reversed(n.children))
+
+    def find_all(self, tag=None, class_exact=None, class_contains=None):
+        """All descendant elements matching tag + class predicate, doc order.
+
+        ``class_exact``    → XPath ``[@class='x']`` (whole attribute string equal)
+        ``class_contains`` → XPath ``[contains(@class,'x')]`` (raw substring)
+        """
+        out = []
+        for n in self.iter_descendants():
+            if tag is not None and n.tag != tag:
+                continue
+            cls = n.attrs.get("class")
+            if class_exact is not None and cls != class_exact:
+                continue
+            if class_contains is not None and (cls is None or class_contains not in cls):
+                continue
+            out.append(n)
+        return out
+
+    def child_elements(self, tag=None):
+        return [c for c in self.children if c.tag is not None and (tag is None or c.tag == tag)]
+
+
+def _serialize(n: Node) -> str:
+    if n.tag is None:
+        return n.text
+    attrs = "".join(
+        f' {k}="{v}"' if v is not None else f" {k}" for k, v in n.attrs.items()
+    )
+    if n.tag in VOID_ELEMENTS and not n.children:
+        return f"<{n.tag}{attrs}>"
+    inner = "".join(_serialize(c) for c in n.children)
+    return f"<{n.tag}{attrs}>{inner}</{n.tag}>"
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self):
+        # convert_charrefs=False: keep entity/char refs raw in text nodes so
+        # inner_text matches HAP InnerText byte-for-byte.
+        super().__init__(convert_charrefs=False)
+        self.root = Node("#document")
+        self.stack = [self.root]
+
+    # attribute values arrive entity-DECODED from HTMLParser (matches HAP).
+    def handle_starttag(self, tag, attrs):
+        self._implied_end(tag)
+        node = Node(tag, dict(attrs), parent=self.stack[-1])
+        self.stack[-1].children.append(node)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        self._implied_end(tag)
+        node = Node(tag, dict(attrs), parent=self.stack[-1])
+        self.stack[-1].children.append(node)
+
+    def handle_endtag(self, tag):
+        if tag in VOID_ELEMENTS:
+            return
+        # close up to the nearest matching open tag; ignore stray end tags
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+
+    def _implied_end(self, tag):
+        top = self.stack[-1].tag
+        if top == "p" and tag in _P_CLOSERS:
+            self.stack.pop()
+            return
+        closers = _SELF_NESTING_CLOSERS.get(tag)
+        if closers and top in closers:
+            self.stack.pop()
+
+    def _append_text(self, data):
+        parent = self.stack[-1]
+        if parent.children and parent.children[-1].tag is None:
+            parent.children[-1].text += data
+        else:
+            parent.children.append(Node(None, parent=parent, text=data))
+
+    def handle_data(self, data):
+        if data:
+            self._append_text(data)
+
+    def handle_entityref(self, name):
+        self._append_text(f"&{name};")
+
+    def handle_charref(self, name):
+        self._append_text(f"&#{name};")
+
+    def handle_comment(self, data):  # comments contribute nothing to InnerText
+        pass
+
+
+def parse_html(text: str) -> Node:
+    """Parse an HTML string into a Node tree (document root)."""
+    builder = _TreeBuilder()
+    builder.feed(text)
+    builder.close()
+    return builder.root
