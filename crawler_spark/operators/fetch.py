@@ -1,0 +1,83 @@
+"""Fetch = join of the frontier against the ``pages`` universe (F1/J3).
+
+The reference's ``httpRequest`` (CrawlerLib/Downloader.fs:57-126) maps to a
+left join on ``url``: match → ``downloaded`` (200), no match → ``absent``
+(404).  Retry with Fibonacci backoff (Downloader.fs:13-21,134-137,154-182)
+becomes an ``attempt`` column and a budget predicate — errors re-enter the
+next wave with attempt+1 until the next fib delay would exceed the cap.
+
+Scale notes: the join shuffles both sides on ``url`` unless the wave is
+broadcastable.  At 10^10-URL scale, `pages` should be written bucketed by
+``url_hash`` (Iceberg bucket transform) so each wave is a storage-partitioned
+join with no shuffle of the big side; here we hash-repartition.  AQE handles
+skewed waves.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Downloader.fs:134-137
+DELAY_UNIT_MS = 100
+MAX_PERMITTED_DELAY_MS = 180_000
+
+STATUS_DOWNLOADED = "downloaded"
+STATUS_ABSENT = "absent"
+STATUS_ERROR = "error"
+
+
+@lru_cache(maxsize=1)
+def fib_delays_ms(delay_unit_ms: int = DELAY_UNIT_MS, n: int = 102):
+    """genFibonachi (Downloader.fs:13-21): first 102 fibs × delay unit."""
+    fibs = [1, 1]
+    while len(fibs) < n:
+        fibs.append(fibs[-1] + fibs[-2])
+    return tuple(f * delay_unit_ms for f in fibs)
+
+
+def max_attempts(delay_unit_ms: int = DELAY_UNIT_MS,
+                 max_delay_ms: int = MAX_PERMITTED_DELAY_MS) -> int:
+    """Attempts before the next delay exceeds the cap (≈17 at defaults,
+    Downloader.fs:162-169: retryIdx advances per error, gives up when
+    fib[idx]*unit > cap)."""
+    delays = fib_delays_ms(delay_unit_ms)
+    k = 0
+    while k < len(delays) and delays[k] <= max_delay_ms:
+        k += 1
+    return k
+
+
+def within_retry_budget(attempt: Column) -> Column:
+    """F2 budget predicate — attempt is 0-based retry index."""
+    return attempt < F.lit(max_attempts())
+
+
+def fetch_wave(frontier_df: DataFrame, pages_df: DataFrame,
+               broadcast_threshold_rows: int | None = None) -> DataFrame:
+    """One fetch micro-batch: frontier ⟕ pages on url.
+
+    Adds: fetch_status ∈ {downloaded, absent}, html, text, warc_ts.
+    (An `error` status would come from a live-fetch transport layer; the
+    deterministic corpus has no transport errors — Downloader.fs:118-120.)
+    """
+    pages_cols = pages_df.select(
+        "url",
+        F.col("warc_ts"),
+        F.col("html"),
+        F.col("text").alias("page_text"),
+    )
+    joined = frontier_df.join(pages_cols, "url", "left")
+    return joined.withColumn(
+        "fetch_status",
+        F.when(F.col("html").isNotNull(), F.lit(STATUS_DOWNLOADED)).otherwise(
+            F.lit(STATUS_ABSENT)
+        ),
+    ).withColumn(
+        # P17: canonical text = UTF-8 decode of bytes; prefer the corpus's
+        # pre-decoded text column when present (identical by construction)
+        "text",
+        F.coalesce(F.col("page_text"), F.decode(F.col("html"), "UTF-8")),
+    ).drop("page_text")

@@ -1,0 +1,111 @@
+"""Per-host politeness scheduling, robots.txt compliance, and hot-host
+skew salting (F3 + north_rule extensions).
+
+The reference's entire politeness budget is ONE global concurrent download
+with a 60s timeout (CrawlerPet911/Utils.fs:13-14, Downloader.fs:144-159) and
+no robots.txt support at all (grep-verified; SURVEY §2.2 F3).  Generalized
+per north_rule:
+
+* ``robots(host, disallow_prefix, crawl_delay_ms)`` table → anti-join drops
+  disallowed urls; crawl_delay feeds the token budget.
+* token bucket: a wave spanning ``wave_seconds`` may fetch at most
+  ``wave_seconds*1000/crawl_delay_ms`` urls per host; selection by priority
+  rank inside each host.  Deferred rows stay in the frontier for later waves.
+* skew: hot hosts (pet-classifieds-style) blow up the per-host window sort;
+  the salted variant ranks within (host, salt) so no single task sees a whole
+  hot host, at the cost of ±n_salts rounding in the budget.
+
+All native window/join expressions — no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DEFAULT_CRAWL_DELAY_MS = 60_000  # the reference's 60s timeout budget, Utils.fs:13
+
+
+def apply_robots(frontier_df: DataFrame, robots_df: DataFrame) -> DataFrame:
+    """Drop frontier urls matching a disallow prefix for their host.
+
+    robots_df: (host, disallow_prefix).  Broadcast — robots rules are tiny
+    relative to the frontier.  Path-prefix match on the url's path part.
+    """
+    rules = F.broadcast(robots_df.select("host", "disallow_prefix"))
+    path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+    hit = (
+        frontier_df.withColumn("__path", path)
+        .join(rules, "host", "inner")
+        .where(F.col("__path").startswith(F.col("disallow_prefix")))
+        .select(frontier_df.columns)
+    )
+    return frontier_df.join(hit.select("url").distinct(), "url", "left_anti")
+
+
+def _budget_per_host(robots_df: DataFrame | None, wave_seconds: int):
+    if robots_df is None:
+        return F.lit(max(1, wave_seconds * 1000 // DEFAULT_CRAWL_DELAY_MS))
+    return F.greatest(
+        F.lit(1),
+        (F.lit(wave_seconds * 1000) / F.coalesce(F.col("crawl_delay_ms"), F.lit(DEFAULT_CRAWL_DELAY_MS))).cast("long"),
+    )
+
+
+def select_wave(frontier_df: DataFrame, wave_seconds: int = 60,
+                robots_df: DataFrame | None = None) -> DataFrame:
+    """Exact token bucket: rank urls within each host by crawl order
+    (seq — Utils.fs:20-23 enumeration), keep rank ≤ budget.
+
+    Adds ``selected`` boolean; callers fetch selected rows and carry the rest.
+    """
+    df = frontier_df
+    if robots_df is not None:
+        delays = F.broadcast(
+            robots_df.groupBy("host").agg(F.min("crawl_delay_ms").alias("crawl_delay_ms"))
+        )
+        df = df.join(delays, "host", "left")
+    w = Window.partitionBy("host").orderBy(F.col("seq").asc())
+    ranked = df.withColumn("__rank", F.row_number().over(w))
+    budget = _budget_per_host(robots_df, wave_seconds)
+    out = ranked.withColumn("selected", F.col("__rank") <= budget).drop("__rank")
+    return out.drop("crawl_delay_ms") if robots_df is not None else out
+
+
+def select_wave_salted(frontier_df: DataFrame, wave_seconds: int = 60,
+                       robots_df: DataFrame | None = None,
+                       n_salts: int = 16,
+                       hot_host_threshold: int = 100_000) -> DataFrame:
+    """Skew-safe token bucket (north_rule: 'salted priority queue').
+
+    Hosts above ``hot_host_threshold`` frontier rows are salted: ranking runs
+    within (host, salt = pmod(xxhash64(url), n_salts)) and each salt gets
+    budget/n_salts (min 1).  Cold hosts take the exact path.  The salted
+    budget can overshoot by ≤ n_salts-1 urls per hot host per wave — an
+    accepted politeness rounding at scale, never a correctness issue.
+    """
+    counts = frontier_df.groupBy("host").agg(F.count("*").alias("__host_n"))
+    df = frontier_df.join(F.broadcast(counts), "host", "left")
+    hot = df.where(F.col("__host_n") >= hot_host_threshold).drop("__host_n")
+    cold = df.where(F.col("__host_n") < hot_host_threshold).drop("__host_n")
+
+    cold_sel = select_wave(cold, wave_seconds, robots_df)
+
+    if robots_df is not None:
+        delays = F.broadcast(
+            robots_df.groupBy("host").agg(F.min("crawl_delay_ms").alias("crawl_delay_ms"))
+        )
+        hot = hot.join(delays, "host", "left")
+    budget = _budget_per_host(robots_df, wave_seconds)
+    per_salt_budget = F.greatest(F.lit(1), (budget / F.lit(n_salts)).cast("long"))
+    salted = hot.withColumn("__salt", F.pmod(F.xxhash64("url"), F.lit(n_salts)))
+    w = Window.partitionBy("host", "__salt").orderBy(F.col("seq").asc())
+    hot_sel = (
+        salted.withColumn("__rank", F.row_number().over(w))
+        .withColumn("selected", F.col("__rank") <= per_salt_budget)
+        .drop("__rank", "__salt")
+    )
+    if robots_df is not None:
+        hot_sel = hot_sel.drop("crawl_delay_ms")
+    return cold_sel.unionByName(hot_sel)

@@ -1,0 +1,289 @@
+"""Wave-based crawl scheduler (D4/D5 + K1-K6) with snapshot checkpoint/resume.
+
+The reference's actor pipeline (card agent → downloader → photo fan-in,
+SURVEY §3.1) is re-expressed as deterministic fetch-wave micro-batches:
+
+wave k:
+  1. pending frontier  ←  snapshot k-1          (frontier table, overwrite)
+  2. drop seen (anti-join ∪ bloom prefilter) and known-missing (C1-C3)
+  3. politeness token-bucket selects ≤budget urls/host (F3); rest deferred
+  4. fetch = left join vs `pages` (F1/J3)
+  5. cards:  downloaded → parse UDF (P15) → `cards` append;
+             photo fan-out (J1) enqueued for wave k+1
+     photos: downloaded → image validation (P18) → `card_photos` append
+     absent  → `missing` append  (MissingResourceTracker semantics)
+  6. `seen` append (url_hash of everything fetched), `crawl_log` append
+     (wave, seq, id, status, error) — the crawl-order evidence
+  7. new frontier snapshot = deferred ∪ fan-out ∪ in-budget retries
+
+Every table is a SnapshotStore (Iceberg-contract) table; killing the job
+between waves and resuming from the latest snapshots reproduces the exact
+same remaining execution (tested in tests/test_resume.py).
+
+Determinism contract (SURVEY §4.2): crawl order = (wave, seq) where seq is
+the reference's enumeration order — rf before rl, n ascending (Utils.fs:20-23),
+photos in card array order scaled into the parent's seq slot.  The final
+URL-seen set = seen ∪ missing = the reference's {card dirs} ∪ {missing lines}.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.parse_udfs import parse_card_udf
+from ..functions.url import url_hash, url_host
+from ..operators.fetch import fetch_wave, within_retry_budget
+from ..operators.photos import fanin_photos, fanout_photos, validate_image
+from ..operators.politeness import apply_robots, select_wave, select_wave_salted
+from ..operators.seen import build_bloom, filter_not_missing, filter_unseen, filter_unseen_with_bloom
+from ..sources.frontier import frontier_from_range
+from ..sources.store import SnapshotStore
+
+FRONTIER_SCHEMA = (
+    "seq long, id string, url string, num long, kind string, url_hash long, "
+    "host string, resource_type string, attempt int"
+)
+SEEN_SCHEMA = "url_hash long, id string, wave int"
+MISSING_SCHEMA = "id string, wave int"
+LOG_SCHEMA = "wave int, seq long, id string, resource_type string, status string, error string"
+
+# photos occupy seq slots right after their parent card:
+# photo_seq' = parent_seq * PHOTO_SEQ_SLOT + photo_index + 1 (≤64 photos/card)
+PHOTO_SEQ_SLOT = 64
+
+
+class CrawlJob:
+    def __init__(self, spark: SparkSession, store_dir: str, pages_df: DataFrame,
+                 wave_seconds: int = 3600, robots_df: DataFrame | None = None,
+                 use_bloom: bool = False, salted: bool = False):
+        self.spark = spark
+        self.store = SnapshotStore(store_dir)
+        self.pages = pages_df
+        self.wave_seconds = wave_seconds
+        self.robots = robots_df
+        self.use_bloom = use_bloom
+        self.salted = salted
+
+    # ------------------------------------------------------------------ state
+    def _read(self, table: str, schema: str) -> DataFrame:
+        return self.store.read_or_empty(self.spark, table, schema)
+
+    def next_wave_number(self) -> int:
+        latest = self.store.latest_snapshot_id("frontier")
+        return 0 if latest is None else latest + 1
+
+    def pending_frontier(self) -> DataFrame:
+        return self._read("frontier", FRONTIER_SCHEMA)
+
+    # ------------------------------------------------------------------ seeds
+    def seed_range(self, first: int, last: int) -> None:
+        """Range mode seed (D5, Program.fs:47-62)."""
+        self.seed_frontier(frontier_from_range(self.spark, first, last))
+
+    def seed_frontier(self, frontier_df: DataFrame) -> None:
+        assert self.store.latest_snapshot_id("frontier") is None, "already seeded"
+        self.store.commit("frontier", frontier_df, mode="overwrite")
+
+    # ------------------------------------------------------------------ waves
+    def run_wave(self) -> dict:
+        """Execute one fetch wave; commits one snapshot per state table.
+        Returns wave stats (also appended to crawl_log)."""
+        wave = self.next_wave_number()
+        frontier = self.pending_frontier()
+        if frontier.rdd.isEmpty():
+            return {"wave": wave, "fetched": 0, "done": True}
+
+        seen = self._read("seen", SEEN_SCHEMA)
+        missing = self._read("missing", MISSING_SCHEMA)
+
+        # C1-C3: negative cache first (reference checks missing before local
+        # presence, CrawlerPet911.fs:79-92), then the positive seen set
+        frontier = filter_not_missing(frontier, missing)
+        if self.use_bloom:
+            bloom = build_bloom(seen) if seen.limit(1).count() else None
+            frontier = (
+                filter_unseen_with_bloom(frontier, seen, bloom) if bloom
+                else frontier
+            )
+        else:
+            frontier = filter_unseen(frontier, seen)
+
+        if self.robots is not None:
+            frontier = apply_robots(frontier, self.robots)
+
+        # F3: politeness token bucket
+        selector = select_wave_salted if self.salted else select_wave
+        picked = selector(frontier, self.wave_seconds, self.robots)
+        picked.cache()
+        batch = picked.where(F.col("selected")).drop("selected")
+        deferred = picked.where(~F.col("selected")).drop("selected")
+
+        # F1/J3: fetch
+        fetched = fetch_wave(batch, self.pages).cache()
+
+        cards_in = fetched.where(F.col("resource_type") == "card")
+        photos_in = fetched.where(F.col("resource_type") == "photo")
+
+        # ---- cards ----------------------------------------------------------
+        parsed = (
+            cards_in.where(F.col("fetch_status") == "downloaded")
+            .withColumn("card", parse_card_udf(F.col("text")))
+            .select(
+                "seq",
+                # parsed card id (byte-identical extraction) when the parse
+                # succeeded, else the frontier id so error rows stay addressable
+                F.coalesce(F.col("card.id"), F.col("id")).alias("id"),
+                "url", "num", "kind",
+                *[F.col(f"card.{c}").alias(c) for c in
+                  ("animal", "sex", "type", "address", "latitude", "longitude",
+                   "date", "description", "author", "photos", "error")],
+            )
+        ).cache()
+        good_cards = parsed.where(F.col("error").isNull())
+        self.store.commit("cards", parsed.drop("url"))
+
+        # J1: photo fan-out → next wave's frontier rows
+        photo_frontier = (
+            fanout_photos(good_cards.select(F.col("id"), "photos", "error"))
+            .join(good_cards.select(F.col("id").alias("card_id"), "seq", "num", "kind"),
+                  "card_id")
+            .select(
+                (F.col("seq") * PHOTO_SEQ_SLOT + F.col("photo_seq") + 1).alias("seq"),
+                F.col("photo_id").alias("id"),
+                "url",
+                "num",
+                "kind",
+                url_hash(F.col("url")).alias("url_hash"),
+                url_host(F.col("url")).alias("host"),
+                F.lit("photo").alias("resource_type"),
+                F.lit(0).alias("attempt"),
+            )
+        )
+
+        # ---- photos ---------------------------------------------------------
+        photo_results = validate_image(
+            photos_in.where(F.col("fetch_status") == "downloaded")
+        ).select(
+            F.split(F.col("id"), "/")[0].alias("card_id"),
+            F.col("seq"),
+            F.col("id").alias("photo_id"),
+            F.col("url"),
+            F.col("image_ok"),
+            F.when(~F.col("image_ok"), F.lit("Resource is not a valid image")).alias("error"),
+        )
+        self.store.commit("card_photos", photo_results)
+
+        # ---- missing (Absent → negative cache, K4) --------------------------
+        absent = fetched.where(F.col("fetch_status") == "absent")
+        self.store.commit(
+            "missing", absent.select("id", F.lit(wave).alias("wave"))
+        )
+
+        # ---- seen (everything fetched this wave) ----------------------------
+        self.store.commit(
+            "seen",
+            fetched.select(F.col("url_hash"), F.col("id"), F.lit(wave).alias("wave")),
+        )
+
+        # ---- crawl log (K5/K6, ordering evidence) ---------------------------
+        log = fetched.select(
+            F.lit(wave).alias("wave"),
+            "seq",
+            "id",
+            "resource_type",
+            F.col("fetch_status").alias("status"),
+            F.when(
+                (F.col("resource_type") == "card") & (F.col("fetch_status") == "absent"),
+                F.lit("Absent"),
+            ).alias("error"),
+        ).unionByName(
+            parsed.where(F.col("error").isNotNull()).select(
+                F.lit(wave).alias("wave"),
+                "seq",
+                "id",
+                F.lit("card").alias("resource_type"),
+                F.lit("parse_error").alias("status"),
+                "error",
+            )
+        )
+        self.store.commit("crawl_log", log)
+
+        # ---- next frontier --------------------------------------------------
+        # F2: transport errors (impossible against the deterministic corpus,
+        # kept for the live-fetch variant) re-enter within the fib budget
+        frontier_cols = [c.split(" ")[0] for c in FRONTIER_SCHEMA.split(", ")]
+        retries = (
+            fetched.where(F.col("fetch_status") == "error")
+            .where(within_retry_budget(F.col("attempt")))
+            .withColumn("attempt", F.col("attempt") + 1)
+            .select(*frontier_cols)
+        )
+        next_frontier = deferred.unionByName(photo_frontier).unionByName(retries)
+        self.store.commit("frontier", next_frontier, mode="overwrite")
+
+        stats = {
+            "wave": wave,
+            "fetched": fetched.count(),
+            "downloaded": fetched.where(F.col("fetch_status") == "downloaded").count(),
+            "absent": absent.count(),
+            "parsed_ok": good_cards.count(),
+            "deferred": deferred.count(),
+            "enqueued_photos": photo_frontier.count(),
+            "done": False,
+        }
+        picked.unpersist()
+        fetched.unpersist()
+        parsed.unpersist()
+        return stats
+
+    def crawl(self, max_waves: int | None = None) -> list[dict]:
+        """Run waves until the frontier drains (D5 batch mode)."""
+        stats = []
+        while max_waves is None or len(stats) < max_waves:
+            s = self.run_wave()
+            if s.get("done"):
+                break
+            stats.append(s)
+        return stats
+
+    # ------------------------------------------------------------------ reads
+    def cards(self) -> DataFrame:
+        return self._read(
+            "cards",
+            "seq long, id string, num long, kind string, animal int, sex int, "
+            "type int, address string, latitude double, longitude double, "
+            "date timestamp, description string, "
+            "author struct<name:string,phone:string,email:string>, "
+            "photos array<struct<ID:string,url:string>>, error string",
+        )
+
+    def card_photos(self) -> DataFrame:
+        return self._read(
+            "card_photos",
+            "card_id string, seq long, photo_id string, url string, "
+            "image_ok boolean, error string",
+        )
+
+    def seen_set(self) -> DataFrame:
+        return self._read("seen", SEEN_SCHEMA)
+
+    def missing_set(self) -> DataFrame:
+        return self._read("missing", MISSING_SCHEMA)
+
+    def crawl_log(self) -> DataFrame:
+        return self._read("crawl_log", LOG_SCHEMA)
+
+    def finalize(self) -> DataFrame:
+        """Cards joined with their photo fan-in barrier (J2)."""
+        results = self.card_photos().select(
+            "card_id",
+            F.col("seq").alias("photo_seq"),
+            "photo_id",
+            F.col("image_ok").alias("photo_ok"),
+            "error",
+        )
+        fanin = fanin_photos(results)
+        from ..operators.photos import cards_with_photo_status
+
+        return cards_with_photo_status(self.cards().where(F.col("error").isNull()), fanin)

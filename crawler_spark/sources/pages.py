@@ -1,0 +1,264 @@
+"""Deterministic synthesis of the ``pages`` fetch universe.
+
+BASELINE.json input_hint: ``pages(url:string, warc_ts:timestamp, html:binary,
+text:string, lang:string)`` — a Common-Crawl-style table; a fetch is a join
+against it instead of live HTTP (Downloader.fs:57-126 → F1/J3), and a url
+absent from it is an HTTP 404 → ``Absent`` (Downloader.fs:116-117).
+
+Two page populations:
+
+1. **Fixture pages** — the reference's golden HTML dumps embedded verbatim
+   (FIXTURES.md: "the pet911 rows should embed the verbatim reference fixture
+   HTML so parser byte-identity is checked against real goldens").
+
+2. **Synthetic card pages** — one pet911-shaped card page per row of the
+   driver's ``documents`` table, every field derived deterministically from
+   ``doc_id``.  Generation is 100% native Spark expressions (format_string /
+   concat / date_format) — no Python per row — so it scales to any corpus
+   size.  A configurable fraction of ids is withheld to exercise the
+   404/missing path.  Synthetic photo bytes carry a real WEBP magic prefix
+   for the image-validation operator.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.url import card_id_to_url
+
+FIXTURE_DIR = Path("/root/reference/data/20240114")
+
+# deterministic synthetic id space: doc_id d -> num = NUM_BASE + d
+NUM_BASE = 100_000
+# every 7th id is withheld from `pages` -> fetch yields Absent -> missing set
+ABSENT_MOD = 7
+
+_CARD_HTML_PREFIX = """<!DOCTYPE html>
+<html lang="ru">
+<head><meta charset="UTF-8"><title>synthetic card</title></head>
+<body>
+<div class="breadcrumbs section-top__breadcrumbs">
+<a class="link-gray-dk breadcrumbs__item" href="/">Pet911.ru</a>\
+<a class="link-gray-dk breadcrumbs__item" href="/x">%s</a>\
+<a class="link-gray-dk breadcrumbs__item" href="/y">%s</a>
+</div>
+<div class="card">
+<div class="card__inner">
+<div class="card__content">
+<div class="card-slider"><div class="swiper-wrapper">
+%s</div></div>
+<div class="text text-lt card__descr content">
+<p>%s</p>
+</div>
+</div>
+<div class="card-map">
+<div class="md-font card-map__address">%s</div>
+</div>
+<div class="card-information">
+<div class="card-info">
+<div class="gray-dk-color card-info__title">Номер объявления</div>
+<div class="card-info__value">%s</div>
+</div>
+%s<div class="card-info">
+<div class="gray-dk-color card-info__title">
+%s </div>
+<div class="card-info__value">%s</div>
+</div>
+%s</div>
+</div>
+</div>
+<script>
+    initMap(
+        'map-single-pc',
+        {
+            lat: %s,
+            lng: %s
+        }
+    );
+</script>
+</body>
+</html>
+"""
+
+
+def _synthetic_card_html():
+    """Column expression rendering a full card page from derived columns."""
+    photo_slide = (
+        '<div class="swiper-slide"><a href="https://cdn.pet911.ru/Pet_%s_%s.webp" '
+        'class="card-slider__slide js-card-slide">'
+        '<img class="img-crop" src="https://cdn.pet911.ru/Pet_%s_%s.webp" alt="photo">'
+        "</a></div>\n"
+    )
+    # NB: sequence(1, 0) is DESCENDING [1,0] in Spark — guard the empty case
+    photo_seq = F.when(
+        F.col("n_photos") > 0, F.sequence(F.lit(1), F.col("n_photos"))
+    ).otherwise(F.array().cast("array<int>"))
+    slides = F.array_join(
+        F.transform(
+            photo_seq,
+            lambda j: F.format_string(
+                photo_slide,
+                F.col("num").cast("string"), j.cast("string"),
+                F.col("num").cast("string"), j.cast("string"),
+            ),
+        ),
+        "",
+    )
+    sex_row = F.when(F.col("sex_code") == 0, F.lit("")).otherwise(
+        F.format_string(
+            '<div class="card-info">\n'
+            '<div class="gray-dk-color card-info__title">Пол питомца</div>\n'
+            '<div class="card-info__value">%s</div>\n</div>\n',
+            F.when(F.col("sex_code") == 1, F.lit("Мужской")).otherwise(F.lit("Женский")),
+        )
+    )
+    author_row = F.when(F.col("author_name").isNull(), F.lit("")).otherwise(
+        F.format_string(
+            '<div class="card-info">\n'
+            '<div class="gray-dk-color card-info__title">\n%s </div>\n'
+            '<div class="card-info__value">%s</div>\n</div>\n',
+            F.when(F.col("kind") == "rl", F.lit("Имя хозяина")).otherwise(
+                F.lit("Имя нашедшего")
+            ),
+            F.col("author_name"),
+        )
+    )
+    return F.format_string(
+        _CARD_HTML_PREFIX,
+        F.col("breadcrumb_type"),   # Пропавшие / Найденные
+        F.col("breadcrumb_species"),  # Собаки / Кошки
+        slides,
+        F.col("description"),
+        F.col("address"),
+        F.col("card_id"),
+        sex_row,
+        F.col("date_label"),  # Пропал(а) / Найден(а)
+        F.col("date_value"),
+        author_row,
+        F.format_string("%.8f", F.col("lat")),
+        F.format_string("%.8f", F.col("lon")),
+    )
+
+
+def synthetic_card_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One card page per ``documents`` row; fields derived from doc_id.
+
+    Returns pages(url, warc_ts, html, text, lang) — all native expressions.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    derived = (
+        docs.select("doc_id", "text", "lang")
+        .withColumn("num", (d + F.lit(NUM_BASE)).cast("long"))
+        .withColumn("kind", F.when(d % 2 == 0, F.lit("rf")).otherwise(F.lit("rl")))
+        .withColumn("card_id", F.concat("kind", F.col("num").cast("string")))
+        .withColumn(
+            "breadcrumb_type",
+            F.when(F.col("kind") == "rl", F.lit("Пропавшие")).otherwise(F.lit("Найденные")),
+        )
+        .withColumn(
+            "breadcrumb_species",
+            F.when(d % 3 == 0, F.lit("Собаки")).otherwise(F.lit("Кошки")),
+        )
+        .withColumn("sex_code", (d % 3).cast("int"))  # 0=absent,1=male,2=female
+        .withColumn(
+            "author_name",
+            F.when(d % 5 == 0, F.lit(None).cast("string")).otherwise(
+                F.format_string("Author_%d", d)
+            ),
+        )
+        .withColumn("n_photos", (d % 4).cast("int"))
+        .withColumn(
+            "description",
+            # sanitize markup-significant chars so embedded doc text round-trips
+            # through InnerText byte-identically (entities stay raw in HAP)
+            F.regexp_replace(F.substring(F.col("text"), 1, 400), "[<>&]", " "),
+        )
+        .withColumn("address", F.format_string("Улица %d, Москва", d % 1000))
+        .withColumn(
+            "date_label",
+            F.when(F.col("kind") == "rl", F.lit("Пропал(а)")).otherwise(F.lit("Найден(а)")),
+        )
+        .withColumn(
+            "date_value",
+            F.date_format(
+                F.date_add(F.to_date(F.lit("2020-01-01")), (d % 1000).cast("int")),
+                "dd.MM.yyyy",
+            ),
+        )
+        .withColumn("lat", F.lit(40.0) + (d % 2000).cast("double") / 100.0)
+        .withColumn("lon", F.lit(30.0) + (d % 3000).cast("double") / 100.0)
+    )
+    page_text = _synthetic_card_html()
+    return (
+        derived
+        # withheld ids simulate 404s (Absent → missing set)
+        .where(d % ABSENT_MOD != 0)
+        .select(
+            card_id_to_url(F.col("card_id")).alias("url"),
+            F.to_timestamp(F.lit("2024-01-14 00:00:00")).alias("warc_ts"),
+            F.encode(page_text, "UTF-8").alias("html"),
+            page_text.alias("text"),
+            F.coalesce(F.col("lang"), F.lit("ru")).alias("lang"),
+        )
+    )
+
+
+def synthetic_photo_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Photo-byte pages for every photo url referenced by synthetic cards.
+
+    Bytes = 'RIFF....WEBPVP8 ' magic + deterministic payload; every 11th photo
+    is withheld (missing photo path, Tests/Pet911Crawling.fs:76-123).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    photos = (
+        docs.select("doc_id")
+        .withColumn("num", (d + F.lit(NUM_BASE)).cast("long"))
+        .withColumn("n_photos", (d % 4).cast("int"))
+        .where((d % ABSENT_MOD != 0) & (F.col("n_photos") > 0))
+        .select(
+            "num",
+            F.explode(F.sequence(F.lit(1), F.col("n_photos"))).alias("j"),
+        )
+        .where((F.col("num") * 4 + F.col("j")) % 11 != 0)
+    )
+    payload = F.format_string("WEBPVP8 synthetic-photo-%d-%d", F.col("num"), F.col("j"))
+    return photos.select(
+        F.format_string("https://cdn.pet911.ru/Pet_%d_%d.webp", F.col("num"), F.col("j")).alias("url"),
+        F.to_timestamp(F.lit("2024-01-14 00:00:00")).alias("warc_ts"),
+        F.concat(F.encode(F.lit("RIFF\x00\x00\x00\x00"), "UTF-8"), F.encode(payload, "UTF-8")).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+
+
+def fixture_pages(spark: SparkSession) -> DataFrame:
+    """Reference golden dumps as pages keyed by their canonical card URL."""
+    rows = []
+    for f in sorted(FIXTURE_DIR.glob("petCard_*.html.dump")):
+        card_id = f.stem.split("_")[1].split(".")[0]
+        raw = f.read_bytes()
+        rows.append((card_id, raw, raw.decode("utf-8", errors="replace")))
+    df = spark.createDataFrame(rows, "card_id string, html binary, text string")
+    return df.select(
+        card_id_to_url(F.col("card_id")).alias("url"),
+        F.to_timestamp(F.lit("2024-01-14 00:00:00")).alias("warc_ts"),
+        "html",
+        "text",
+        F.lit("ru").alias("lang"),
+    )
+
+
+def build_pages(spark: SparkSession, sf_dir: str, include_fixtures: bool = True,
+                include_photos: bool = True) -> DataFrame:
+    """The full deterministic fetch universe for a scale factor."""
+    pages = synthetic_card_pages(spark, sf_dir)
+    if include_photos:
+        pages = pages.unionByName(synthetic_photo_pages(spark, sf_dir))
+    if include_fixtures:
+        pages = pages.unionByName(fixture_pages(spark))
+    return pages

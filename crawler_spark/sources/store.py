@@ -1,0 +1,107 @@
+"""Snapshot-committed table store — the Iceberg contract on plain parquet.
+
+The sandbox has no Iceberg runtime jar (no network to fetch one), so this
+shim implements the part of the contract the engine needs — atomic snapshot
+commits, time-travel reads, exact resume (north_rule: "checkpoints frontier +
+seen-set state to Iceberg snapshots for exact resume").  On a real cluster
+every call site swaps 1:1 for an Iceberg catalog table:
+
+=================  ==========================================
+here               Iceberg
+=================  ==========================================
+commit(append)     df.writeTo(t).append()
+commit(overwrite)  df.writeTo(t).overwritePartitions()
+read(as_of=n)      spark.read.option('snapshot-id', n).table(t)
+manifest json      Iceberg metadata/manifest lists
+=================  ==========================================
+
+Layout::
+
+    root/<table>/_snapshots.json        # one JSON line per snapshot
+    root/<table>/snap-<n>/part-*.parquet
+
+A snapshot line lists the data dirs visible at that snapshot, so `overwrite`
+is a metadata-only swap and readers of older snapshots are unaffected
+(append-only files, like Iceberg).  The manifest is written via tmp+rename —
+atomic on POSIX.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotStore:
+    def __init__(self, root: str):
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    # -- manifest helpers ---------------------------------------------------
+    def _manifest_path(self, table: str) -> Path:
+        return self.root / table / "_snapshots.json"
+
+    def snapshots(self, table: str) -> list[dict]:
+        p = self._manifest_path(table)
+        if not p.exists():
+            return []
+        with p.open() as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def latest_snapshot_id(self, table: str) -> int | None:
+        snaps = self.snapshots(table)
+        return snaps[-1]["snapshot"] if snaps else None
+
+    def _write_manifest(self, table: str, snaps: list[dict]) -> None:
+        p = self._manifest_path(table)
+        tmp = p.with_suffix(".json.tmp")
+        with tmp.open("w") as f:
+            for s in snaps:
+                f.write(json.dumps(s) + "\n")
+        os.replace(tmp, p)  # atomic commit point
+
+    # -- write path ---------------------------------------------------------
+    def commit(self, table: str, df: DataFrame, mode: str = "append") -> int:
+        """Write df as a new snapshot of `table`; returns the snapshot id.
+
+        mode='append'    → new snapshot = previous dirs + new dir
+        mode='overwrite' → new snapshot = just the new dir (old files kept
+                           for time-travel, exactly like Iceberg overwrite)
+        """
+        snaps = self.snapshots(table)
+        snap_id = (snaps[-1]["snapshot"] + 1) if snaps else 0
+        data_dir = self.root / table / f"snap-{snap_id}"
+        df.write.mode("overwrite").parquet(str(data_dir))
+        prev_dirs = snaps[-1]["dirs"] if (snaps and mode == "append") else []
+        snaps.append(
+            {
+                "snapshot": snap_id,
+                "mode": mode,
+                "dirs": prev_dirs + [f"snap-{snap_id}"],
+                "ts": time.time(),
+            }
+        )
+        self._write_manifest(table, snaps)
+        return snap_id
+
+    # -- read path ----------------------------------------------------------
+    def read(self, spark: SparkSession, table: str, as_of: int | None = None,
+             schema: str | None = None) -> DataFrame | None:
+        """Read `table` at snapshot `as_of` (default latest).  Returns None if
+        the table has no snapshots yet (callers supply an empty frame)."""
+        snaps = self.snapshots(table)
+        if as_of is not None:
+            snaps = [s for s in snaps if s["snapshot"] <= as_of]
+        if not snaps:
+            return None
+        dirs = [str(self.root / table / d) for d in snaps[-1]["dirs"]]
+        return spark.read.parquet(*dirs)
+
+    def read_or_empty(self, spark: SparkSession, table: str, schema: str,
+                      as_of: int | None = None) -> DataFrame:
+        df = self.read(spark, table, as_of=as_of)
+        return df if df is not None else spark.createDataFrame([], schema)

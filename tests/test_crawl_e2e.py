@@ -1,0 +1,301 @@
+"""End-to-end crawl engine tests: frontier → politeness → fetch → parse →
+photos → seen/missing → resume.  Ports the behavioral assertions of
+Tests/Pet911Crawling.fs (reference live-HTTP tests) onto the deterministic
+pages corpus, per SURVEY.md §5.2.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.operators.fetch import fetch_wave, fib_delays_ms, max_attempts
+from crawler_spark.operators.photos import fanin_photos, fanout_photos, validate_image
+from crawler_spark.operators.politeness import apply_robots, select_wave, select_wave_salted
+from crawler_spark.operators.seen import (
+    BloomFilter,
+    build_bloom,
+    filter_unseen,
+    filter_unseen_with_bloom,
+)
+from crawler_spark.plans.crawl_job import CrawlJob
+from crawler_spark.sources.frontier import frontier_from_range, known_set_from_cards
+from crawler_spark.sources.pages import NUM_BASE, build_pages, fixture_pages
+
+
+# --------------------------------------------------------------------- frontier
+def test_frontier_range_order(spark):
+    """S1: rf{n} then rl{n}, n ascending (Utils.fs:19-24) — seq is total."""
+    f = frontier_from_range(spark, 5, 7).orderBy("seq").collect()
+    assert [r["id"] for r in f] == ["rf5", "rl5", "rf6", "rl6", "rf7", "rl7"]
+    assert [r["seq"] for r in f] == list(range(6))
+    assert f[0]["url"].endswith("/rf5")
+    assert f[0]["url"].startswith("https://pet911.ru/%D0%A5")
+    assert f[0]["host"] == "pet911.ru"
+
+
+def test_known_set_top50(spark):
+    """S3/A2: top-50 numeric ids desc (Program.fs:67-75)."""
+    cards = spark.createDataFrame(
+        [(f"rl{i}",) for i in range(100)] + [("junk",)], "id string"
+    )
+    known = known_set_from_cards(cards).collect()
+    assert len(known) == 50
+    assert max(r["num"] for r in known) == 99
+    assert min(r["num"] for r in known) == 50
+
+
+# ---------------------------------------------------------------------- fetch
+def test_fib_retry_budget():
+    """F2 (Downloader.fs:13-21,134-137): fib delays, ~17 attempts at defaults."""
+    d = fib_delays_ms()
+    assert d[:6] == (100, 100, 200, 300, 500, 800)
+    assert max_attempts() == 17  # fib(18)*100ms = 258,400 > 180,000
+
+
+def test_fetch_statuses(spark):
+    """F1: url in pages → downloaded; not in pages → absent (404)."""
+    pages = fixture_pages(spark)
+    from crawler_spark.functions.url import card_id_to_url
+
+    frontier = spark.createDataFrame(
+        [(0, "rf518209"), (1, "rf999999")], "seq long, id string"
+    ).select("seq", "id", card_id_to_url(F.col("id")).alias("url"))
+    res = {r["id"]: r["fetch_status"] for r in fetch_wave(frontier, pages).collect()}
+    assert res == {"rf518209": "downloaded", "rf999999": "absent"}
+
+
+# ----------------------------------------------------------------------- seen
+def test_bloom_no_false_negatives():
+    import numpy as np
+
+    bf = BloomFilter.sized(10_000, fpp=0.01)
+    keys = np.arange(10_000, dtype=np.int64) * 2_654_435_761
+    bf.add_many(keys)
+    assert bf.might_contain(keys).all()  # zero false negatives, ever
+    probe = np.arange(50_000, 60_000, dtype=np.int64)
+    fp = bf.might_contain(probe).mean()
+    assert fp < 0.05  # fpp in the configured ballpark
+
+
+def test_bloom_path_equals_exact_antijoin(spark):
+    frontier = frontier_from_range(spark, 0, 499)
+    seen = frontier.where(F.col("num") % 3 == 0).select("url_hash", "id").withColumn(
+        "wave", F.lit(0)
+    )
+    exact = {r["id"] for r in filter_unseen(frontier, seen).collect()}
+    bloom = build_bloom(seen)
+    with_bloom = {r["id"] for r in filter_unseen_with_bloom(frontier, seen, bloom).collect()}
+    assert with_bloom == exact  # bloom is a prefilter, never a semantics change
+
+
+# ----------------------------------------------------------------- politeness
+def test_token_bucket_budget(spark):
+    frontier = frontier_from_range(spark, 0, 99)  # 200 urls, single host
+    out = select_wave(frontier, wave_seconds=600)  # 600s/60s delay = 10 tokens
+    sel = out.where("selected").collect()
+    assert len(sel) == 10
+    # crawl order: lowest seq first (rf0, rl0, rf1, ...)
+    assert sorted(r["seq"] for r in sel) == list(range(10))
+
+
+def test_token_bucket_salted_matches_budget_scale(spark):
+    frontier = frontier_from_range(spark, 0, 499)
+    exact = select_wave(frontier, 1200).where("selected").count()
+    salted = (
+        select_wave_salted(frontier, 1200, n_salts=4, hot_host_threshold=10)
+        .where("selected")
+        .count()
+    )
+    assert exact == 20
+    # per-salt rounding: within n_salts of the exact budget
+    assert abs(salted - exact) <= 4
+
+
+def test_robots_anti_join(spark):
+    frontier = frontier_from_range(spark, 0, 9)
+    robots = spark.createDataFrame(
+        [("pet911.ru", "/%D0%A5")], "host string, disallow_prefix string"
+    )
+    assert apply_robots(frontier, robots).count() == 0  # all card urls share the prefix
+    robots_other = spark.createDataFrame(
+        [("pet911.ru", "/private")], "host string, disallow_prefix string"
+    )
+    assert apply_robots(frontier, robots_other).count() == 20
+
+
+# -------------------------------------------------------------------- photos
+def test_photo_fanin_first_error_semantics(spark):
+    """J2 (PhotosForCardCrawler.fs:38-62): all-ok → ok; first failure wins."""
+    rows = [
+        ("c1", 0, "c1/a.webp", True, None),
+        ("c1", 1, "c1/b.webp", True, None),
+        ("c2", 0, "c2/a.webp", True, None),
+        ("c2", 1, "c2/b.webp", False, "err-b"),
+        ("c2", 2, "c2/c.webp", False, "err-c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "card_id string, photo_seq int, photo_id string, photo_ok boolean, error string"
+    )
+    res = {r["card_id"]: r for r in fanin_photos(df).collect()}
+    assert res["c1"]["photos_ok"] and res["c1"]["first_error"] is None
+    assert not res["c2"]["photos_ok"]
+    assert res["c2"]["first_error"] == "err-b"  # FIRST failure by photo_seq
+    assert res["c2"]["n_photos"] == 3
+
+
+def test_validate_image_magic(spark):
+    rows = [
+        ("jpeg", bytearray(b"\xff\xd8\xff\xe0rest")),
+        ("png", bytearray(b"\x89PNG\r\n\x1a\nrest")),
+        ("webp", bytearray(b"RIFF\x00\x00\x00\x00WEBPVP8 data")),
+        ("html", bytearray(b"<html>not an image</html>")),
+    ]
+    df = spark.createDataFrame(rows, "id string, html binary")
+    res = {r["id"]: r["image_ok"] for r in validate_image(df).collect()}
+    assert res == {"jpeg": True, "png": True, "webp": True, "html": False}
+
+
+# ----------------------------------------------------------------- end-to-end
+@pytest.fixture(scope="module")
+def crawl_result(spark, sf_dir, tmp_path_factory):
+    pages = build_pages(spark, sf_dir)
+    job = CrawlJob(
+        spark,
+        str(tmp_path_factory.mktemp("store")),
+        pages,
+        wave_seconds=10**9,  # no politeness throttling for the e2e run
+    )
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    rng = frontier_from_range(spark, NUM_BASE, NUM_BASE + n_docs - 1)
+    from pathlib import Path
+
+    from crawler_spark.sources.frontier import frontier_from_ids
+
+    fixture_ids = sorted(
+        f.stem.split("_")[1].split(".")[0]
+        for f in Path("/root/reference/data/20240114").glob("petCard_*.html.dump")
+    )
+    extra = frontier_from_ids(
+        spark.createDataFrame([(i,) for i in fixture_ids], "id string")
+    ).withColumn("seq", F.col("seq") + F.lit(2 * n_docs))
+    job.seed_frontier(rng.unionByName(extra))
+    stats = job.crawl(max_waves=10)
+    return job, stats, n_docs
+
+
+def test_e2e_drains_in_two_waves(crawl_result):
+    job, stats, n_docs = crawl_result
+    # wave 0: all cards; wave 1: all photos; then frontier is empty
+    assert len(stats) == 2
+    assert stats[0]["fetched"] == 2 * n_docs + 10  # rf + rl per num + 10 fixtures
+    assert stats[1]["fetched"] == stats[0]["enqueued_photos"]
+
+
+def test_e2e_missing_semantics(crawl_result):
+    job, stats, n_docs = crawl_result
+    missing_cards = {
+        r["id"] for r in job.missing_set().where(~F.col("id").contains("/")).collect()
+    }
+    # every rl twin of an even doc_id is absent (pages carry only the matching
+    # kind), plus both kinds of withheld (doc_id%7==0) ids
+    assert all(m.startswith(("rf", "rl")) for m in missing_cards)
+    expected_absent = sum(
+        1 + (1 if d % 7 == 0 else 0) for d in range(n_docs)
+    )  # wrong-kind twin always absent; withheld ids absent for both kinds
+    assert len(missing_cards) == expected_absent
+
+
+def test_e2e_parse_results(crawl_result, spark, sf_dir):
+    job, stats, n_docs = crawl_result
+    cards = job.cards()
+    ok = cards.where(F.col("error").isNull())
+    n_present = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") % 7 != 0
+    ).count()
+    assert ok.count() == n_present + 10  # synthetic + 10 reference fixtures
+    # derived fields round-trip
+    n_docs_total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    sample = (
+        ok.where((F.col("num") >= NUM_BASE) & (F.col("num") < NUM_BASE + n_docs_total))
+        .limit(5)
+        .collect()
+    )
+    for r in sample:
+        d = r["num"] - NUM_BASE
+        assert r["animal"] == (1 if d % 3 == 0 else 2)
+        assert r["latitude"] == pytest.approx(40.0 + (d % 2000) / 100.0)
+
+
+def test_e2e_fixture_byte_identity(crawl_result):
+    """The verbatim reference fixture pages parse to the golden values
+    through the full Spark pipeline (BASELINE.json invariant)."""
+    job, _, _ = crawl_result
+    row = job.cards().where(F.col("id") == "rl518787").collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r["error"] is None
+    assert r["address"] == "улица Брянский Пост, 6 с1А, Москва"
+    assert r["animal"] == 2 and r["sex"] == 3 and r["type"] == 1
+    assert r["latitude"] == pytest.approx(55.77292439, abs=1e-10)
+    assert len(r["photos"]) == 7
+    assert r["photos"][0]["ID"].startswith("rl518787/")
+
+
+def test_e2e_seen_set_and_order(crawl_result):
+    job, stats, _ = crawl_result
+    log = job.crawl_log()
+    first_wave = log.agg(F.min("wave")).collect()[0][0]
+    # crawl-order evidence: within a wave, seq strictly increasing == the
+    # reference's submission order (SURVEY §4.2.1); wave numbers are 1-based
+    w0 = [
+        r["seq"]
+        for r in log.where(
+            (F.col("wave") == first_wave) & (F.col("status") != "parse_error")
+        ).orderBy("seq").collect()
+    ]
+    assert len(w0) > 0
+    assert w0 == sorted(w0) and len(set(w0)) == len(w0)
+    # URL-seen set == everything fetched exactly once
+    seen = job.seen_set()
+    assert seen.count() == seen.select("url_hash").distinct().count()
+
+
+def test_e2e_photo_barrier(crawl_result):
+    job, _, _ = crawl_result
+    final = job.finalize()
+    bad = final.where(~F.col("photos_ok"))
+    good = final.where(F.col("photos_ok"))
+    assert good.count() > 0
+    # cards whose photo set includes a withheld (404) photo are NOT failed —
+    # absent photos are 'Missing', not errors (Crawler.fs processes Absent as
+    # Ok Missing); only invalid image bytes fail the barrier. Our corpus has
+    # no invalid bytes, so every card with all photos fetched is ok.
+    assert bad.count() == 0
+
+
+def test_e2e_resume_exactness(spark, sf_dir, tmp_path_factory):
+    """North_rule: exact resume from snapshots — run A: all waves in one
+    process; run B: one wave, new CrawlJob over the same store, finish.
+    Final tables must be identical."""
+    pages = build_pages(spark, sf_dir)
+
+    def run(store, interrupt):
+        job = CrawlJob(spark, store, pages, wave_seconds=10**9)
+        job.seed_range(NUM_BASE, NUM_BASE + 49)
+        if interrupt:
+            job.run_wave()
+            job = CrawlJob(spark, store, pages, wave_seconds=10**9)  # "restart"
+        job.crawl(max_waves=10)
+        return job
+
+    a = run(str(tmp_path_factory.mktemp("a")), interrupt=False)
+    b = run(str(tmp_path_factory.mktemp("b")), interrupt=True)
+
+    for getter in ("cards", "seen_set", "missing_set"):
+        da, db = getattr(a, getter)(), getattr(b, getter)()
+        cols = [c for c in da.columns if c != "wave"]
+        assert (
+            da.select(cols).exceptAll(db.select(cols)).count() == 0
+            and db.select(cols).exceptAll(da.select(cols)).count() == 0
+        ), f"{getter} differs between straight and resumed runs"
