@@ -1,38 +1,846 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``  — flagship corpus-hygiene pipeline on sf0.001.
+``queries()``     — one entry per implemented operator family from
+                    SURVEY.md §2 plus the training-data pipeline layer
+                    (dedup / similarity / text analysis / multimodal).
+``oracle_sql()``  — exact DuckDB equivalents.  Portability trick: the shared
+                    32-bit hash ``h32(s) = int(md5(s)[:8],16)`` is bit-equal
+                    in Spark (``conv(substring(md5(s),1,8),16,10)``) and
+                    DuckDB (``('0x'||substr(md5(s),1,8))::bigint``), which
+                    makes MinHash-LSH, SimHash, band keys and fingerprints
+                    fully oracle-checkable.  All computed doubles are
+                    rounded; no cross-partition double aggregation is ever
+                    oracle-compared (floating-point merge order is not
+                    deterministic), only per-row doubles and exact integer
+                    aggregates.
+
+Multimodal queries (mapInPandas kernels) have no SQL equivalent and appear
+in ``queries()`` only — the driver records the weaker rows-only check.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from crawler_spark.functions.text import (
+    STOPWORDS,
+    bpe_ish_token_count,
+    lang_id,
+    quality_score,
+    rolling_fingerprint,
+    token_count,
+)
+from crawler_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+    simhash_near_pairs,
+)
+from crawler_spark.operators.fetch import fib_delays_ms
+from crawler_spark.operators.multimodal import (
+    extract_image_features,
+    sample_frames,
+    synthesize_media,
+)
+from crawler_spark.operators.seen import (
+    build_bloom,
+    filter_unseen,
+    filter_unseen_with_bloom,
+)
+from crawler_spark.operators.similarity import cosine_topk, lsh_bucketed_topk
+from crawler_spark.operators.dedup import embedding_near_dup
+from crawler_spark.sources.frontier import frontier_from_range
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs_text_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents")
+
+
+def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings with the float32 vector cast to double (both engines do
+    exact float→double widening, then identical double arithmetic)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        "label",
+    )
+
+
+# ===========================================================================
+# entry — flagship: corpus-hygiene pipeline (quality + lang + token stats +
+# exact-dedup survivorship) over the documents table at sf0.001.
+# ===========================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _docs_text_double(spark, sf_dir)
+    enriched = docs.select(
+        "doc_id",
+        "source",
+        lang_id(F.col("text")).alias("lang_pred"),
+        quality_score(F.col("text")).alias("quality"),
+        token_count(F.col("text")).alias("n_tokens"),
+        F.md5("text").alias("content_hash"),
+    )
+    keep = exact_dedup(docs).select("content_hash", "keep_id")
+    survivors = enriched.join(F.broadcast(keep), "content_hash").where(
+        F.col("doc_id") == F.col("keep_id")
+    )
+    return (
+        survivors.groupBy("lang_pred", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.round(F.min("quality"), 6).alias("min_quality"),
+            F.round(F.max("quality"), 6).alias("max_quality"),
+        )
+        .orderBy("lang_pred", "source")
+    )
 
+
+# ===========================================================================
+# shared SQL fragments (DuckDB dialect) — mirror functions/text.py exactly
+# ===========================================================================
+
+def _h32(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}),1,8))::bigint)"
+
+
+_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+_DTOKS = f"list_distinct({_TOKS})"
+
+_NUM_PERM = 16
+_BANDS = 4
+_ROWS_PER_BAND = _NUM_PERM // _BANDS
+_SHINGLE_K = 3
+
+
+def _minhash_sig_sql() -> str:
+    """[min over shingles of (A[p]*h32(s)+B[p]) mod prime for p in 0..15]."""
+    from crawler_spark.functions.text import HASH_PRIME, MINHASH_A, MINHASH_B
+
+    mins = ",\n      ".join(
+        f"list_min(list_transform(shingles, s -> ({MINHASH_A[p]} * {_h32('s')} + {MINHASH_B[p]}) % {HASH_PRIME}))"
+        for p in range(_NUM_PERM)
+    )
+    return f"""
+  shingled AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+             range(1, greatest(len(toks) - {_SHINGLE_K - 1}, 1) + 1),
+             i -> array_to_string(toks[i:i+{_SHINGLE_K - 1}], ' '))) AS shingles
+    FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+  ),
+  sig AS (
+    SELECT doc_id, [
+      {mins}
+    ] AS sig FROM shingled
+  ),
+  banded AS (
+    SELECT doc_id, unnest([
+      {",".join(_h32(chr(39) + str(b) + "|" + chr(39) + f" || array_to_string(sig[{b * _ROWS_PER_BAND + 1}:{(b + 1) * _ROWS_PER_BAND}], ':')") for b in range(_BANDS))}
+    ]) AS band_key FROM sig
+  ),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b USING (band_key)
+    WHERE a.doc_id < b.doc_id
+  )"""
+
+
+def _simhash_sql() -> str:
+    """32-bit simhash per doc from the distinct-token h32 list."""
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) >= 0 THEN {2 ** b}::bigint ELSE 0 END)"
+        for b in range(32)
+    )
+    return f"""
+  hashed AS (
+    SELECT doc_id, list_transform({_DTOKS}, t -> {_h32('t')}) AS hs FROM documents
+  ),
+  sh AS (
+    SELECT doc_id, ({bit_terms}) AS simhash FROM hashed
+  )"""
+
+
+_FIB = fib_delays_ms()  # [delay_ms per attempt index]
+_MAX_ATTEMPT_SHOWN = 20
+
+
+def _fib_case_sql(col: str) -> str:
+    whens = " ".join(
+        f"WHEN {col} = {i} THEN {_FIB[i]}" for i in range(_MAX_ATTEMPT_SHOWN)
+    )
+    return f"(CASE {whens} ELSE NULL END)"
+
+
+_QUALITY_SQL = f"""
+    round(
+      0.25 * (CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 1.0
+                   WHEN length(text) < 100 THEN length(text)::double / 100.0
+                   ELSE 20000.0 / length(text)::double END)
+      + 0.25 * (CASE WHEN length(text) > 0
+                     THEN len(regexp_extract_all(text, '[A-Za-z]'))::double / length(text)::double
+                     ELSE 0.0 END)
+      + 0.25 * least(len(list_intersect({_DTOKS},
+                     [{",".join(chr(39) + s + chr(39) for s in STOPWORDS)}]))::double / {float(len(STOPWORDS))},
+                     1.0)
+      + 0.25 * (1.0 - least(CASE WHEN length(text) > 0
+                     THEN len(regexp_extract_all(text, '[^\\sA-Za-z0-9]'))::double / length(text)::double
+                     ELSE 1.0 END, 1.0)),
+    6)"""
+
+_LANG_SQL = """
+    CASE WHEN regexp_matches(lower(text), '[一-鿿]') THEN 'zh'
+         WHEN regexp_matches(lower(text), '[Ѐ-ӿ]') THEN 'ru'
+         WHEN regexp_matches(lower(text), '(^|\\s)(der|die|das|und|nicht|ein|ist)(\\s|$)') THEN 'de'
+         WHEN regexp_matches(lower(text), '(^|\\s)(el|la|los|las|que|es|una|del)(\\s|$)') THEN 'es'
+         WHEN regexp_matches(lower(text), '(^|\\s)(le|les|des|est|une|dans|avec)(\\s|$)') THEN 'fr'
+         ELSE 'en' END"""
+
+_BPE_SQL = """
+    (len(regexp_extract_all(text, '[A-Za-z]+'))
+     + coalesce(list_sum(list_transform(regexp_extract_all(text, '[A-Za-z]{5,}'),
+                                        w -> cast(floor((length(w)-1)/4) AS int))), 0)
+     + len(regexp_extract_all(text, '[0-9]'))
+     + len(regexp_extract_all(text, '[^\\sA-Za-z0-9]')))::bigint"""
+
+_TOKCNT_SQL = f"len({_TOKS})"
+
+_FP_SQL = f"""
+    list_reduce(list_prepend(0::bigint, list_transform({_TOKS}, t -> {_h32('t')})),
+                (a, x) -> (a * 131 + x) % 2147483647)"""
+
+
+def _dot_sql(a: str, b: str, dim: int = 64) -> str:
+    return "(" + " + ".join(f"{a}[{i}]*{b}[{i}]" for i in range(1, dim + 1)) + ")"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
+
+
+def _sketch_sql(v: str, n_planes: int) -> str:
+    return "(" + " + ".join(
+        f"(CASE WHEN {v}[{2 * p + 1}] > {v}[{2 * p + 2}] THEN {2 ** p}::bigint ELSE 0 END)"
+        for p in range(n_planes)
+    ) + ")"
+
+
+_EMB_CTE = "emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+
+
+# ===========================================================================
+# queries
+# ===========================================================================
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---------------- crawl-engine relational analogs (SURVEY §2) ----------
 
+    def frontier_range_gen(spark, sf_dir):
+        # S1/S2: rf{n},rl{n} enumeration order + URL template
+        return frontier_from_range(spark, 1, 200).select(
+            "seq", "id", "num", "kind", "url"
+        )
+
+    q["frontier_range_gen"] = frontier_range_gen
+
+    def seen_anti_join(spark, sf_dir):
+        # C1/C2: frontier rows not yet seen (orders with no lineitem)
+        frontier = _t(spark, sf_dir, "orders")
+        seen = _t(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("o_orderkey")
+        )
+        return filter_unseen(frontier, seen, key="o_orderkey").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+
+    q["seen_anti_join"] = seen_anti_join
+
+    def bloom_prefilter_equiv(spark, sf_dir):
+        # C1 scale path: bloom prefilter + exact backstop ≡ exact anti-join
+        frontier = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus"
+        )
+        seen = _t(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("o_orderkey")
+        )
+        bloom = build_bloom(seen, key="o_orderkey")
+        return filter_unseen_with_bloom(frontier, seen, bloom, key="o_orderkey")
+
+    q["bloom_prefilter_equiv"] = bloom_prefilter_equiv
+
+    def missing_semi_join(spark, sf_dir):
+        # C6: known-id intersection probe (orders WITH lineitems), per status
+        orders = _t(spark, sf_dir, "orders")
+        li = _t(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("o_orderkey")
+        )
+        return (
+            orders.join(li, "o_orderkey", "left_semi")
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_known"))
+        )
+
+    q["missing_semi_join"] = missing_semi_join
+
+    def fanout_explode(spark, sf_dir):
+        # J1: card→photos fan-out analog (part name → words)
+        part = _t(spark, sf_dir, "part")
+        return part.select(
+            "p_partkey",
+            F.explode(F.split(F.col("p_name"), " ")).alias("word"),
+        )
+
+    q["fanout_explode"] = fanout_explode
+
+    def fanin_barrier(spark, sf_dir):
+        # J2: per-card all-photos barrier with first-error semantics
+        li = _t(spark, sf_dir, "lineitem")
+        ok = F.col("l_discount") <= 0.05
+        return li.groupBy("l_orderkey").agg(
+            F.bool_and(ok).alias("all_ok"),
+            F.min(F.when(~ok, F.col("l_linenumber"))).alias("first_bad_line"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+
+    q["fanin_barrier"] = fanin_barrier
+
+    def topk_desc(spark, sf_dir):
+        # A2: top-50 known ids, numeric desc (TakeOrdered, no full sort)
+        return (
+            _t(spark, sf_dir, "orders")
+            .select("o_orderkey")
+            .orderBy(F.col("o_orderkey").desc())
+            .limit(50)
+        )
+
+    q["topk_desc"] = topk_desc
+
+    def max_known(spark, sf_dir):
+        # A1: max known id per group
+        return (
+            _t(spark, sf_dir, "orders")
+            .groupBy("o_orderpriority")
+            .agg(F.max("o_orderkey").alias("max_id"))
+        )
+
+    q["max_known"] = max_known
+
+    def dedup_distinct(spark, sf_dir):
+        # C5: href dedup analog
+        return (
+            _t(spark, sf_dir, "customer")
+            .select("c_nationkey", "c_mktsegment")
+            .dropDuplicates(["c_nationkey", "c_mktsegment"])
+        )
+
+    q["dedup_distinct"] = dedup_distinct
+
+    def retry_fib_budget(spark, sf_dir):
+        # F2: fibonacci backoff budget (delay table from fetch.fib_delays_ms)
+        attempts = spark.range(0, _MAX_ATTEMPT_SHOWN).select(
+            F.col("id").cast("int").alias("attempt")
+        )
+        delay = F.element_at(
+            F.array(*[F.lit(d) for d in _FIB[:_MAX_ATTEMPT_SHOWN]]),
+            F.col("attempt") + 1,
+        )
+        return attempts.select(
+            "attempt",
+            delay.alias("delay_ms"),
+            (delay <= 180_000).alias("within_budget"),
+        )
+
+    q["retry_fib_budget"] = retry_fib_budget
+
+    def politeness_topn_per_host(spark, sf_dir):
+        # F3: per-host budget — keep top-3 per host (host ≙ nation)
+        sup = _t(spark, sf_dir, "supplier")
+        w = Window.partitionBy("s_nationkey").orderBy(
+            F.col("s_acctbal").desc(), F.col("s_suppkey").asc()
+        )
+        return (
+            sup.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select("s_suppkey", "s_nationkey", "rn")
+        )
+
+    q["politeness_topn_per_host"] = politeness_topn_per_host
+
+    def salted_agg_equiv(spark, sf_dir):
+        # skew handling: two-phase salted aggregation ≡ plain groupBy count
+        cust = _t(spark, sf_dir, "customer")
+        salted = cust.withColumn(
+            "salt", F.pmod(F.xxhash64("c_custkey"), F.lit(8))
+        )
+        partial = salted.groupBy("c_mktsegment", "salt").agg(
+            F.count(F.lit(1)).alias("partial_n")
+        )
+        return partial.groupBy("c_mktsegment").agg(
+            F.sum("partial_n").alias("n_customers")
+        )
+
+    q["salted_agg_equiv"] = salted_agg_equiv
+
+    def regexp_extract_num(spark, sf_dir):
+        # P10: coords-from-raw-text analog (regex on the raw string)
+        ev = _t(spark, sf_dir, "events")
+        return ev.select(
+            "event_id",
+            F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1)
+            .cast("long")
+            .alias("k_num"),
+        )
+
+    q["regexp_extract_num"] = regexp_extract_num
+
+    def json_extract_field(spark, sf_dir):
+        # P16: JSON search-result parse analog
+        ev = _t(spark, sf_dir, "events")
+        return ev.select(
+            "event_id",
+            F.get_json_object(F.col("props"), "$.k").alias("k_str"),
+        )
+
+    q["json_extract_field"] = json_extract_field
+
+    def split_last_segment(spark, sf_dir):
+        # P12: photo-id from URL (substring after last separator)
+        cust = _t(spark, sf_dir, "customer")
+        return cust.select(
+            "c_custkey",
+            F.element_at(F.split(F.col("c_name"), "#"), -1).alias("suffix"),
+        )
+
+    q["split_last_segment"] = split_last_segment
+
+    def when_chain_mapping(spark, sf_dir):
+        # P2/P8/P19: categorical mapping chains (species/sex/mime→ext)
+        ev = _t(spark, sf_dir, "events")
+        return ev.select(
+            "event_id",
+            F.when(F.col("event_type") == "click", 1)
+            .when(F.col("event_type") == "view", 2)
+            .when(F.col("event_type") == "error", 3)
+            .otherwise(0)
+            .alias("type_code"),
+        )
+
+    q["when_chain_mapping"] = when_chain_mapping
+
+    def unix_ts_export(spark, sf_dir):
+        # P20: unix-seconds date export in pipeline JSON
+        ev = _t(spark, sf_dir, "events")
+        return ev.select(
+            "event_id", F.unix_timestamp("ts").alias("ts_unix")
+        )
+
+    q["unix_ts_export"] = unix_ts_export
+
+    def windowed_counts(spark, sf_dir):
+        # streaming analog: tumbling 1h event-time window aggregation
+        ev = _t(spark, sf_dir, "events")
+        return (
+            ev.groupBy(
+                F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias(
+                    "hour_unix"
+                ),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.min("value"), 6).alias("vmin"),
+                F.round(F.max("value"), 6).alias("vmax"),
+            )
+        )
+
+    q["windowed_counts"] = windowed_counts
+
+    def sessionize_gaps(spark, sf_dir):
+        # streaming analog: 30-min-gap sessionization per user
+        ev = _t(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        prev = F.lag(F.unix_timestamp("ts")).over(w)
+        is_new = F.when(
+            prev.isNull() | ((F.unix_timestamp("ts") - prev) > 1800), 1
+        ).otherwise(0)
+        return (
+            ev.withColumn("is_new", is_new)
+            .groupBy("user_id")
+            .agg(F.sum("is_new").alias("n_sessions"))
+        )
+
+    q["sessionize_gaps"] = sessionize_gaps
+
+    # ---------------- training-data pipeline: documents ---------------------
+
+    def doc_exact_dedup(spark, sf_dir):
+        return exact_dedup(_docs_text_double(spark, sf_dir))
+
+    q["doc_exact_dedup"] = doc_exact_dedup
+
+    def doc_minhash_lsh_pairs(spark, sf_dir):
+        return minhash_lsh_candidates(
+            _docs_text_double(spark, sf_dir),
+            num_perm=_NUM_PERM, bands=_BANDS, shingle_k=_SHINGLE_K,
+        )
+
+    q["doc_minhash_lsh_pairs"] = doc_minhash_lsh_pairs
+
+    def doc_ngram_jaccard(spark, sf_dir):
+        docs = _docs_text_double(spark, sf_dir)
+        cand = minhash_lsh_candidates(
+            docs, num_perm=_NUM_PERM, bands=_BANDS, shingle_k=_SHINGLE_K
+        )
+        return ngram_jaccard_pairs(docs, cand, threshold=0.3)
+
+    q["doc_ngram_jaccard"] = doc_ngram_jaccard
+
+    def doc_simhash_groups(spark, sf_dir):
+        return simhash_dedup(_docs_text_double(spark, sf_dir))
+
+    q["doc_simhash_groups"] = doc_simhash_groups
+
+    def doc_simhash_near_pairs(spark, sf_dir):
+        return simhash_near_pairs(_docs_text_double(spark, sf_dir), max_hamming=3)
+
+    q["doc_simhash_near_pairs"] = doc_simhash_near_pairs
+
+    def doc_lang_id(spark, sf_dir):
+        return _docs_text_double(spark, sf_dir).select(
+            "doc_id", lang_id(F.col("text")).alias("lang_pred")
+        )
+
+    q["doc_lang_id"] = doc_lang_id
+
+    def doc_quality(spark, sf_dir):
+        return _docs_text_double(spark, sf_dir).select(
+            "doc_id", quality_score(F.col("text")).alias("quality")
+        )
+
+    q["doc_quality"] = doc_quality
+
+    def doc_token_stats(spark, sf_dir):
+        docs = _docs_text_double(spark, sf_dir)
+        per_doc = docs.select(
+            "lang", "source",
+            token_count(F.col("text")).alias("ntok"),
+            bpe_ish_token_count(F.col("text")).alias("nbpe"),
+            F.col("n_chars"),
+        )
+        return per_doc.groupBy("lang", "source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").alias("sum_tokens"),
+            F.sum("nbpe").alias("sum_bpe"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+
+    q["doc_token_stats"] = doc_token_stats
+
+    def doc_fingerprint(spark, sf_dir):
+        return _docs_text_double(spark, sf_dir).select(
+            "doc_id", rolling_fingerprint(F.col("text")).alias("fp")
+        )
+
+    q["doc_fingerprint"] = doc_fingerprint
+
+    # ---------------- training-data pipeline: embeddings ---------------------
+
+    def emb_cosine_topk(spark, sf_dir):
+        emb = _emb_double(spark, sf_dir)
+        queries_df = emb.where(F.col("vec_id") < 5)
+        return cosine_topk(emb, queries_df, k=5)
+
+    q["emb_cosine_topk"] = emb_cosine_topk
+
+    def emb_lsh_topk(spark, sf_dir):
+        emb = _emb_double(spark, sf_dir)
+        queries_df = emb.where(F.col("vec_id") < 5)
+        return lsh_bucketed_topk(emb, queries_df, k=5, n_planes=6)
+
+    q["emb_lsh_topk"] = emb_lsh_topk
+
+    def emb_near_dup(spark, sf_dir):
+        return embedding_near_dup(
+            _emb_double(spark, sf_dir), threshold=0.3, n_planes=8
+        )
+
+    q["emb_near_dup"] = emb_near_dup
+
+    # ---------------- multimodal plumbing (no SQL equivalent) ---------------
+
+    def media_image_features(spark, sf_dir):
+        media = synthesize_media(_docs_text_double(spark, sf_dir))
+        return extract_image_features(media)
+
+    q["media_image_features"] = media_image_features
+
+    def media_frame_sample(spark, sf_dir):
+        media = synthesize_media(_docs_text_double(spark, sf_dir))
+        return sample_frames(media)
+
+    q["media_frame_sample"] = media_frame_sample
+
+    return q
+
+
+# ===========================================================================
+# oracles
+# ===========================================================================
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+
+    o["frontier_range_gen"] = """
+    SELECT (n - 1) * 2 + k.kind_rank AS seq,
+           k.kind || n::varchar AS id,
+           n AS num,
+           k.kind AS kind,
+           'https://pet911.ru/%D0%A5%D0%B0%D0%B1%D0%B0%D1%80%D0%BE%D0%B2%D1%81%D0%BA/%D0%BD%D0%B0%D0%B9%D0%B4%D0%B5%D0%BD%D0%B0/%D1%81%D0%BE%D0%B1%D0%B0%D0%BA%D0%B0/' || k.kind || n::varchar AS url
+    FROM generate_series(1, 200) t(n)
+    CROSS JOIN (VALUES ('rf', 0), ('rl', 1)) k(kind, kind_rank)
     """
-    return {}
+
+    o["seen_anti_join"] = """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    """
+
+    o["bloom_prefilter_equiv"] = """
+    SELECT o_orderkey, o_orderstatus
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    """
+
+    o["missing_semi_join"] = """
+    SELECT o_orderstatus, count(*) AS n_known
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    GROUP BY o_orderstatus
+    """
+
+    o["fanout_explode"] = """
+    SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word FROM part
+    """
+
+    o["fanin_barrier"] = """
+    SELECT l_orderkey,
+           bool_and(l_discount <= 0.05) AS all_ok,
+           min(CASE WHEN NOT (l_discount <= 0.05) THEN l_linenumber END) AS first_bad_line,
+           count(*) AS n_items
+    FROM lineitem GROUP BY l_orderkey
+    """
+
+    o["topk_desc"] = """
+    SELECT o_orderkey FROM orders ORDER BY o_orderkey DESC LIMIT 50
+    """
+
+    o["max_known"] = """
+    SELECT o_orderpriority, max(o_orderkey) AS max_id FROM orders GROUP BY o_orderpriority
+    """
+
+    o["dedup_distinct"] = """
+    SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+    """
+
+    o["retry_fib_budget"] = f"""
+    SELECT attempt::int AS attempt,
+           {_fib_case_sql("attempt")} AS delay_ms,
+           {_fib_case_sql("attempt")} <= 180000 AS within_budget
+    FROM generate_series(0, {_MAX_ATTEMPT_SHOWN - 1}) t(attempt)
+    """
+
+    o["politeness_topn_per_host"] = """
+    SELECT s_suppkey, s_nationkey, rn FROM (
+      SELECT s_suppkey, s_nationkey,
+             row_number() OVER (PARTITION BY s_nationkey
+                                ORDER BY s_acctbal DESC, s_suppkey ASC) AS rn
+      FROM supplier) t
+    WHERE rn <= 3
+    """
+
+    o["salted_agg_equiv"] = """
+    SELECT c_mktsegment, count(*) AS n_customers FROM customer GROUP BY c_mktsegment
+    """
+
+    o["regexp_extract_num"] = """
+    SELECT event_id,
+           CASE WHEN regexp_extract(props, '"k":\\s*(\\d+)', 1) = ''
+                THEN NULL
+                ELSE regexp_extract(props, '"k":\\s*(\\d+)', 1)::bigint END AS k_num
+    FROM events
+    """
+
+    o["json_extract_field"] = """
+    SELECT event_id, json_extract_string(props, '$.k') AS k_str FROM events
+    """
+
+    o["split_last_segment"] = """
+    SELECT c_custkey, split_part(c_name, '#', -1) AS suffix FROM customer
+    """
+
+    o["when_chain_mapping"] = """
+    SELECT event_id,
+           CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                           WHEN 'error' THEN 3 ELSE 0 END AS type_code
+    FROM events
+    """
+
+    o["unix_ts_export"] = """
+    SELECT event_id, floor(epoch(ts))::bigint AS ts_unix FROM events
+    """
+
+    o["windowed_counts"] = """
+    SELECT floor(epoch(date_trunc('hour', ts)))::bigint AS hour_unix,
+           event_type,
+           count(*) AS n,
+           round(min(value), 6) AS vmin,
+           round(max(value), 6) AS vmax
+    FROM events GROUP BY 1, 2
+    """
+
+    o["sessionize_gaps"] = """
+    SELECT user_id, sum(is_new)::bigint AS n_sessions FROM (
+      SELECT user_id,
+             CASE WHEN lag(floor(epoch(ts))::bigint) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR floor(epoch(ts))::bigint
+                     - lag(floor(epoch(ts))::bigint) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events) t
+    GROUP BY user_id
+    """
+
+    o["doc_exact_dedup"] = """
+    SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+    FROM documents GROUP BY md5(text)
+    """
+
+    o["doc_minhash_lsh_pairs"] = f"""
+    WITH {_minhash_sig_sql()}
+    SELECT id_a, id_b FROM cand
+    """
+
+    o["doc_ngram_jaccard"] = f"""
+    WITH {_minhash_sig_sql()},
+    toks AS (
+      SELECT doc_id, unnest({_DTOKS}) AS tok FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+    common AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_common
+      FROM cand c
+      JOIN toks ta ON ta.doc_id = c.id_a
+      JOIN toks tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT c.id_a, c.id_b,
+           round(c.n_common::double / (sa.n + sb.n - c.n_common)::double, 6) AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b
+    WHERE round(c.n_common::double / (sa.n + sb.n - c.n_common)::double, 6) >= 0.3
+    """
+
+    o["doc_simhash_groups"] = f"""
+    WITH {_simhash_sql()}
+    SELECT doc_id, simhash, min(doc_id) OVER (PARTITION BY simhash) AS keep_id FROM sh
+    """
+
+    o["doc_simhash_near_pairs"] = f"""
+    WITH {_simhash_sql()},
+    blocks AS (
+      SELECT doc_id, simhash, unnest([
+        {",".join(f"'{i}|' || ((simhash >> {i * 8}) & 255)::varchar" for i in range(4))}
+      ]) AS block FROM sh
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash))::int AS hamming
+    FROM blocks a JOIN blocks b USING (block)
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+    o["doc_lang_id"] = f"""
+    SELECT doc_id, {_LANG_SQL} AS lang_pred FROM documents
+    """
+
+    o["doc_quality"] = f"""
+    SELECT doc_id, {_QUALITY_SQL} AS quality FROM documents
+    """
+
+    o["doc_token_stats"] = f"""
+    SELECT lang, source, count(*) AS n_docs,
+           sum({_TOKCNT_SQL})::bigint AS sum_tokens,
+           sum({_BPE_SQL})::bigint AS sum_bpe,
+           sum(n_chars)::bigint AS sum_chars
+    FROM documents GROUP BY lang, source
+    """
+
+    o["doc_fingerprint"] = f"""
+    SELECT doc_id, {_FP_SQL} AS fp FROM documents
+    """
+
+    o["emb_cosine_topk"] = f"""
+    WITH {_EMB_CTE},
+    q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round({_cos_sql("q.qv", "c.v")}, 9) AS cos9
+      FROM emb c CROSS JOIN q WHERE c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos9,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos9 DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cos9, 6) AS cosine, rank::int AS rank
+    FROM ranked WHERE rank <= 5
+    """
+
+    o["emb_lsh_topk"] = f"""
+    WITH {_EMB_CTE},
+    sk AS (SELECT vec_id, v, {_sketch_sql("v", 6)} AS sketch FROM emb),
+    q AS (SELECT vec_id AS query_id, v AS qv, sketch FROM sk WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round({_cos_sql("q.qv", "c.v")}, 9) AS cos9
+      FROM sk c JOIN q USING (sketch) WHERE c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos9,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos9 DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cos9, 6) AS cosine, rank::int AS rank
+    FROM ranked WHERE rank <= 5
+    """
+
+    o["emb_near_dup"] = f"""
+    WITH {_EMB_CTE},
+    sk AS (SELECT vec_id, v, {_sketch_sql("v", 8)} AS sketch FROM emb)
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_cos_sql("a.v", "b.v")}, 6) AS cosine
+    FROM sk a JOIN sk b USING (sketch)
+    WHERE a.vec_id < b.vec_id
+      AND round({_cos_sql("a.v", "b.v")}, 6) >= 0.3
+    """
+
+    return o

@@ -1,0 +1,306 @@
+"""Corpus deduplication operators — exact, MinHash-LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+All operators are pure DataFrame compositions over native expressions (the
+portable md5-derived ``h32`` hash, see ``functions/text.py``), so each has an
+exact DuckDB oracle.  Scale notes per operator below: at 100 TB the input is
+hash-partitioned by the group key before each groupBy/join, candidate
+generation is always *bucketed* (never all-pairs), and the only all-pairs
+step runs inside a bucket whose size is bounded by the banding parameters.
+
+Reference context: the F# crawler's only dedup is `Seq.distinct` on catalog
+hrefs (``CrawlerPet911/ParserPet911.fs:133``) and in-memory id sets
+(``NewCards.fs:50-65``); corpus-level dedup is a new capability the
+training-data pipeline layer adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    HASH_PRIME,
+    MINHASH_A,
+    MINHASH_B,
+    distinct_tokens,
+    h32,
+    shingles,
+)
+
+
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Small/single-file inputs arrive as 1-2 partitions; the explode+hash
+    pipelines below are CPU-bound per row, so fan the input out to the
+    session's parallelism first.  At real scale inputs already have
+    thousands of partitions and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash; keeps the smallest id per group.
+
+    Returns (doc_id, content_hash, dup_count).  One hash-partitioned
+    aggregation — the canonical map-side-combine groupBy; at 100 TB this is
+    a single shuffle on a high-cardinality key (no skew: md5 uniform).
+    """
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def exact_dup_pairs(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(id_a, id_b) pairs with byte-identical text, id_a < id_b.
+
+    Self-join on the content hash — the join key is the hash, so the join
+    is co-partitioned and the all-pairs blowup is bounded by duplicate-group
+    size, not corpus size.
+    """
+    h = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+    a = h.select(F.col("content_hash"), F.col(id_col).alias("id_a"))
+    b = h.select(F.col("content_hash"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "content_hash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "content_hash")
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_perm: int = 16,
+                       shingle_k: int = 3) -> DataFrame:
+    """Relational MinHash: explode shingles once, hash each under num_perm
+    salted h32 functions as flat columns, map-side-combine ``min`` per doc.
+
+    This shape (vs. a per-row array ``transform``) keeps every hash inside
+    whole-stage codegen, computes the shingle set exactly once, and bounds
+    executor memory at one (doc, shingle) row — the formulation that
+    survives 100 TB.  Returns (id_col, h0..h{num_perm-1}).
+    """
+    sh = _ensure_parallelism(df).select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), shingle_k)).alias("shingle"),
+    )
+    # ONE md5 per shingle; permutations are integer universal hashes on top
+    base = sh.select(F.col(id_col), h32(F.col("shingle")).alias("h"))
+    hashed = base.select(
+        F.col(id_col),
+        *[
+            ((F.col("h") * MINHASH_A[p] + MINHASH_B[p]) % HASH_PRIME).alias(f"h{p}")
+            for p in range(num_perm)
+        ],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"h{p}").alias(f"h{p}") for p in range(num_perm)]
+    )
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", num_perm: int = 16,
+                           bands: int = 4, shingle_k: int = 3) -> DataFrame:
+    """MinHash + LSH banding near-dup candidate pairs.
+
+    shingle → minhash signature (num_perm values) → `bands` band keys →
+    explode → self-join per (band, key) bucket → distinct pairs.
+
+    Returns (id_a, id_b) with id_a < id_b.  Scale: the shuffle key is the
+    band hash (uniform); bucket sizes are the banding knob — r=num_perm/bands
+    rows per band tunes the Jaccard threshold s ≈ (1/b)^(1/r).  No all-pairs
+    anywhere outside a bucket.
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
+    band_keys = [
+        h32(
+            F.concat(
+                F.lit(f"{b}|"),
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.col(f"h{p}").cast("string")
+                        for p in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                ),
+            )
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(F.array(*band_keys)).alias("band_key"),
+    )
+    a = banded.select(F.col("band_key"), F.col(id_col).alias("id_a"))
+    b = banded.select(F.col("band_key"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "band_key")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Relational 32-bit SimHash: explode distinct tokens, hash once, and
+    compute the 32 per-bit majority votes as flat codegen'd aggregates
+    (sum of ±1 per bit) in one map-side-combined groupBy.
+
+    Same value as ``functions.text.simhash32`` (which stays available as a
+    per-row column function for small inputs), but the relational shape is
+    what scales.  Returns (id_col, simhash).
+    """
+    toks = _ensure_parallelism(df).select(
+        F.col(id_col),
+        F.explode(distinct_tokens(F.col(text_col))).alias("tok"),
+    )
+    hashed = toks.select(F.col(id_col), h32(F.col("tok")).alias("h"))
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(32)
+        ]
+    )
+    sim = None
+    for b in range(32):
+        term = F.when(F.col(f"v{b}") >= 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return votes.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_dedup(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """SimHash signature per document + exact-signature grouping.
+
+    Returns (doc_id, simhash, keep_id) where keep_id is the smallest doc id
+    sharing the same 32-bit signature.  Near-dup (hamming<=k) variants join
+    on rotated/banded signature pieces; the exact-signature group is the
+    degenerate k=0 case and the one with a clean SQL oracle.
+    """
+    s = simhash_signatures(df, text_col, id_col)
+    w = Window.partitionBy("simhash")
+    return s.select(
+        F.col(id_col),
+        "simhash",
+        F.min(id_col).over(w).alias("keep_id"),
+    )
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Candidate generation by 4x 8-bit band blocking (two signatures within
+    hamming 3 of each other must agree on at least one of 4 disjoint bytes
+    — pigeonhole), then exact hamming verify inside the bucket.  Returns
+    (id_a, id_b, hamming).
+    """
+    s = simhash_signatures(df, text_col, id_col)
+    bands = s.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.concat(
+                    F.lit(f"{i}|"),
+                    F.shiftright(F.col("simhash"), i * 8).bitwiseAND(F.lit(255)).cast("string"),
+                ).alias("k")
+                for i in range(4)
+            ])
+        ).alias("block"),
+    )
+    a = bands.select("block", F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = bands.select("block", F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        a.join(b, "block")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, candidates: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact token-set Jaccard verification of candidate pairs.
+
+    ``candidates`` is an (id_a, id_b) DataFrame (e.g. from
+    :func:`minhash_lsh_candidates`).  Jaccard is computed relationally —
+    explode tokens, semi-join-count the intersection — never materializing
+    an all-pairs cross product.  Returns (id_a, id_b, jaccard) filtered to
+    >= threshold, jaccard rounded to 6 d.p. for stable comparison.
+    """
+    toks = _ensure_parallelism(df).select(
+        F.col(id_col), F.explode(distinct_tokens(F.col(text_col))).alias("tok")
+    )
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+
+    ta = toks.select(F.col(id_col).alias("id_a"), "tok")
+    tb = toks.select(F.col(id_col).alias("id_b"), "tok")
+    common = (
+        candidates.join(ta, "id_a")
+        .join(tb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_near_dup(emb: DataFrame, vec_col: str = "embedding",
+                       id_col: str = "vec_id", threshold: float = 0.95,
+                       n_planes: int = 8) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via random-hyperplane LSH.
+
+    Bucket by an ``n_planes``-bit sign sketch (hyperplane normals derived
+    from the deterministic h32 stream so the oracle can reproduce them),
+    then exact cosine inside the bucket.  Returns (id_a, id_b, cosine).
+
+    Scale: the sketch is the shuffle key; exact cosine runs only within a
+    bucket (expected size |corpus| / 2^n_planes per bucket).
+    """
+    from .similarity import cosine_expr, sketch_expr
+
+    sk = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        sketch_expr(F.col(vec_col), n_planes).alias("sketch"),
+    )
+    a = sk.select("sketch", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = sk.select("sketch", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, "sketch")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .distinct()
+    )

@@ -56,28 +56,57 @@ def within_retry_budget(attempt: Column) -> Column:
 
 
 def fetch_wave(frontier_df: DataFrame, pages_df: DataFrame,
-               broadcast_threshold_rows: int | None = None) -> DataFrame:
+               payload: bool = True,
+               broadcast_frontier: bool = True) -> DataFrame:
     """One fetch micro-batch: frontier ⟕ pages on url.
 
-    Adds: fetch_status ∈ {downloaded, absent}, html, text, warc_ts.
-    (An `error` status would come from a live-fetch transport layer; the
-    deterministic corpus has no transport errors — Downloader.fs:118-120.)
+    Adds: fetch_status ∈ {downloaded, absent} and, when ``payload``,
+    html/text/warc_ts.  (An `error` status would come from a live-fetch
+    transport layer; the deterministic corpus has no transport errors —
+    Downloader.fs:118-120.)
+
+    Shuffle strategy: a wave is small relative to the pages universe, so by
+    default the *frontier* side broadcasts and pages streams map-side
+    (right-outer BroadcastHashJoin with the frontier as build side) — the
+    multi-KB page payloads are never shuffled.  At 10^10 urls the same goal
+    is met by writing `pages` bucketed by url_hash (storage-partitioned
+    join); set ``broadcast_frontier=False`` for waves too big to broadcast.
+    ``payload=False`` joins against a url-presence projection only — for
+    consumers that need statuses, not bytes (seen/missing/log bookkeeping).
     """
-    pages_cols = pages_df.select(
-        "url",
-        F.col("warc_ts"),
-        F.col("html"),
-        F.col("text").alias("page_text"),
-    )
-    joined = frontier_df.join(pages_cols, "url", "left")
-    return joined.withColumn(
+    frontier_cols = frontier_df.columns
+    if payload:
+        pages_cols = pages_df.select(
+            "url",
+            F.col("warc_ts"),
+            F.col("html"),
+            F.col("text").alias("page_text"),
+        )
+    else:
+        pages_cols = pages_df.select("url", F.lit(True).alias("__present"))
+
+    if broadcast_frontier:
+        joined = pages_cols.join(F.broadcast(frontier_df), "url", "right")
+    else:
+        joined = frontier_df.join(pages_cols, "url", "left")
+
+    if payload:
+        out = joined.withColumn(
+            "fetch_status",
+            F.when(F.col("html").isNotNull(), F.lit(STATUS_DOWNLOADED)).otherwise(
+                F.lit(STATUS_ABSENT)
+            ),
+        ).withColumn(
+            # P17: canonical text = UTF-8 decode of bytes; prefer the corpus's
+            # pre-decoded text column when present (identical by construction)
+            "text",
+            F.coalesce(F.col("page_text"), F.decode(F.col("html"), "UTF-8")),
+        ).drop("page_text")
+        return out.select(*frontier_cols, "warc_ts", "html", "text", "fetch_status")
+    out = joined.withColumn(
         "fetch_status",
-        F.when(F.col("html").isNotNull(), F.lit(STATUS_DOWNLOADED)).otherwise(
+        F.when(F.col("__present"), F.lit(STATUS_DOWNLOADED)).otherwise(
             F.lit(STATUS_ABSENT)
         ),
-    ).withColumn(
-        # P17: canonical text = UTF-8 decode of bytes; prefer the corpus's
-        # pre-decoded text column when present (identical by construction)
-        "text",
-        F.coalesce(F.col("page_text"), F.decode(F.col("html"), "UTF-8")),
-    ).drop("page_text")
+    ).drop("__present")
+    return out.select(*frontier_cols, "fetch_status")

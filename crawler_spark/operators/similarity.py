@@ -1,0 +1,142 @@
+"""Similarity search over an embedding column (``array<float/double>``).
+
+Two paths:
+
+* :func:`cosine_topk` — brute-force exact top-k: broadcast the (small) query
+  set against the corpus, cosine per pair, per-query window top-k.  The
+  exactness baseline; at 100 TB this is the pattern for "few queries, huge
+  corpus" (the corpus is never shuffled — the query side broadcasts, the
+  ranking is a per-query partial top-k that AQE keeps map-side).
+* :func:`lsh_bucketed_topk` — the scale path: both sides keyed by a sign
+  sketch, joined per bucket, exact cosine + top-k only inside the bucket
+  (approximate: recall < 1 by design, measured in tests).
+
+All arithmetic is native Spark ``aggregate``/``zip_with`` expressions — a
+strict left fold so the floating-point result is reproducible and matches
+the DuckDB oracle's ``list_reduce`` fold; outputs round to 6 d.p.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Strict left-fold dot product: sum_i a[i]*b[i] (no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def sketch_expr(vec: Column, n_planes: int = 8) -> Column:
+    """Deterministic sign sketch: bit p = (vec[2p+1] > vec[2p+2]), 1-indexed.
+
+    Pairwise coordinate comparisons — an order-statistics LSH that needs no
+    random-plane table, so the DuckDB oracle reproduces it with plain list
+    indexing.  Cosine-close vectors agree on most comparisons; used only
+    for candidate *bucketing*, never for the final score.
+    """
+    bits = [
+        F.when(
+            F.element_at(vec, 2 * p + 1) > F.element_at(vec, 2 * p + 2),
+            F.lit(2 ** p).cast("long"),
+        ).otherwise(F.lit(0))
+        for p in range(n_planes)
+    ]
+    out = bits[0]
+    for c in bits[1:]:
+        out = out + c
+    return out
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact brute-force cosine top-k per query.
+
+    Returns (query_id, neighbor_id, cosine, rank), rank 1..k, neighbors
+    exclude the query row itself.  Ranking key is cosine rounded to 9 d.p.
+    desc then neighbor id asc — fully deterministic across engines.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("qv"), F.col("cv")), 9).alias("cos9"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos9").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cos9"), 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      n_planes: int = 6) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's sketch bucket.
+
+    Same output shape as :func:`cosine_topk`; recall measured (not asserted
+    =1) in tests.  At scale the corpus is bucketed once (write-side
+    partitionBy(sketch)), each query probes exactly one partition — the
+    cross-join shrinks by ~2^n_planes.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        sketch_expr(F.col(vec_col), n_planes).alias("sketch"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        sketch_expr(F.col(vec_col), n_planes).alias("sketch"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "sketch")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("qv"), F.col("cv")), 9).alias("cos9"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos9").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cos9"), 6).alias("cosine"),
+            "rank",
+        )
+    )

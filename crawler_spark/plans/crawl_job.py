@@ -88,11 +88,23 @@ class CrawlJob:
     # ------------------------------------------------------------------ waves
     def run_wave(self) -> dict:
         """Execute one fetch wave; commits one snapshot per state table.
-        Returns wave stats (also appended to crawl_log)."""
+        Returns wave stats (also appended to crawl_log), including a
+        ``step_seconds`` breakdown — the per-wave lineage/metrics surface."""
+        import time as _time
+
+        steps: dict[str, float] = {}
+
+        def _mark(label: str, t0: float) -> float:
+            now = _time.perf_counter()
+            steps[label] = round(now - t0, 3)
+            return now
+
+        t0 = _time.perf_counter()
         wave = self.next_wave_number()
         frontier = self.pending_frontier()
-        if frontier.rdd.isEmpty():
+        if frontier.isEmpty():
             return {"wave": wave, "fetched": 0, "done": True}
+        t0 = _mark("read_frontier", t0)
 
         seen = self._read("seen", SEEN_SCHEMA)
         missing = self._read("missing", MISSING_SCHEMA)
@@ -112,6 +124,8 @@ class CrawlJob:
         if self.robots is not None:
             frontier = apply_robots(frontier, self.robots)
 
+        t0 = _mark("seen_missing_filters", t0)
+
         # F3: politeness token bucket
         selector = select_wave_salted if self.salted else select_wave
         picked = selector(frontier, self.wave_seconds, self.robots)
@@ -119,15 +133,54 @@ class CrawlJob:
         batch = picked.where(F.col("selected")).drop("selected")
         deferred = picked.where(~F.col("selected")).drop("selected")
 
-        # F1/J3: fetch
-        fetched = fetch_wave(batch, self.pages).cache()
+        t0 = _mark("politeness_select", t0)
 
-        cards_in = fetched.where(F.col("resource_type") == "card")
-        photos_in = fetched.where(F.col("resource_type") == "photo")
+        # F1/J3: fetch.  The page payloads (html/text, kilobytes per row) are
+        # each consumed exactly ONCE — text by the card parser, html by the
+        # image validator — so only the slim status columns are cached; the
+        # payload-bearing join is streamed straight into its single consumer
+        # instead of being materialized.  At 100 TB caching payloads would be
+        # the memory bottleneck; this shape never holds a page after use.
+        fetched = fetch_wave(batch, self.pages, payload=False).cache()
+        # materialize the slim cache + wave counts in ONE job, so the heavy
+        # payload paths below can be skipped entirely when their input is
+        # empty (a pages scan per skipped path saved — e.g. photo-only waves)
+        frow = fetched.agg(
+            F.count(F.lit(1)).alias("fetched"),
+            F.sum(F.when(F.col("fetch_status") == "downloaded", 1).otherwise(0)).alias("downloaded"),
+            F.sum(F.when(F.col("fetch_status") == "absent", 1).otherwise(0)).alias("absent"),
+            F.sum(
+                F.when(
+                    (F.col("resource_type") == "card")
+                    & (F.col("fetch_status") == "downloaded"), 1
+                ).otherwise(0)
+            ).alias("cards_downloaded"),
+            F.sum(
+                F.when(
+                    (F.col("resource_type") == "photo")
+                    & (F.col("fetch_status") == "downloaded"), 1
+                ).otherwise(0)
+            ).alias("photos_downloaded"),
+        ).collect()[0]
+        n_cards_dl = int(frow["cards_downloaded"] or 0)
+        n_photos_dl = int(frow["photos_downloaded"] or 0)
+        t0 = _mark("fetch_plan", t0)
 
         # ---- cards ----------------------------------------------------------
+        if n_cards_dl:
+            parsed_src = (
+                fetch_wave(
+                    batch.where(F.col("resource_type") == "card"), self.pages
+                )
+                .where(F.col("fetch_status") == "downloaded")
+            )
+        else:
+            parsed_src = self.spark.createDataFrame(
+                [], FRONTIER_SCHEMA + ", warc_ts timestamp, html binary, "
+                    "text string, fetch_status string"
+            )
         parsed = (
-            cards_in.where(F.col("fetch_status") == "downloaded")
+            parsed_src
             .withColumn("card", parse_card_udf(F.col("text")))
             .select(
                 "seq",
@@ -142,6 +195,7 @@ class CrawlJob:
         ).cache()
         good_cards = parsed.where(F.col("error").isNull())
         self.store.commit("cards", parsed.drop("url"))
+        t0 = _mark("parse_and_commit_cards", t0)
 
         # J1: photo fan-out → next wave's frontier rows
         photo_frontier = (
@@ -162,9 +216,16 @@ class CrawlJob:
         )
 
         # ---- photos ---------------------------------------------------------
-        photo_results = validate_image(
-            photos_in.where(F.col("fetch_status") == "downloaded")
-        ).select(
+        if n_photos_dl:
+            photos_src = fetch_wave(
+                batch.where(F.col("resource_type") == "photo"), self.pages
+            ).where(F.col("fetch_status") == "downloaded")
+        else:
+            photos_src = self.spark.createDataFrame(
+                [], FRONTIER_SCHEMA + ", warc_ts timestamp, html binary, "
+                    "text string, fetch_status string"
+            )
+        photo_results = validate_image(photos_src).select(
             F.split(F.col("id"), "/")[0].alias("card_id"),
             F.col("seq"),
             F.col("id").alias("photo_id"),
@@ -173,12 +234,14 @@ class CrawlJob:
             F.when(~F.col("image_ok"), F.lit("Resource is not a valid image")).alias("error"),
         )
         self.store.commit("card_photos", photo_results)
+        t0 = _mark("validate_commit_photos", t0)
 
         # ---- missing (Absent → negative cache, K4) --------------------------
         absent = fetched.where(F.col("fetch_status") == "absent")
         self.store.commit(
             "missing", absent.select("id", F.lit(wave).alias("wave"))
         )
+        t0 = _mark("commit_missing", t0)
 
         # ---- seen (everything fetched this wave) ----------------------------
         self.store.commit(
@@ -208,6 +271,7 @@ class CrawlJob:
             )
         )
         self.store.commit("crawl_log", log)
+        t0 = _mark("commit_seen_log", t0)
 
         # ---- next frontier --------------------------------------------------
         # F2: transport errors (impossible against the deterministic corpus,
@@ -221,17 +285,24 @@ class CrawlJob:
         )
         next_frontier = deferred.unionByName(photo_frontier).unionByName(retries)
         self.store.commit("frontier", next_frontier, mode="overwrite")
+        t0 = _mark("commit_next_frontier", t0)
 
+        prow = picked.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("selected"), 1).otherwise(0)).alias("selected"),
+        ).collect()[0]
         stats = {
             "wave": wave,
-            "fetched": fetched.count(),
-            "downloaded": fetched.where(F.col("fetch_status") == "downloaded").count(),
-            "absent": absent.count(),
+            "fetched": frow["fetched"],
+            "downloaded": int(frow["downloaded"] or 0),
+            "absent": int(frow["absent"] or 0),
             "parsed_ok": good_cards.count(),
-            "deferred": deferred.count(),
+            "deferred": int(prow["n"]) - int(prow["selected"] or 0),
             "enqueued_photos": photo_frontier.count(),
             "done": False,
         }
+        _mark("stats", t0)
+        stats["step_seconds"] = steps
         picked.unpersist()
         fetched.unpersist()
         parsed.unpersist()

@@ -143,12 +143,31 @@ def _synthetic_card_html():
     )
 
 
-def synthetic_card_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+def synthetic_docs_from_range(spark: SparkSession, n: int,
+                              num_partitions: int | None = None) -> DataFrame:
+    """Range-derived stand-in for the documents table (doc_id, text, lang) —
+    lets the pages corpus scale to any size for throughput benchmarks
+    (documents.parquet tops out at a few thousand rows)."""
+    rng = spark.range(0, n, 1, num_partitions or spark.sparkContext.defaultParallelism)
+    d = F.col("id")
+    return rng.select(
+        d.alias("doc_id"),
+        F.format_string(
+            "Synthetic pet description %d: lost near station %d, call owner %d. "
+            "Distinctive collar number %d.",
+            d, F.pmod(d, F.lit(977)), F.pmod(d, F.lit(9973)), d,
+        ).alias("text"),
+        F.lit("ru").alias("lang"),
+    )
+
+
+def synthetic_card_pages(spark: SparkSession, sf_dir: str,
+                         docs_df: DataFrame | None = None) -> DataFrame:
     """One card page per ``documents`` row; fields derived from doc_id.
 
     Returns pages(url, warc_ts, html, text, lang) — all native expressions.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = docs_df if docs_df is not None else spark.read.parquet(f"{sf_dir}/documents.parquet")
     d = F.col("doc_id")
     derived = (
         docs.select("doc_id", "text", "lang")
@@ -207,13 +226,14 @@ def synthetic_card_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def synthetic_photo_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+def synthetic_photo_pages(spark: SparkSession, sf_dir: str,
+                          docs_df: DataFrame | None = None) -> DataFrame:
     """Photo-byte pages for every photo url referenced by synthetic cards.
 
     Bytes = 'RIFF....WEBPVP8 ' magic + deterministic payload; every 11th photo
     is withheld (missing photo path, Tests/Pet911Crawling.fs:76-123).
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = docs_df if docs_df is not None else spark.read.parquet(f"{sf_dir}/documents.parquet")
     d = F.col("doc_id")
     photos = (
         docs.select("doc_id")
@@ -254,11 +274,12 @@ def fixture_pages(spark: SparkSession) -> DataFrame:
 
 
 def build_pages(spark: SparkSession, sf_dir: str, include_fixtures: bool = True,
-                include_photos: bool = True) -> DataFrame:
+                include_photos: bool = True,
+                docs_df: DataFrame | None = None) -> DataFrame:
     """The full deterministic fetch universe for a scale factor."""
-    pages = synthetic_card_pages(spark, sf_dir)
+    pages = synthetic_card_pages(spark, sf_dir, docs_df)
     if include_photos:
-        pages = pages.unionByName(synthetic_photo_pages(spark, sf_dir))
+        pages = pages.unionByName(synthetic_photo_pages(spark, sf_dir, docs_df))
     if include_fixtures:
         pages = pages.unionByName(fixture_pages(spark))
     return pages

@@ -1,0 +1,229 @@
+"""Tests for the training-data pipeline layer: dedup, similarity search,
+text analysis, multimodal plumbing (SURVEY.md §2 extension set)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.functions.text import (
+    lang_id,
+    quality_score,
+    rolling_fingerprint,
+    simhash32,
+    token_count,
+)
+from crawler_spark.operators.dedup import (
+    embedding_near_dup,
+    exact_dedup,
+    exact_dup_pairs,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    simhash_signatures,
+)
+from crawler_spark.operators.multimodal import (
+    extract_image_features,
+    resize_images,
+    sample_frames,
+    synthesize_media,
+)
+from crawler_spark.operators.similarity import cosine_topk, lsh_bucketed_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (0, base),
+        (1, base),                                  # exact dup of 0
+        (2, base + " extra tail words appended"),   # near dup of 0
+        (3, "completely different content about spark query engines and shuffles"),
+        (4, "another unrelated document mentioning politeness budgets and robots"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------- dedup
+
+def test_exact_dedup_groups(docs):
+    out = {r["keep_id"]: r["dup_count"] for r in exact_dedup(docs).collect()}
+    assert out[0] == 2          # docs 0 and 1 collapse
+    assert out[2] == 1 and out[3] == 1 and out[4] == 1
+
+
+def test_exact_dup_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in exact_dup_pairs(docs).collect()}
+    assert pairs == {(0, 1)}
+
+
+def test_minhash_finds_near_dups_not_distant(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(docs).collect()}
+    assert (0, 1) in pairs                     # identical → all bands collide
+    assert (0, 2) in pairs or (1, 2) in pairs  # near-dup shares most shingles
+    assert (3, 4) not in pairs                 # unrelated docs don't collide
+
+
+def test_minhash_signature_is_min_over_shingles(spark):
+    # one-token doc: the single shingle IS the min for every permutation
+    one = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    sig = minhash_signatures(one).collect()[0]
+    from crawler_spark.functions.text import HASH_PRIME, MINHASH_A, MINHASH_B
+    import hashlib
+
+    h = int(hashlib.md5(b"hello").hexdigest()[:8], 16)
+    for p in range(16):
+        assert sig[f"h{p}"] == (MINHASH_A[p] * h + MINHASH_B[p]) % HASH_PRIME
+
+
+def test_ngram_jaccard_exact_values(docs):
+    cand = spark_pairs = docs.sparkSession.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "id_a long, id_b long"
+    )
+    out = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(docs, cand, threshold=0.0).collect()}
+    assert out[(0, 1)] == 1.0
+    # doc0: 12 distinct tokens; doc2 adds 4 distinct new ones → 12/16
+    assert out[(0, 2)] == pytest.approx(12 / 16, abs=1e-6)
+    # zero shared tokens → no common row → the pair drops out entirely
+    assert (0, 3) not in out
+
+
+def test_simhash_relational_equals_columnar(docs):
+    rel = {r["doc_id"]: r["simhash"]
+           for r in simhash_signatures(docs).collect()}
+    col = {r["doc_id"]: r["sh"]
+           for r in docs.select("doc_id", simhash32(F.col("text")).alias("sh")).collect()}
+    assert rel == col
+
+
+def test_simhash_near_pairs_finds_exact_dup(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_near_pairs(docs, max_hamming=3).collect()}
+    assert pairs[(0, 1)] == 0
+
+
+# ---------------------------------------------------------------- similarity
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(40):
+        v = rng.randn(64)
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    # plant 40=near-dup of 0, 41=exact dup of 1
+    v0 = np.array(rows[0][1]); v0n = v0 + rng.randn(64) * 0.01
+    rows.append((40, [float(x) for x in v0n / np.linalg.norm(v0n)]))
+    rows.append((41, rows[1][1]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk_exact(emb):
+    out = cosine_topk(emb, emb.where(F.col("vec_id") == 0), k=3).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert out[0]["neighbor_id"] == 40            # the planted near-dup
+    assert out[0]["cosine"] > 0.99
+    # verify rank-1 cosine against numpy
+    import numpy as np
+
+    rows = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}
+    expect = float(rows[0] @ rows[40] / (np.linalg.norm(rows[0]) * np.linalg.norm(rows[40])))
+    assert out[0]["cosine"] == pytest.approx(expect, abs=1e-6)
+
+
+def test_lsh_topk_recall_on_planted_dups(emb):
+    queries = emb.where(F.col("vec_id").isin(0, 1))
+    out = lsh_bucketed_topk(emb, queries, k=1, n_planes=6).collect()
+    got = {r["query_id"]: r["neighbor_id"] for r in out}
+    # near-identical vectors share the sketch → found inside the bucket
+    assert got.get(0) == 40
+    assert got.get(1) == 41
+
+
+def test_embedding_near_dup(emb):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             embedding_near_dup(emb, threshold=0.95).collect()}
+    assert (0, 40) in pairs
+    assert (1, 41) in pairs
+
+
+# ---------------------------------------------------------------- text analysis
+
+def test_lang_id_rules(spark):
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "der hund ist nicht hier"),
+        (3, "el gato es una mascota"),
+        (4, "le chat est dans une maison"),
+        (5, "这是中文文本"),
+        (6, "привет мир"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["lang"] for r in
+           df.select("doc_id", lang_id(F.col("text")).alias("lang")).collect()}
+    assert out == {1: "en", 2: "de", 3: "es", 4: "fr", 5: "zh", 6: "ru"}
+
+
+def test_quality_score_ranges(docs):
+    vals = [r["q"] for r in
+            docs.select(quality_score(F.col("text")).alias("q")).collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+    # junk text scores below normal prose
+    junk = docs.sparkSession.createDataFrame(
+        [(9, "!!! ### $$$ %%% ^^^ &&&")], "doc_id long, text string"
+    )
+    junk_q = junk.select(quality_score(F.col("text")).alias("q")).collect()[0]["q"]
+    assert junk_q < min(vals)
+
+
+def test_token_count_and_fingerprint_deterministic(docs):
+    a = docs.select("doc_id", token_count(F.col("text")).alias("n"),
+                    rolling_fingerprint(F.col("text")).alias("fp")).collect()
+    b = docs.select("doc_id", token_count(F.col("text")).alias("n"),
+                    rolling_fingerprint(F.col("text")).alias("fp")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    byid = {r["doc_id"]: r for r in a}
+    assert byid[0]["n"] == 14  # "the" appears 3x in the 14-token base text
+    assert byid[0]["fp"] == byid[1]["fp"]        # same text, same fingerprint
+    assert byid[0]["fp"] != byid[2]["fp"]        # order/content sensitive
+
+
+# ---------------------------------------------------------------- multimodal
+
+def test_media_feature_extraction(docs):
+    media = synthesize_media(docs, text_col="text", id_col="doc_id")
+    feats = {r["media_id"]: r for r in extract_image_features(media).collect()}
+    assert len(feats) == 5
+    assert all(r["ok"] for r in feats.values())
+    assert all(r["width"] == 8 and r["height"] == 8 for r in feats.values())
+    # identical payloads → identical features; different → different phash
+    assert feats["m0"]["phash"] == feats["m1"]["phash"]
+    assert feats["m0"]["phash"] != feats["m3"]["phash"]
+
+
+def test_media_error_row_does_not_fail_job(spark):
+    media = spark.createDataFrame(
+        [("bad", None), ("ok", bytearray(b"payload"))],
+        "media_id string, data binary",
+    )
+    out = {r["media_id"]: r for r in extract_image_features(media).collect()}
+    assert out["bad"]["ok"] is False and out["bad"]["error"]
+    assert out["ok"]["ok"] is True
+
+
+def test_resize_and_frame_sample_shapes(docs):
+    media = synthesize_media(docs, text_col="text", id_col="doc_id")
+    resized = resize_images(media, target=(4, 4)).collect()
+    assert all(len(r["resized"]) == 16 for r in resized)
+    frames = sample_frames(media, every_nth=2, max_frames=4).collect()
+    assert len(frames) >= 5          # at least one frame per doc
+    per = {}
+    for r in frames:
+        per.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert all(idxs == sorted(idxs) and len(idxs) <= 4 for idxs in per.values())
