@@ -56,8 +56,7 @@ def within_retry_budget(attempt: Column) -> Column:
 
 
 def fetch_wave(frontier_df: DataFrame, pages_df: DataFrame,
-               payload: bool = True,
-               broadcast_frontier: bool = True) -> DataFrame:
+               payload: bool = True) -> DataFrame:
     """One fetch micro-batch: frontier ⟕ pages on url.
 
     Adds: fetch_status ∈ {downloaded, absent} and, when ``payload``,
@@ -65,14 +64,11 @@ def fetch_wave(frontier_df: DataFrame, pages_df: DataFrame,
     transport layer; the deterministic corpus has no transport errors —
     Downloader.fs:118-120.)
 
-    Shuffle strategy: a wave is small relative to the pages universe, so by
-    default the *frontier* side broadcasts and pages streams map-side
-    (right-outer BroadcastHashJoin with the frontier as build side) — the
-    multi-KB page payloads are never shuffled.  At 10^10 urls the same goal
-    is met by writing `pages` bucketed by url_hash (storage-partitioned
-    join); set ``broadcast_frontier=False`` for waves too big to broadcast.
     ``payload=False`` joins against a url-presence projection only — for
-    consumers that need statuses, not bytes (seen/missing/log bookkeeping).
+    consumers that need statuses, not bytes (seen/missing/log bookkeeping);
+    the shuffle then carries urls, never page payloads.  Consumers that need
+    payloads of *downloaded* rows only should use :func:`fetch_downloaded`,
+    which never shuffles the pages side at all.
     """
     frontier_cols = frontier_df.columns
     if payload:
@@ -82,15 +78,7 @@ def fetch_wave(frontier_df: DataFrame, pages_df: DataFrame,
             F.col("html"),
             F.col("text").alias("page_text"),
         )
-    else:
-        pages_cols = pages_df.select("url", F.lit(True).alias("__present"))
-
-    if broadcast_frontier:
-        joined = pages_cols.join(F.broadcast(frontier_df), "url", "right")
-    else:
         joined = frontier_df.join(pages_cols, "url", "left")
-
-    if payload:
         out = joined.withColumn(
             "fetch_status",
             F.when(F.col("html").isNotNull(), F.lit(STATUS_DOWNLOADED)).otherwise(
@@ -103,6 +91,9 @@ def fetch_wave(frontier_df: DataFrame, pages_df: DataFrame,
             F.coalesce(F.col("page_text"), F.decode(F.col("html"), "UTF-8")),
         ).drop("page_text")
         return out.select(*frontier_cols, "warc_ts", "html", "text", "fetch_status")
+
+    pages_cols = pages_df.select("url", F.lit(True).alias("__present"))
+    joined = frontier_df.join(pages_cols, "url", "left")
     out = joined.withColumn(
         "fetch_status",
         F.when(F.col("__present"), F.lit(STATUS_DOWNLOADED)).otherwise(
@@ -110,3 +101,28 @@ def fetch_wave(frontier_df: DataFrame, pages_df: DataFrame,
         ),
     ).drop("__present")
     return out.select(*frontier_cols, "fetch_status")
+
+
+def fetch_downloaded(frontier_df: DataFrame, pages_df: DataFrame) -> DataFrame:
+    """Payload fetch of the PRESENT urls only: pages ⋈ broadcast(frontier).
+
+    An inner BroadcastHashJoin with the wave as build side — the multi-KB
+    page payloads stream map-side and are never shuffled.  This is the hot
+    path feeding the parser/validator (absent rows come from the cheap
+    payload-free :func:`fetch_wave`).  At 10^10 urls the equivalent is a
+    storage-partitioned join against `pages` bucketed by url_hash; use that
+    when a wave is too large to broadcast.
+    """
+    frontier_cols = frontier_df.columns
+    pages_cols = pages_df.select(
+        "url",
+        F.col("warc_ts"),
+        F.col("html"),
+        F.col("text").alias("page_text"),
+    )
+    joined = pages_cols.join(F.broadcast(frontier_df), "url", "inner")
+    out = joined.withColumn("fetch_status", F.lit(STATUS_DOWNLOADED)).withColumn(
+        "text",
+        F.coalesce(F.col("page_text"), F.decode(F.col("html"), "UTF-8")),
+    ).drop("page_text")
+    return out.select(*frontier_cols, "warc_ts", "html", "text", "fetch_status")

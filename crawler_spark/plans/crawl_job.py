@@ -31,9 +31,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.parse_udfs import parse_card_udf
+from ..functions.parse_udfs import with_parsed_card
 from ..functions.url import url_hash, url_host
-from ..operators.fetch import fetch_wave, within_retry_budget
+from ..operators.fetch import fetch_downloaded, fetch_wave, within_retry_budget
 from ..operators.photos import fanin_photos, fanout_photos, validate_image
 from ..operators.politeness import apply_robots, select_wave, select_wave_salted
 from ..operators.seen import build_bloom, filter_not_missing, filter_unseen, filter_unseen_with_bloom
@@ -84,6 +84,19 @@ class CrawlJob:
     def seed_frontier(self, frontier_df: DataFrame) -> None:
         assert self.store.latest_snapshot_id("frontier") is None, "already seeded"
         self.store.commit("frontier", frontier_df, mode="overwrite")
+
+    def enqueue_frontier(self, frontier_df: DataFrame) -> None:
+        """Union new descriptors into the pending frontier (newcards mode:
+        each poll cycle enqueues freshly discovered ids, Program.fs:97-98)."""
+        if self.store.latest_snapshot_id("frontier") is None:
+            self.store.commit("frontier", frontier_df, mode="overwrite")
+            return
+        merged = (
+            self.pending_frontier()
+            .unionByName(frontier_df)
+            .dropDuplicates(["id"])
+        )
+        self.store.commit("frontier", merged, mode="overwrite")
 
     # ------------------------------------------------------------------ waves
     def run_wave(self) -> dict:
@@ -168,11 +181,8 @@ class CrawlJob:
 
         # ---- cards ----------------------------------------------------------
         if n_cards_dl:
-            parsed_src = (
-                fetch_wave(
-                    batch.where(F.col("resource_type") == "card"), self.pages
-                )
-                .where(F.col("fetch_status") == "downloaded")
+            parsed_src = fetch_downloaded(
+                batch.where(F.col("resource_type") == "card"), self.pages
             )
         else:
             parsed_src = self.spark.createDataFrame(
@@ -180,8 +190,7 @@ class CrawlJob:
                     "text string, fetch_status string"
             )
         parsed = (
-            parsed_src
-            .withColumn("card", parse_card_udf(F.col("text")))
+            with_parsed_card(parsed_src, "text")
             .select(
                 "seq",
                 # parsed card id (byte-identical extraction) when the parse
@@ -194,8 +203,6 @@ class CrawlJob:
             )
         ).cache()
         good_cards = parsed.where(F.col("error").isNull())
-        self.store.commit("cards", parsed.drop("url"))
-        t0 = _mark("parse_and_commit_cards", t0)
 
         # J1: photo fan-out → next wave's frontier rows
         photo_frontier = (
@@ -217,9 +224,9 @@ class CrawlJob:
 
         # ---- photos ---------------------------------------------------------
         if n_photos_dl:
-            photos_src = fetch_wave(
+            photos_src = fetch_downloaded(
                 batch.where(F.col("resource_type") == "photo"), self.pages
-            ).where(F.col("fetch_status") == "downloaded")
+            )
         else:
             photos_src = self.spark.createDataFrame(
                 [], FRONTIER_SCHEMA + ", warc_ts timestamp, html binary, "
@@ -233,21 +240,35 @@ class CrawlJob:
             F.col("image_ok"),
             F.when(~F.col("image_ok"), F.lit("Resource is not a valid image")).alias("error"),
         )
-        self.store.commit("card_photos", photo_results)
-        t0 = _mark("validate_commit_photos", t0)
 
-        # ---- missing (Absent → negative cache, K4) --------------------------
         absent = fetched.where(F.col("fetch_status") == "absent")
-        self.store.commit(
-            "missing", absent.select("id", F.lit(wave).alias("wave"))
-        )
-        t0 = _mark("commit_missing", t0)
 
-        # ---- seen (everything fetched this wave) ----------------------------
-        self.store.commit(
-            "seen",
-            fetched.select(F.col("url_hash"), F.col("id"), F.lit(wave).alias("wave")),
-        )
+        # The four table writes below touch DISJOINT tables and inputs, so
+        # they are submitted as concurrent Spark jobs (driver threads) — at
+        # scale the wave's fixed cost is the sum of job latencies, and
+        # parallel submission collapses it to the slowest one.  crawl_log
+        # and next_frontier stay AFTER this block: both read `parsed`, whose
+        # cache the cards commit materializes.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futures = [
+                pool.submit(self.store.commit, "cards", parsed.drop("url")),
+                pool.submit(self.store.commit, "card_photos", photo_results),
+                pool.submit(
+                    self.store.commit, "missing",
+                    absent.select("id", F.lit(wave).alias("wave")),
+                ),
+                pool.submit(
+                    self.store.commit, "seen",
+                    fetched.select(
+                        F.col("url_hash"), F.col("id"), F.lit(wave).alias("wave")
+                    ),
+                ),
+            ]
+            for fut in futures:
+                fut.result()
+        t0 = _mark("parallel_commits", t0)
 
         # ---- crawl log (K5/K6, ordering evidence) ---------------------------
         log = fetched.select(

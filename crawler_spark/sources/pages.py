@@ -256,6 +256,161 @@ def synthetic_photo_pages(spark: SparkSession, sf_dir: str,
     )
 
 
+# --------------------------------------------------------------------------
+# Discovery universes (S4/S5): catalog listing pages + check-API JSON pages,
+# derived from the same synthetic card id space.
+# --------------------------------------------------------------------------
+
+# NewCards.fs:12-17 — the four catalog query bases (animal × type)
+CATALOG_BASES = (
+    "https://pet911.ru/catalog?PetsSearch[animal]=2&PetsSearch[type]=1",
+    "https://pet911.ru/catalog?PetsSearch[animal]=1&PetsSearch[type]=1",
+    "https://pet911.ru/catalog?PetsSearch[animal]=2&PetsSearch[type]=2",
+    "https://pet911.ru/catalog?PetsSearch[animal]=1&PetsSearch[type]=2",
+)
+CATALOG_PAGE_SIZE = 20
+CHECK_API_URL = "https://pet911.ru/ajax/check-pet?art=%s"
+
+
+def _catalog_membership():
+    """(animal, type) of each synthetic card: animal 2=dog iff d%3==0 else
+    1=cat; type 1=lost (rl) / 2=found (rf) — mirrors synthetic_card_pages."""
+    d = F.col("doc_id")
+    animal = F.when(d % 3 == 0, F.lit(2)).otherwise(F.lit(1))
+    typ = F.when(d % 2 == 0, F.lit(2)).otherwise(F.lit(1))  # rf=found=2
+    return animal, typ
+
+
+def synthetic_catalog_pages(spark: SparkSession, sf_dir: str,
+                            docs_df: DataFrame | None = None) -> DataFrame:
+    """Catalog listing pages: per (animal,type) catalog, cards sorted num
+    DESC, CATALOG_PAGE_SIZE hrefs per page (a.catalog-item__thumb, the node
+    ParserPet911.fs:125-136 extracts).  Returns pages(url, warc_ts, html,
+    text, lang) rows for every non-empty page of each catalog."""
+    from pyspark.sql.window import Window
+
+    docs = docs_df if docs_df is not None else spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    animal, typ = _catalog_membership()
+    cards = (
+        docs.select("doc_id")
+        .withColumn("num", (d + F.lit(NUM_BASE)).cast("long"))
+        .withColumn("kind", F.when(d % 2 == 0, F.lit("rf")).otherwise(F.lit("rl")))
+        .withColumn("card_id", F.concat("kind", F.col("num").cast("string")))
+        .withColumn("animal", animal)
+        .withColumn("type", typ)
+        # only cards that exist in the fetch universe are listed
+        .where(d % ABSENT_MOD != 0)
+    )
+    w = Window.partitionBy("animal", "type").orderBy(F.col("num").desc())
+    paged = cards.withColumn(
+        "page", ((F.row_number().over(w) - 1) / CATALOG_PAGE_SIZE + 1).cast("int")
+    )
+    items = paged.withColumn(
+        "item",
+        F.format_string(
+            '<div class="catalog-item"><a class="catalog-item__thumb" '
+            'href="/pet/%s"><img src="/t.webp"></a></div>',
+            F.col("card_id"),
+        ),
+    )
+    rendered = (
+        items.groupBy("animal", "type", "page")
+        .agg(F.array_join(F.collect_list("item"), "\n").alias("body"))
+        .withColumn(
+            "html_text",
+            F.format_string(
+                '<!DOCTYPE html><html><body><div class="catalog">\n%s\n</div></body></html>',
+                F.col("body"),
+            ),
+        )
+        .withColumn(
+            "url",
+            F.concat(
+                F.element_at(
+                    F.array(*[F.lit(b) for b in CATALOG_BASES]),
+                    # base index per reference order (animal,type):
+                    # (2,1)->1 (1,1)->2 (2,2)->3 (1,2)->4
+                    F.when((F.col("animal") == 2) & (F.col("type") == 1), 1)
+                    .when((F.col("animal") == 1) & (F.col("type") == 1), 2)
+                    .when((F.col("animal") == 2) & (F.col("type") == 2), 3)
+                    .otherwise(4),
+                ),
+                F.format_string("&page=%d", F.col("page")),
+            ),
+        )
+    )
+    return rendered.select(
+        "url",
+        F.to_timestamp(F.lit("2024-01-14 00:00:00")).alias("warc_ts"),
+        F.encode(F.col("html_text"), "UTF-8").alias("html"),
+        F.col("html_text").alias("text"),
+        F.lit("ru").alias("lang"),
+    )
+
+
+def synthetic_checkapi_pages(spark: SparkSession, sf_dir: str,
+                             docs_df: DataFrame | None = None) -> DataFrame:
+    """check-pet search API JSON pages (NewCards.fs:68-91): one page per
+    probe string `art`, data = cards whose decimal num string STARTS WITH
+    art.  Probes generated: every full num (existence checks, D2) and every
+    tens prefix (lookahead probes, D3).  Test-scale generator (theta join)."""
+    docs = docs_df if docs_df is not None else spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    all_nums = (
+        docs.select("doc_id")
+        .withColumn("num", (d + F.lit(NUM_BASE)).cast("long"))
+        .select("num", F.col("num").cast("string").alias("numstr"))
+    )
+    cards = (
+        docs.select("doc_id")
+        .withColumn("num", (d + F.lit(NUM_BASE)).cast("long"))
+        .withColumn("kind", F.when(d % 2 == 0, F.lit("rf")).otherwise(F.lit("rl")))
+        .withColumn("card_id", F.concat("kind", F.col("num").cast("string")))
+        .where(d % ABSENT_MOD != 0)
+        .select("num", "card_id", F.col("num").cast("string").alias("numstr"))
+    )
+    # probe pages exist for EVERY num (a search for a deleted card returns an
+    # empty result page, not a 404 — Tests/Pet911Crawling.fs:142-158)
+    arts = (
+        all_nums.select(F.col("numstr").alias("art"))
+        .unionByName(
+            all_nums.select(
+                F.expr("substr(numstr, 1, length(numstr) - 1)").alias("art")
+            )
+        )
+        .where(F.length("art") > 0)
+        .distinct()
+    )
+    hits = arts.join(cards, F.col("numstr").startswith(F.col("art")), "left")
+    rendered = (
+        hits.groupBy("art")
+        .agg(
+            F.array_join(
+                F.collect_list(
+                    F.format_string('{"url":"pet/%s"}', F.col("card_id"))
+                ),
+                ",",
+            ).alias("items"),
+            F.count("card_id").alias("n"),
+        )
+        .withColumn(
+            "json_text",
+            F.when(F.col("n") == 0, F.lit('{"data":null}')).otherwise(
+                F.format_string('{"data":[%s]}', F.col("items"))
+            ),
+        )
+        .withColumn("url", F.format_string(CHECK_API_URL, F.col("art")))
+    )
+    return rendered.select(
+        "url",
+        F.to_timestamp(F.lit("2024-01-14 00:00:00")).alias("warc_ts"),
+        F.encode(F.col("json_text"), "UTF-8").alias("html"),
+        F.col("json_text").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+
+
 def fixture_pages(spark: SparkSession) -> DataFrame:
     """Reference golden dumps as pages keyed by their canonical card URL."""
     rows = []

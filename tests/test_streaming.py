@@ -1,0 +1,95 @@
+"""Structured-Streaming tests: incremental pages→cards with checkpoint
+resume, and watermarked event-time windows."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.sources.pages import (
+    build_pages,
+    synthetic_docs_from_range,
+)
+from crawler_spark.streaming.pipeline import (
+    stream_pages_to_cards,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    d = {k: str(tmp_path / k) for k in ("src", "out", "ckpt")}
+    return d
+
+
+def _land_pages(spark, dirs, lo, hi):
+    docs = synthetic_docs_from_range(spark, hi).where(F.col("doc_id") >= lo)
+    pages = build_pages(spark, "", include_fixtures=False, docs_df=docs)
+    pages.write.mode("append").parquet(dirs["src"])
+
+
+def test_stream_pages_to_cards_and_resume(spark, dirs):
+    # batch 1 lands, stream drains it
+    _land_pages(spark, dirs, 0, 30)
+    q = stream_pages_to_cards(spark, dirs["src"], dirs["out"], dirs["ckpt"])
+    q.awaitTermination(120)
+    out1 = spark.read.parquet(dirs["out"])
+    n1 = out1.count()
+    assert n1 > 0
+    assert out1.where(F.col("error").isNull()).count() == n1
+
+    # batch 2 lands; resuming from the SAME checkpoint processes ONLY the new
+    # files (exactly-once), no reprocessing of batch 1
+    _land_pages(spark, dirs, 30, 60)
+    q2 = stream_pages_to_cards(spark, dirs["src"], dirs["out"], dirs["ckpt"])
+    q2.awaitTermination(120)
+    out2 = spark.read.parquet(dirs["out"])
+    ids = [r["id"] for r in out2.select("id").collect()]
+    assert len(ids) == len(set(ids))          # no duplicates across restarts
+    assert len(ids) > n1                      # batch 2 got appended
+
+
+def test_streaming_output_matches_batch(spark, dirs):
+    from crawler_spark.functions.parse_udfs import with_parsed_card
+
+    _land_pages(spark, dirs, 0, 25)
+    q = stream_pages_to_cards(spark, dirs["src"], dirs["out"], dirs["ckpt"])
+    q.awaitTermination(120)
+    streamed = {
+        (r["id"], r["address"], r["date"])
+        for r in spark.read.parquet(dirs["out"]).collect()
+    }
+    pages = spark.read.parquet(dirs["src"])
+    batch = with_parsed_card(
+        pages.where(F.col("text").contains("card-information")), "text"
+    ).select(
+        F.col("card.id").alias("id"),
+        F.col("card.address").alias("address"),
+        F.col("card.date").alias("date"),
+    )
+    assert streamed == {(r["id"], r["address"], r["date"]) for r in batch.collect()}
+
+
+def test_windowed_event_counts_with_watermark(spark, tmp_path):
+    src = str(tmp_path / "events_src")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.write.parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema).format("parquet").load(src)
+    )
+    agg = windowed_event_counts(stream, watermark="10 minutes", window="1 hour")
+    q = (
+        agg.writeStream.format("memory").queryName("win_counts")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select window_start, event_type, n from win_counts"
+    ).collect()
+    expect = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("ws"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert {( r["window_start"], r["event_type"]): r["n"] for r in got} == expect
