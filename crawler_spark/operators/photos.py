@@ -39,6 +39,17 @@ def fanout_photos(cards_df: DataFrame) -> DataFrame:
     )
 
 
+def mime_to_ext(mime: Column) -> Column:
+    """P19 mimeToExt (Images.fs:26-34): contains-based mapping, first match
+    wins — jpeg/jpg→jpg, png→png, webp→webp, else NULL.  Native when-chain."""
+    low = F.lower(mime)
+    return (
+        F.when(low.contains("jpeg") | low.contains("jpg"), F.lit("jpg"))
+        .when(low.contains("png"), F.lit("png"))
+        .when(low.contains("webp"), F.lit("webp"))
+    )
+
+
 def _magic_prefix_ok(data: Column) -> Column:
     """Magic-byte image sniff over the binary column — native expressions."""
     head = F.substring(data, 1, 12)

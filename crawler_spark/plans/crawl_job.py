@@ -366,6 +366,36 @@ class CrawlJob:
     def crawl_log(self) -> DataFrame:
         return self._read("crawl_log", LOG_SCHEMA)
 
+    def revalidate_cards(self) -> dict:
+        """C4 cache self-heal (Crawler.fs:71-84): cards whose stored parse
+        failed re-enter the frontier and are dropped from the seen set so
+        the next wave re-fetches and re-parses them.
+
+        The reference re-parses each local copy on every access and
+        re-downloads on failure; batch-side that is one revalidation sweep:
+        ``error IS NOT NULL`` rows (the stored parse verdict) are exactly
+        the local copies that would fail re-processing.  Seen-set removal is
+        a metadata-only overwrite commit (Iceberg DELETE equivalent).
+        """
+        from ..sources.frontier import frontier_from_ids
+
+        bad = (
+            self.cards()
+            .where(F.col("error").isNotNull())
+            .select("id")
+            .distinct()
+        )
+        n_bad = bad.count()
+        if not n_bad:
+            return {"revalidated": 0}
+        refetch = frontier_from_ids(bad)
+        healed_seen = self.seen_set().join(
+            refetch.select("url_hash"), "url_hash", "left_anti"
+        )
+        self.store.commit("seen", healed_seen, mode="overwrite")
+        self.enqueue_frontier(refetch)
+        return {"revalidated": n_bad}
+
     def finalize(self) -> DataFrame:
         """Cards joined with their photo fan-in barrier (J2)."""
         results = self.card_photos().select(

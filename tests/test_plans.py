@@ -1,0 +1,79 @@
+"""Physical-plan audits: the optimizations we design for must actually be
+in the executed plan — predicate pushdown to the parquet scan, column
+pruning, broadcast joins on the fetch hot path, map-side partial
+aggregation, and whole-stage codegen on the native pipelines."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_parquet_filter_pushdown_and_pruning(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = docs.where(F.col("doc_id") < 5).select("doc_id", "lang")
+    plan = plan_of(q)
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,5)]" in plan
+    # column pruning: text/source/n_chars must NOT be read
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
+
+
+def test_fetch_downloaded_uses_broadcast_hash_join(spark, sf_dir):
+    from crawler_spark.operators.fetch import fetch_downloaded
+    from crawler_spark.sources.frontier import frontier_from_range
+    from crawler_spark.sources.pages import build_pages, synthetic_docs_from_range
+
+    docs = synthetic_docs_from_range(spark, 100)
+    pages = build_pages(spark, sf_dir, include_fixtures=False, docs_df=docs)
+    frontier = frontier_from_range(spark, 100_000, 100_050)
+    plan = plan_of(fetch_downloaded(frontier, pages))
+    assert "BroadcastHashJoin" in plan
+    # the pages side must NOT be exchanged (payloads stay map-side): no
+    # shuffle exchange between the pages scan and the join
+    assert "Exchange hashpartitioning(url" not in plan
+
+
+def test_exact_dedup_has_partial_aggregation(spark, sf_dir):
+    from crawler_spark.operators.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(exact_dedup(docs))
+    # two HashAggregates (partial + final) around one exchange = map-side combine
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_min" in plan and "partial_count" in plan
+    assert "EvalPython" not in plan        # fully native
+
+
+def test_seen_anti_join_is_not_a_cartesian(spark, sf_dir):
+    from crawler_spark.operators.seen import filter_unseen
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    plan = plan_of(filter_unseen(orders, li, key="o_orderkey"))
+    assert "LeftAnti" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_minhash_pipeline_stays_in_codegen(spark, sf_dir):
+    from crawler_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(minhash_signatures(docs))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2          # partial mins map-side
+    assert "partial_min" in plan                     # map-side combine
+
+
+def test_doc_token_stats_prunes_text_dependencies_only(spark, sf_dir):
+    """Aggregation query reads only the columns it needs from parquet."""
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()["doc_token_stats"](spark, sf_dir)
+    plan = plan_of(q)
+    assert "doc_id" not in plan.split("ReadSchema:")[-1][:200]

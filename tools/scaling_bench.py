@@ -1,98 +1,147 @@
 """Two-parallelism scaling evidence for BENCH/BASELINE.md (north_rule).
 
 No real cluster exists in this sandbox, so the N→4N-executor criterion is
-evidenced by running the SAME crawl job on the SAME input at local[8] and
-local[32] (each in its own subprocess/JVM) and comparing page throughput.
+evidenced by running the SAME job on the SAME input at local[8] and
+local[32], each in its own subprocess/JVM.  The host is a shared VM with
+visible noisy-neighbor variance, so runs are INTERLEAVED (8,32,8,32,…) and
+medians reported, and each run also reports the system CPU-busy fraction
+(/proc/stat) so throttled runs are visible in the raw data.
 
-Method: politeness budget caps each wave at ~BUDGET card urls per host, so
-the job runs several waves; wave 1 pays one-time costs (python-worker spawn,
-code paths warming), later waves are steady state.  We report both whole-job
-and steady-state (waves >= 2) throughput; scaling efficiency is
-(pps_32 / pps_8) / 4 — the local-mode stand-in for N→4N executors.
+Two workloads:
 
-Usage: python tools/scaling_bench.py [cards] [budget]
-Writes one JSON line per config + a summary; paste into BENCH.md.
+* ``crawl``    — the full CrawlJob (seed → politeness → fetch-as-join →
+  parse UDF → photo fan-out/validate → snapshot commits), pages/sec.
+* ``frontier`` — the pure-JVM frontier pipeline (range gen → seen anti-join
+  → salted politeness selection → count), frontier-URLs/sec; isolates the
+  codegen path from Python-worker effects.
+
+Usage: python tools/scaling_bench.py [cards] [frontier_urls] [repeats]
+Prints one JSON line per run + a summary line per workload.
 """
 
 from __future__ import annotations
 
 import json
+import statistics
 import subprocess
 import sys
 from pathlib import Path
 
 CARDS = int(sys.argv[1]) if len(sys.argv) > 1 else 150_000
-BUDGET = int(sys.argv[2]) if len(sys.argv) > 2 else 40_000
+FRONTIER_URLS = int(sys.argv[2]) if len(sys.argv) > 2 else 4_000_000
+REPEATS = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+N_LO = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+N_HI = int(sys.argv[5]) if len(sys.argv) > 5 else 8
 
 WORKER = r"""
 import json, sys, time, tempfile, shutil, os
 sys.path.insert(0, {repo!r})
 os.environ["SPARK_GRAFT_CPUS"] = str({cpus})
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
 from crawler_spark.session import get_spark
-from crawler_spark.sources.pages import synthetic_docs_from_range, build_pages, NUM_BASE
-from crawler_spark.plans.crawl_job import CrawlJob
+from pyspark.sql import functions as F
+
+def cpu_counters():
+    parts = open("/proc/stat").readline().split()[1:]
+    vals = list(map(int, parts))
+    return sum(vals), vals[3] + vals[4]   # total, idle
 
 spark = get_spark("scaling-{cpus}", cores={cpus}, shuffle_partitions={cpus})
 spark.sparkContext.setLogLevel("ERROR")
-docs = synthetic_docs_from_range(spark, {cards})
-pages = build_pages(spark, "/root/testdata/sf0.1", include_fixtures=False,
-                    docs_df=docs).repartition({cpus}, "url").persist()
-n_pages = pages.count()  # corpus materialized OUTSIDE timing
-robots = spark.createDataFrame(
-    [("pet911.ru", "/admin", 1), ("cdn.pet911.ru", "/admin", 1)],
-    "host string, disallow_prefix string, crawl_delay_ms int",
-)
-store = tempfile.mkdtemp(prefix="scaling_")
-job = CrawlJob(spark, store, pages, wave_seconds={budget} // 1000, robots_df=robots,
-               use_bloom=True, salted=False)
-job.seed_range(NUM_BASE, NUM_BASE + {cards} - 1)
-waves = []
-while True:
-    t0 = time.perf_counter()
-    s = job.run_wave()
-    dt = time.perf_counter() - t0
-    if s.get("done"):
-        break
-    waves.append((s["fetched"], dt))
-shutil.rmtree(store, ignore_errors=True)
+
+mode = {mode!r}
+if mode == "crawl":
+    from crawler_spark.sources.pages import synthetic_docs_from_range, build_pages, NUM_BASE
+    from crawler_spark.plans.crawl_job import CrawlJob
+    # untimed warmup: JVM codegen + python workers + store paths
+    wdocs = synthetic_docs_from_range(spark, 2000)
+    wpages = build_pages(spark, "/root/testdata/sf0.1", include_fixtures=False,
+                         docs_df=wdocs).persist()
+    wpages.count()
+    wstore = tempfile.mkdtemp(prefix="scaling_warm_")
+    wjob = CrawlJob(spark, wstore, wpages, wave_seconds=3600 * 1000,
+                    robots_df=None, use_bloom=True, salted=True)
+    wjob.seed_range(NUM_BASE, NUM_BASE + 1999)
+    wjob.crawl()
+    shutil.rmtree(wstore, ignore_errors=True)
+    wpages.unpersist()
+    docs = synthetic_docs_from_range(spark, {cards})
+    pages = build_pages(spark, "/root/testdata/sf0.1", include_fixtures=False,
+                        docs_df=docs).repartition({cpus}, "url").persist()
+    pages.count()
+    robots = spark.createDataFrame(
+        [("pet911.ru", "/admin", 1), ("cdn.pet911.ru", "/admin", 1)],
+        "host string, disallow_prefix string, crawl_delay_ms int")
+    store = tempfile.mkdtemp(prefix="scaling_")
+    job = CrawlJob(spark, store, pages, wave_seconds=3600 * 1000,
+                   robots_df=robots, use_bloom=True, salted=True)
+    a0, i0 = cpu_counters(); t0 = time.perf_counter()
+    job.seed_range(NUM_BASE, NUM_BASE + {cards} - 1)
+    stats = job.crawl()
+    dt = time.perf_counter() - t0; a1, i1 = cpu_counters()
+    shutil.rmtree(store, ignore_errors=True)
+    units = sum(s["fetched"] for s in stats)
+else:
+    from crawler_spark.operators.politeness import select_wave_salted
+    from crawler_spark.operators.seen import filter_unseen
+    from crawler_spark.sources.frontier import frontier_from_range
+    n_ids = {frontier_urls} // 2
+
+    def pipeline(n):
+        frontier = frontier_from_range(spark, 1, n)
+        seen = frontier.where(F.col("num") % 3 == 0).select("url_hash")
+        pending = filter_unseen(frontier, seen)
+        picked = select_wave_salted(pending, wave_seconds=3600, n_salts=16,
+                                    hot_host_threshold=10_000)
+        picked.where(F.col("selected")).count()
+
+    pipeline(50_000)          # untimed warmup: codegen + shuffle paths
+    a0, i0 = cpu_counters(); t0 = time.perf_counter()
+    pipeline(n_ids)
+    dt = time.perf_counter() - t0; a1, i1 = cpu_counters()
+    units = {frontier_urls}
+
+busy = 1 - (i1 - i0) / max(a1 - a0, 1)
 spark.stop()
-total_f = sum(f for f, _ in waves); total_s = sum(t for _, t in waves)
-steady = waves[1:] if len(waves) > 1 else waves
-st_f = sum(f for f, _ in steady); st_s = sum(t for _, t in steady)
 print("RESULT " + json.dumps({{
-    "cpus": {cpus}, "pages_in_corpus": n_pages, "waves": len(waves),
-    "fetches": total_f, "seconds": round(total_s, 1),
-    "pages_per_sec": round(total_f / total_s, 1),
-    "steady_fetches": st_f, "steady_seconds": round(st_s, 1),
-    "steady_pages_per_sec": round(st_f / st_s, 1),
+    "mode": mode, "cpus": {cpus}, "units": units,
+    "seconds": round(dt, 1), "per_sec": round(units / dt, 1),
+    "cpu_busy_cores": round(busy * 32, 1),
 }}))
 """
 
 
-def run(cpus: int) -> dict:
+def run(cpus: int, mode: str) -> dict:
     code = WORKER.format(repo=str(Path(__file__).resolve().parent.parent),
-                         cpus=cpus, cards=CARDS, budget=BUDGET)
+                         cpus=cpus, cards=CARDS, frontier_urls=FRONTIER_URLS,
+                         mode=mode)
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=3600)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
-            return json.loads(line[len("RESULT "):])
-    raise RuntimeError(f"no RESULT from local[{cpus}]:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+            r = json.loads(line[len("RESULT "):])
+            print(json.dumps(r), flush=True)
+            return r
+    raise RuntimeError(
+        f"no RESULT from local[{cpus}] {mode}:\n"
+        f"{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
+    )
 
 
 def main() -> None:
-    results = {}
-    for cpus in (8, 32):
-        results[cpus] = run(cpus)
-        print(json.dumps(results[cpus]))
-    eff_total = results[32]["pages_per_sec"] / results[8]["pages_per_sec"] / 4
-    eff_steady = (results[32]["steady_pages_per_sec"]
-                  / results[8]["steady_pages_per_sec"] / 4)
-    print(json.dumps({
-        "cards": CARDS, "budget_per_wave": BUDGET,
-        "efficiency_whole_job": round(eff_total, 3),
-        "efficiency_steady_state": round(eff_steady, 3),
-    }))
+    for mode in ("frontier", "crawl"):
+        runs: dict[int, list[float]] = {N_LO: [], N_HI: []}
+        for _ in range(REPEATS):          # interleaved A/B to ride out drift
+            for cpus in (N_LO, N_HI):
+                runs[cpus].append(run(cpus, mode)["per_sec"])
+        med_lo = statistics.median(runs[N_LO])
+        med_hi = statistics.median(runs[N_HI])
+        print(json.dumps({
+            "mode": mode, f"median_{N_LO}": med_lo, f"median_{N_HI}": med_hi,
+            f"all_{N_LO}": runs[N_LO], f"all_{N_HI}": runs[N_HI],
+            f"efficiency_{N_LO}_to_{N_HI}": round(
+                med_hi / med_lo / (N_HI / N_LO), 3),
+        }), flush=True)
 
 
 if __name__ == "__main__":
