@@ -485,6 +485,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sessionize_gaps"] = sessionize_gaps
 
+    def pipeline_json_export(spark, sf_dir):
+        # P20 cardToPipelineJSON analog: numeric-string codes, %f floats,
+        # unix-seconds date string, fixed field order — as native to_json
+        orders = _t(spark, sf_dir, "orders")
+        pet = F.struct(
+            F.col("o_orderkey").alias("art"),
+            F.when(F.col("o_orderstatus") == "F", "1")
+            .when(F.col("o_orderstatus") == "O", "2")
+            .otherwise("0")
+            .alias("status"),
+            F.format_string("%f", F.col("o_totalprice")).alias("price"),
+            F.format_string("%d", F.unix_timestamp("o_orderdate")).alias("date"),
+        )
+        return orders.select(
+            "o_orderkey",
+            F.to_json(F.struct(pet.alias("pet"))).alias("pipeline_json"),
+        )
+
+    q["pipeline_json_export"] = pipeline_json_export
+
+    def robots_prefix_filter(spark, sf_dir):
+        # robots.txt disallow-prefix anti-join (politeness.apply_robots shape)
+        cust = _t(spark, sf_dir, "customer")
+        rules = spark.createDataFrame(
+            [("AUTO",), ("BUIL",)], "disallow_prefix string"
+        )
+        hit = cust.join(
+            F.broadcast(rules),
+            F.col("c_mktsegment").startswith(F.col("disallow_prefix")),
+            "inner",
+        ).select("c_custkey")
+        return cust.join(hit, "c_custkey", "left_anti").select(
+            "c_custkey", "c_mktsegment"
+        )
+
+    q["robots_prefix_filter"] = robots_prefix_filter
+
+    def union_top50_known(spark, sf_dir):
+        # A2: fold two discovered id sets, dedup, keep top-50 desc
+        a = _t(spark, sf_dir, "orders").where(
+            F.col("o_orderstatus") == "F"
+        ).select(F.col("o_orderkey").alias("id"))
+        b = _t(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("id")
+        )
+        return (
+            a.unionByName(b)
+            .dropDuplicates(["id"])
+            .orderBy(F.col("id").desc())
+            .limit(50)
+        )
+
+    q["union_top50_known"] = union_top50_known
+
+    def rollup_counts(spark, sf_dir):
+        # grouping-sets surface: counts per (event_type, hour) with rollup
+        ev = _t(spark, sf_dir, "events")
+        return (
+            ev.withColumn(
+                "hour_unix",
+                F.unix_timestamp(F.date_trunc("hour", F.col("ts"))),
+            )
+            .rollup("event_type", "hour_unix")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    q["rollup_counts"] = rollup_counts
+
     # ---------------- training-data pipeline: documents ---------------------
 
     def doc_exact_dedup(spark, sf_dir):
@@ -724,6 +792,41 @@ def oracle_sql() -> dict[str, str]:
                   THEN 1 ELSE 0 END AS is_new
       FROM events) t
     GROUP BY user_id
+    """
+
+    o["pipeline_json_export"] = """
+    SELECT o_orderkey,
+           to_json(struct_pack(pet := struct_pack(
+             art := o_orderkey,
+             status := CASE o_orderstatus WHEN 'F' THEN '1'
+                                          WHEN 'O' THEN '2' ELSE '0' END,
+             price := printf('%f', o_totalprice),
+             date := printf('%d', floor(epoch(o_orderdate))::bigint)
+           ))) AS pipeline_json
+    FROM orders
+    """
+
+    o["robots_prefix_filter"] = """
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM (VALUES ('AUTO'), ('BUIL')) r(p)
+      WHERE c.c_mktsegment LIKE r.p || '%'
+    )
+    """
+
+    o["union_top50_known"] = """
+    SELECT id FROM (
+      SELECT o_orderkey AS id FROM orders WHERE o_orderstatus = 'F'
+      UNION
+      SELECT l_orderkey AS id FROM lineitem
+    ) t ORDER BY id DESC LIMIT 50
+    """
+
+    o["rollup_counts"] = """
+    SELECT event_type, hour_unix, count(*) AS n FROM (
+      SELECT event_type, floor(epoch(date_trunc('hour', ts)))::bigint AS hour_unix
+      FROM events) t
+    GROUP BY ROLLUP (event_type, hour_unix)
     """
 
     o["doc_exact_dedup"] = """
