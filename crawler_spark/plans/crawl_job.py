@@ -56,7 +56,8 @@ PHOTO_SEQ_SLOT = 64
 class CrawlJob:
     def __init__(self, spark: SparkSession, store_dir: str, pages_df: DataFrame,
                  wave_seconds: int = 3600, robots_df: DataFrame | None = None,
-                 use_bloom: bool = False, salted: bool = False):
+                 use_bloom: bool = False, salted: bool = False,
+                 prewarm: bool = True):
         self.spark = spark
         self.store = SnapshotStore(store_dir)
         self.pages = pages_df
@@ -64,6 +65,19 @@ class CrawlJob:
         self.robots = robots_df
         self.use_bloom = use_bloom
         self.salted = salted
+        if prewarm:
+            self._prewarm_python_workers()
+
+    def _prewarm_python_workers(self) -> None:
+        """Spawn + warm one Python worker per core (imports, Arrow streams)
+        BEFORE the first wave — otherwise worker startup serializes into the
+        first parse stage and distorts its latency (measured: tens of
+        seconds at 32 cores)."""
+        n = self.spark.sparkContext.defaultParallelism
+        probe = self.spark.range(0, n * 4, 1, n).select(
+            F.lit("<html><body></body></html>").alias("text")
+        )
+        with_parsed_card(probe, "text").select("card.error").count()
 
     # ------------------------------------------------------------------ state
     def _read(self, table: str, schema: str) -> DataFrame:
