@@ -641,6 +641,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_lsh_topk"] = emb_lsh_topk
 
+    def emb_ivf_topk(spark, sf_dir):
+        from crawler_spark.operators.similarity import ivf_topk
+
+        emb = _emb_double(spark, sf_dir)
+        queries_df = emb.where(F.col("vec_id") < 5)
+        return ivf_topk(emb, queries_df, k=5, n_centroids=8, nprobe=2)
+
+    q["emb_ivf_topk"] = emb_ivf_topk
+
     def emb_near_dup(spark, sf_dir):
         return embedding_near_dup(
             _emb_double(spark, sf_dir), threshold=0.3, n_planes=8
@@ -934,6 +943,54 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT query_id, neighbor_id, round(cos9, 6) AS cosine, rank::int AS rank
     FROM ranked WHERE rank <= 5
+    """
+
+    o["emb_ivf_topk"] = f"""
+    WITH {_EMB_CTE},
+    ranked AS (
+      SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) - 1 AS rn,
+             count(*) OVER () AS total
+      FROM emb
+    ),
+    cents AS (
+      SELECT (rn // (total // 8))::int AS centroid_id, v AS cvec
+      FROM ranked
+      WHERE rn % (total // 8) = 0 AND rn // (total // 8) < 8
+    ),
+    assigned AS (
+      SELECT vec_id AS neighbor_id, v AS cv,
+             arg_max(centroid_id, c_sim) AS centroid_id
+      FROM (
+        SELECT e.vec_id, e.v, c.centroid_id,
+               {_cos_sql("e.v", "c.cvec")} AS c_sim
+        FROM emb e CROSS JOIN cents c
+      ) s
+      GROUP BY vec_id, v
+    ),
+    qprobes AS (
+      SELECT query_id, qv, centroid_id FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_cos_sql("q.v", "c.cvec")} DESC, c.centroid_id ASC
+               ) AS probe_rank
+        FROM emb q CROSS JOIN cents c WHERE q.vec_id < 5
+      ) t WHERE probe_rank <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, a.neighbor_id,
+             round({_cos_sql("p.qv", "a.cv")}, 9) AS cos9
+      FROM assigned a JOIN qprobes p USING (centroid_id)
+      WHERE a.neighbor_id <> p.query_id
+    ),
+    fin AS (
+      SELECT query_id, neighbor_id, cos9,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos9 DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cos9, 6) AS cosine, rank::int AS rank
+    FROM fin WHERE rank <= 5
     """
 
     o["emb_near_dup"] = f"""

@@ -98,6 +98,106 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def assign_centroids(df: DataFrame, centroids: DataFrame,
+                     vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Nearest-centroid assignment (the IVF coarse quantizer).
+
+    ``centroids``: (centroid_id, cvec) — small, broadcast.  One cross join
+    against the (few) centroids + a min_by aggregation; the corpus is
+    scanned once and never self-joined.
+    """
+    scored = df.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("centroid_id"),
+        cosine_expr(F.col(vec_col), F.col("cvec")).alias("c_sim"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.min_by(
+            F.struct("centroid_id", vec_col, "c_sim"), (-F.col("c_sim"))
+        ).alias("best")
+    ).select(
+        F.col(id_col),
+        F.col(f"best.{vec_col}").alias(vec_col),
+        F.col("best.centroid_id").alias("centroid_id"),
+    )
+
+
+def pick_centroids(corpus: DataFrame, n_centroids: int = 8,
+                   vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Deterministic centroid seed: every (|corpus|/n)-th vector by id.
+
+    A k-means refinement would iterate assign→mean; the seed alone already
+    gives the IVF bucketing structure (and stays fully deterministic)."""
+    w = Window.orderBy(F.col(id_col))
+    ranked = corpus.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "rn", F.row_number().over(w) - 1
+    )
+    total = corpus.count()
+    step = max(total // n_centroids, 1)
+    return (
+        ranked.where((F.col("rn") % step == 0) & (F.col("rn") / step < n_centroids))
+        .select(
+            (F.col("rn") / step).cast("int").alias("centroid_id"),
+            F.col(vec_col).alias("cvec"),
+        )
+    )
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             n_centroids: int = 8, nprobe: int = 2,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVF approximate top-k: corpus bucketed by nearest centroid; each
+    query probes its ``nprobe`` nearest centroid buckets only.
+
+    Same output shape as :func:`cosine_topk`; recall < 1 by design.  Scale:
+    the corpus is written partitioned by centroid once; a query touches
+    nprobe/n_centroids of the data.
+    """
+    cents = pick_centroids(corpus, n_centroids, vec_col, id_col)
+    bucketed = assign_centroids(corpus, cents, vec_col, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        "centroid_id",
+    )
+    q_scored = queries.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col("centroid_id"),
+        cosine_expr(F.col(vec_col), F.col("cvec")).alias("c_sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("c_sim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        q_scored.withColumn("probe_rank", F.row_number().over(wq))
+        .where(F.col("probe_rank") <= nprobe)
+        .select("query_id", "qv", "centroid_id")
+    )
+    scored = (
+        bucketed.join(F.broadcast(probes), "centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("qv"), F.col("cv")), 9).alias("cos9"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos9").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cos9"), 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
 def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                       vec_col: str = "embedding", id_col: str = "vec_id",
                       n_planes: int = 6) -> DataFrame:

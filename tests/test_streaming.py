@@ -93,3 +93,37 @@ def test_windowed_event_counts_with_watermark(spark, tmp_path):
         ).agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert {( r["window_start"], r["event_type"]): r["n"] for r in got} == expect
+
+
+def test_stateful_known_set_tracker(spark, tmp_path):
+    """applyInPandasWithState known-set fold: state carries across
+    micro-batches, stays truncated to MAX_KNOWN, newest ids win."""
+    from crawler_spark.streaming.stateful import MAX_KNOWN, run_known_set_tracker
+
+    src = str(tmp_path / "ev"); out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+
+    batch1 = [("rf", n) for n in range(100, 180)]          # 80 ids
+    batch2 = [("rf", n) for n in range(500, 510)] + [("rl", 7)]
+    spark.createDataFrame(batch1, "kind string, num long").coalesce(1) \
+        .write.mode("append").parquet(src)
+    spark.createDataFrame(batch2, "kind string, num long").coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    q = run_known_set_tracker(spark, src, out, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(180)
+
+    rows = spark.read.parquet(out).collect()
+    rf = sorted((r for r in rows if r["kind"] == "rf"),
+                key=lambda r: r["batch_max"])
+    assert len(rf) == 2                       # one output per micro-batch
+    first, second = rf
+    assert first["n_known"] == MAX_KNOWN      # 80 ids truncated to 50
+    assert min(first["known_nums"]) == 130    # newest 50 of 100..179
+    # second batch: union with carried state, 10 new ids admitted on top
+    assert second["n_new"] == 10
+    assert second["n_known"] == MAX_KNOWN
+    assert max(second["known_nums"]) == 509
+    assert min(second["known_nums"]) == 140   # 10 oldest evicted
+    rl = [r for r in rows if r["kind"] == "rl"]
+    assert len(rl) == 1 and rl[0]["known_nums"] == [7]

@@ -227,3 +227,19 @@ def test_resize_and_frame_sample_shapes(docs):
     for r in frames:
         per.setdefault(r["media_id"], []).append(r["frame_idx"])
     assert all(idxs == sorted(idxs) and len(idxs) <= 4 for idxs in per.values())
+
+
+def test_ivf_topk_recall_and_shape(emb):
+    from crawler_spark.operators.similarity import cosine_topk, ivf_topk
+
+    queries = emb.where(F.col("vec_id").isin(0, 1))
+    approx = ivf_topk(emb, queries, k=1, n_centroids=6, nprobe=3)
+    got = {r["query_id"]: r["neighbor_id"] for r in approx.collect()}
+    # planted near-identical vectors land in the same centroid bucket
+    assert got.get(0) == 40
+    assert got.get(1) == 41
+    # rank-1 cosine matches the exact scorer for the found neighbor
+    exact = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+             for r in cosine_topk(emb, queries, k=5).collect()}
+    for r in approx.collect():
+        assert r["cosine"] == exact[(r["query_id"], r["neighbor_id"])]
