@@ -57,6 +57,13 @@ from crawler_spark.operators.dedup import embedding_near_dup
 from crawler_spark.sources.frontier import frontier_from_range
 
 
+
+def _utc(spark: SparkSession) -> None:
+    """unix_timestamp()/to_timestamp() interpret NTZ values in the SESSION
+    timezone — pin UTC inside every timestamp-bearing query so results don't
+    depend on how the harness configured its SparkSession."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -443,6 +450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def unix_ts_export(spark, sf_dir):
         # P20: unix-seconds date export in pipeline JSON
+        _utc(spark)
         ev = _t(spark, sf_dir, "events")
         return ev.select(
             "event_id", F.unix_timestamp("ts").alias("ts_unix")
@@ -452,6 +460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def windowed_counts(spark, sf_dir):
         # streaming analog: tumbling 1h event-time window aggregation
+        _utc(spark)
         ev = _t(spark, sf_dir, "events")
         return (
             ev.groupBy(
@@ -471,6 +480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def sessionize_gaps(spark, sf_dir):
         # streaming analog: 30-min-gap sessionization per user
+        _utc(spark)
         ev = _t(spark, sf_dir, "events")
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         prev = F.lag(F.unix_timestamp("ts")).over(w)
@@ -488,6 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def pipeline_json_export(spark, sf_dir):
         # P20 cardToPipelineJSON analog: numeric-string codes, %f floats,
         # unix-seconds date string, fixed field order — as native to_json
+        _utc(spark)
         orders = _t(spark, sf_dir, "orders")
         pet = F.struct(
             F.col("o_orderkey").alias("art"),
@@ -541,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def rollup_counts(spark, sf_dir):
         # grouping-sets surface: counts per (event_type, hour) with rollup
+        _utc(spark)
         ev = _t(spark, sf_dir, "events")
         return (
             ev.withColumn(
