@@ -21,7 +21,15 @@ in ``queries()`` only — the driver records the weaker rows-only check.
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
+
+# self-locate: the crawler_spark package lives next to this file; the
+# driver may import this module from any cwd
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
