@@ -29,15 +29,17 @@ from ..functions.text import (
 )
 
 
-def _ensure_parallelism(df: DataFrame) -> DataFrame:
+def _ensure_parallelism(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
     """Small/single-file inputs arrive as 1-2 partitions; the explode+hash
     pipelines below are CPU-bound per row, so fan the input out to the
-    session's parallelism first.  At real scale inputs already have
-    thousands of partitions and this is a no-op."""
+    session's parallelism first — keyed by the doc id, so the downstream
+    per-id groupBy/join reuses the hash partitioning instead of shuffling
+    again.  (No ``df.rdd.getNumPartitions()`` probe: converting the plan to
+    an RDD per operator call is itself a cost; the keyed repartition is one
+    shuffle of slim (id, text) rows that replaces the wider shuffle of
+    exploded hash rows the aggregation would otherwise do.)"""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    return df.repartition(target, F.col(key_col))
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -87,7 +89,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     executor memory at one (doc, shingle) row — the formulation that
     survives 100 TB.  Returns (id_col, h0..h{num_perm-1}).
     """
-    sh = _ensure_parallelism(df).select(
+    sh = _ensure_parallelism(df, id_col).select(
         F.col(id_col),
         F.explode(shingles(F.col(text_col), shingle_k)).alias("shingle"),
     )
@@ -159,7 +161,7 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     per-row column function for small inputs), but the relational shape is
     what scales.  Returns (id_col, simhash).
     """
-    toks = _ensure_parallelism(df).select(
+    toks = _ensure_parallelism(df, id_col).select(
         F.col(id_col),
         F.explode(distinct_tokens(F.col(text_col))).alias("tok"),
     )
@@ -245,7 +247,7 @@ def ngram_jaccard_pairs(df: DataFrame, candidates: DataFrame,
     an all-pairs cross product.  Returns (id_a, id_b, jaccard) filtered to
     >= threshold, jaccard rounded to 6 d.p. for stable comparison.
     """
-    toks = _ensure_parallelism(df).select(
+    toks = _ensure_parallelism(df, id_col).select(
         F.col(id_col), F.explode(distinct_tokens(F.col(text_col))).alias("tok")
     )
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))

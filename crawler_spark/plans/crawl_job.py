@@ -390,14 +390,25 @@ class CrawlJob:
         ``error IS NOT NULL`` rows (the stored parse verdict) are exactly
         the local copies that would fail re-processing.  Seen-set removal is
         a metadata-only overwrite commit (Iceberg DELETE equivalent).
+
+        Cards commits are append-only, so a successful re-parse ADDS an
+        error-IS-NULL row next to the old error row — such cards are healed
+        and must not re-enter the frontier (otherwise every sweep would
+        re-fetch them forever).  Bad = has an error row AND no good row.
         """
         from ..sources.frontier import frontier_from_ids
 
+        cards = self.cards()
         bad = (
-            self.cards()
+            cards
             .where(F.col("error").isNotNull())
             .select("id")
             .distinct()
+            .join(
+                cards.where(F.col("error").isNull()).select("id").distinct(),
+                "id",
+                "left_anti",
+            )
         )
         n_bad = bad.count()
         if not n_bad:

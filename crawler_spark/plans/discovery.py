@@ -196,13 +196,21 @@ def newcards_cycle(job, known_nums: set[int],
     job.enqueue_frontier(frontier_from_ids(ids))
     stats = job.crawl()
 
-    crawled = {
-        r["num"]
-        for r in job.cards()
+    # A2 fold (Program.fs:143-151) computed RELATIONALLY: union the known set
+    # with successfully crawled nums, dedup, top-50 desc — a TakeOrdered plan,
+    # so exactly MAX_KNOWN_SET rows ever reach the driver (the cards table may
+    # be billions of rows; collecting it would be a driver OOM at scale).
+    known_df = spark.createDataFrame(
+        [(int(n),) for n in known_nums], "num long"
+    )
+    top = (
+        job.cards()
         .where(F.col("error").isNull())
         .select("num")
-        .distinct()
+        .unionByName(known_df)
+        .dropDuplicates(["num"])
+        .orderBy(F.col("num").desc())
+        .limit(MAX_KNOWN_SET)
         .collect()
-    }
-    merged = sorted(set(known_nums) | crawled, reverse=True)[:MAX_KNOWN_SET]
-    return set(merged), stats
+    )
+    return {r["num"] for r in top}, stats

@@ -316,7 +316,25 @@ def synthetic_catalog_pages(spark: SparkSession, sf_dir: str,
     )
     rendered = (
         items.groupBy("animal", "type", "page")
-        .agg(F.array_join(F.collect_list("item"), "\n").alias("body"))
+        # collect_list order is NOT guaranteed by Spark — aggregate structs
+        # carrying the sort key and array_sort before joining, so the page
+        # bytes are deterministic by construction (num DESC via negated key)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                (-F.col("num")).alias("sort_key"),
+                                F.col("item").alias("item"),
+                            )
+                        )
+                    ),
+                    lambda s: s["item"],
+                ),
+                "\n",
+            ).alias("body")
+        )
         .withColumn(
             "html_text",
             F.format_string(
@@ -385,10 +403,26 @@ def synthetic_checkapi_pages(spark: SparkSession, sf_dir: str,
     hits = arts.join(cards, F.col("numstr").startswith(F.col("art")), "left")
     rendered = (
         hits.groupBy("art")
+        # deterministic item order (num ASC): collect (num, item) structs and
+        # array_sort before joining — collect_list alone has no order contract.
+        # The when() guard keeps left-join misses out (null → dropped).
         .agg(
             F.array_join(
-                F.collect_list(
-                    F.format_string('{"url":"pet/%s"}', F.col("card_id"))
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("card_id").isNotNull(),
+                                F.struct(
+                                    F.col("num").alias("sort_key"),
+                                    F.format_string(
+                                        '{"url":"pet/%s"}', F.col("card_id")
+                                    ).alias("item"),
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s["item"],
                 ),
                 ",",
             ).alias("items"),

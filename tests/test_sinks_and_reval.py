@@ -100,3 +100,9 @@ def test_revalidate_reenqueues_failed_parses(spark, tmp_path):
     )
     # the re-fetch produced a clean parse for the previously-broken card
     assert any(r["error"] is None for r in latest_bad)
+
+    # cards commits are append-only, so the stale error row survives next to
+    # the healed row — a later sweep must NOT re-enqueue the healed card
+    # (would re-fetch it forever otherwise)
+    assert job.revalidate_cards() == {"revalidated": 0}
+    assert job.pending_frontier().isEmpty()
