@@ -103,15 +103,32 @@ def fetch_wave(frontier_df: DataFrame, pages_df: DataFrame,
     return out.select(*frontier_cols, "fetch_status")
 
 
-def fetch_downloaded(frontier_df: DataFrame, pages_df: DataFrame) -> DataFrame:
-    """Payload fetch of the PRESENT urls only: pages ⋈ broadcast(frontier).
+# Above this wave size the broadcast build side stops being safe: at ~200
+# bytes/frontier row (url + id + host strings) 2M rows is ~400 MB of build
+# hash table per executor — near the practical broadcast ceiling on common
+# executor sizes.  Larger waves take the hash-partitioned path instead.
+BROADCAST_MAX_WAVE_ROWS = 2_000_000
 
-    An inner BroadcastHashJoin with the wave as build side — the multi-KB
-    page payloads stream map-side and are never shuffled.  This is the hot
-    path feeding the parser/validator (absent rows come from the cheap
-    payload-free :func:`fetch_wave`).  At 10^10 urls the equivalent is a
-    storage-partitioned join against `pages` bucketed by url_hash; use that
-    when a wave is too large to broadcast.
+
+def fetch_downloaded(frontier_df: DataFrame, pages_df: DataFrame,
+                     wave_rows: int | None = None,
+                     broadcast_max_rows: int = BROADCAST_MAX_WAVE_ROWS) -> DataFrame:
+    """Payload fetch of the PRESENT urls only (inner join, frontier build side).
+
+    This is the hot path feeding the parser/validator (absent rows come from
+    the cheap payload-free :func:`fetch_wave`).  Join strategy is gated on
+    ``wave_rows`` — the wave count the scheduler has already computed:
+
+    * ``wave_rows <= broadcast_max_rows`` (or unknown): pages ⋈
+      broadcast(frontier) — a BroadcastHashJoin where the multi-KB page
+      payloads stream map-side and are **never shuffled**.
+    * larger waves: hash-partitioned join on ``url`` with a shuffled-hash
+      build of the frontier side — no broadcast of a multi-GB wave, and no
+      sort of the payload rows (SHJ, not SMJ).  At 10^10 urls with `pages`
+      written Iceberg-bucketed by url_hash this exchange on the pages side
+      disappears entirely (storage-partitioned join); only the wave shuffles.
+
+    Both paths are semantically identical (asserted in tests/test_plans.py).
     """
     frontier_cols = frontier_df.columns
     pages_cols = pages_df.select(
@@ -120,7 +137,10 @@ def fetch_downloaded(frontier_df: DataFrame, pages_df: DataFrame) -> DataFrame:
         F.col("html"),
         F.col("text").alias("page_text"),
     )
-    joined = pages_cols.join(F.broadcast(frontier_df), "url", "inner")
+    if wave_rows is not None and wave_rows > broadcast_max_rows:
+        joined = pages_cols.join(frontier_df.hint("shuffle_hash"), "url", "inner")
+    else:
+        joined = pages_cols.join(F.broadcast(frontier_df), "url", "inner")
     out = joined.withColumn("fetch_status", F.lit(STATUS_DOWNLOADED)).withColumn(
         "text",
         F.coalesce(F.col("page_text"), F.decode(F.col("html"), "UTF-8")),

@@ -81,26 +81,108 @@ class BloomFilter:
         return BloomFilter(self.n_bits, self.n_hashes, self.bits | other.bits)
 
 
-def build_bloom(seen_df: DataFrame, key: str = "url_hash",
-                expected_items: int | None = None, fpp: float = 0.01) -> BloomFilter:
-    """Distributed bloom build: one partial filter per partition via
-    mapInPandas, OR-merged on the driver (partial bytes, not rows, move)."""
-    if expected_items is None:
-        expected_items = seen_df.count() or 1
-    proto = BloomFilter.sized(expected_items, fpp)
-    n_bits, n_hashes = proto.n_bits, proto.n_hashes
+class ShardedBloom(BloomFilter):
+    """Bloom filter partitioned into ``n_shards`` disjoint bitmap shards,
+    keys routed by ``key mod n_shards``.
+
+    Same probabilistic guarantees as :class:`BloomFilter`; the shard
+    structure is the 10^10-key scale path.  Memory math: 10^10 keys at 1%
+    fpp need ~9.6 bits/key ≈ **12 GB** of bitmap — undistributable as one
+    driver-held broadcast.  Sharded into 256 pieces that is 256 × ~47 MB
+    filters; because shard(key) is a pure function of the key, each
+    executor task only ever consults the shards of the url_hash range it
+    holds, so the shards can live co-partitioned with the frontier (join on
+    shard id) instead of every executor holding all 12 GB.  At sandbox
+    scale the merged filter still fits in one broadcast; the shard routing
+    is identical either way.
+
+    Serialization is a fixed int64 header + the raw bitmap, so per-wave
+    partials and the running merged filter persist as single blobs.
+    """
+
+    _MAGIC = 0x53_42_4C_4D  # "SBLM"
+
+    def __init__(self, n_shards: int, shard_bits: int, n_hashes: int,
+                 bits: np.ndarray | None = None):
+        self.n_shards = n_shards
+        self.shard_bits = shard_bits
+        n_bits = n_shards * shard_bits
+        super().__init__(n_bits, n_hashes, bits)
+
+    @classmethod
+    def sized(cls, expected_items: int, fpp: float = 0.01,
+              n_shards: int = 32) -> "ShardedBloom":
+        base = BloomFilter.sized(max(expected_items, 1), fpp)
+        shard_bits = -(-base.n_bits // n_shards)  # ceil
+        return cls(n_shards, shard_bits, base.n_hashes)
+
+    def empty_like(self) -> "ShardedBloom":
+        return ShardedBloom(self.n_shards, self.shard_bits, self.n_hashes)
+
+    def _positions(self, keys: np.ndarray) -> np.ndarray:
+        k = keys.astype(np.uint64)
+        shard_base = (k % np.uint64(self.n_shards)) * np.uint64(self.shard_bits)
+        h1 = k * np.uint64(0x9E3779B97F4A7C15)
+        h2 = (k >> np.uint64(17)) | np.uint64(1)
+        i = np.arange(self.n_hashes, dtype=np.uint64)[:, None]
+        return (shard_base + (h1 + i * h2) % np.uint64(self.shard_bits)).astype(
+            np.int64
+        )
+
+    def to_bytes(self) -> bytes:
+        header = np.array(
+            [self._MAGIC, self.n_shards, self.shard_bits, self.n_hashes],
+            dtype=np.int64,
+        )
+        return header.tobytes() + self.bits.tobytes()
+
+    @classmethod
+    def from_bytes(cls, raw: bytes) -> "ShardedBloom":
+        header = np.frombuffer(raw[:32], dtype=np.int64)
+        assert header[0] == cls._MAGIC, "not a ShardedBloom blob"
+        bf = cls(int(header[1]), int(header[2]), int(header[3]))
+        bits = np.frombuffer(raw[32:], dtype=np.uint8)
+        assert len(bits) == len(bf.bits), "bitmap size mismatch"
+        bf.bits = bits.copy()
+        return bf
+
+
+def build_bloom_into(df: DataFrame, proto: BloomFilter,
+                     key: str = "url_hash") -> BloomFilter:
+    """Distributed partial build with FIXED filter parameters: one partial
+    filter per partition via mapInPandas, OR-merged on the driver (partial
+    bytes move, never rows).  Used both for one-shot full builds and for the
+    per-wave *incremental* partials that keep the seen-bloom up to date
+    without ever rescanning the seen table."""
+    is_sharded = isinstance(proto, ShardedBloom)
+    params = (
+        (proto.n_shards, proto.shard_bits, proto.n_hashes)
+        if is_sharded
+        else (proto.n_bits, proto.n_hashes)
+    )
 
     def partial(batches):
-        bf = BloomFilter(n_bits, n_hashes)
+        bf = ShardedBloom(*params) if is_sharded else BloomFilter(*params)
         for pdf in batches:
             bf.add_many(pdf[key].to_numpy(dtype=np.int64, na_value=0))
         yield pd.DataFrame({"bits": [bf.bits.tobytes()]})
 
-    partials = seen_df.select(key).mapInPandas(partial, "bits binary").collect()
-    merged = BloomFilter(n_bits, n_hashes)
+    partials = df.select(key).mapInPandas(partial, "bits binary").collect()
+    merged = ShardedBloom(*params) if is_sharded else BloomFilter(*params)
     for row in partials:
         merged.bits |= np.frombuffer(row["bits"], dtype=np.uint8)
     return merged
+
+
+def build_bloom(seen_df: DataFrame, key: str = "url_hash",
+                expected_items: int | None = None, fpp: float = 0.01) -> BloomFilter:
+    """One-shot distributed bloom build sized from the input (counts the
+    input when no expected_items given — use :func:`build_bloom_into` with a
+    pre-sized filter for incremental maintenance, which never rescans)."""
+    if expected_items is None:
+        expected_items = seen_df.count() or 1
+    proto = BloomFilter.sized(expected_items, fpp)
+    return build_bloom_into(seen_df, proto, key)
 
 
 def bloom_prefilter_unseen(frontier_df: DataFrame, bloom: BloomFilter,

@@ -36,7 +36,13 @@ from ..functions.url import url_hash, url_host
 from ..operators.fetch import fetch_downloaded, fetch_wave, within_retry_budget
 from ..operators.photos import fanin_photos, fanout_photos, validate_image
 from ..operators.politeness import apply_robots, select_wave, select_wave_salted
-from ..operators.seen import build_bloom, filter_not_missing, filter_unseen, filter_unseen_with_bloom
+from ..operators.seen import (
+    ShardedBloom,
+    build_bloom_into,
+    filter_not_missing,
+    filter_unseen,
+    filter_unseen_with_bloom,
+)
 from ..sources.frontier import frontier_from_range
 from ..sources.store import SnapshotStore
 
@@ -57,7 +63,8 @@ class CrawlJob:
     def __init__(self, spark: SparkSession, store_dir: str, pages_df: DataFrame,
                  wave_seconds: int = 3600, robots_df: DataFrame | None = None,
                  use_bloom: bool = False, salted: bool = False,
-                 prewarm: bool = True):
+                 prewarm: bool = True, bloom_capacity: int = 2_000_000,
+                 bloom_fpp: float = 0.01, bloom_shards: int = 32):
         self.spark = spark
         self.store = SnapshotStore(store_dir)
         self.pages = pages_df
@@ -65,6 +72,15 @@ class CrawlJob:
         self.robots = robots_df
         self.use_bloom = use_bloom
         self.salted = salted
+        # incremental seen-bloom state: the merged filter and the seen
+        # snapshot id it covers; persisted per wave under seen_bloom/ so a
+        # resumed job reloads it instead of rescanning the seen table
+        self.bloom_capacity = bloom_capacity
+        self.bloom_fpp = bloom_fpp
+        self.bloom_shards = bloom_shards
+        self._bloom: ShardedBloom | None = None
+        self._bloom_snap = -1
+        self._bloom_dir = self.store.root / "seen_bloom"
         if prewarm:
             self._prewarm_python_workers()
 
@@ -82,6 +98,79 @@ class CrawlJob:
     # ------------------------------------------------------------------ state
     def _read(self, table: str, schema: str) -> DataFrame:
         return self.store.read_or_empty(self.spark, table, schema)
+
+    # ------------------------------------------------------------------ bloom
+    def _bloom_blob_path(self, seen_snap: int):
+        return self._bloom_dir / f"merged-{seen_snap}.bin"
+
+    def _bloom_sync(self) -> ShardedBloom | None:
+        """Bring the in-memory merged seen-bloom up to the latest seen
+        snapshot WITHOUT rescanning the seen table.
+
+        Fast path: the filter (persisted per wave as a single blob) already
+        covers the latest snapshot — zero I/O.  Crash/resume path: load the
+        newest blob, then top up from ONLY the snapshot data dirs committed
+        after it (each commit writes exactly one new dir).  A full build
+        happens at most once per store lifetime (legacy store with no blob).
+        Returns None while the seen table is empty (nothing to prefilter).
+        """
+        latest = self.store.latest_snapshot_id("seen")
+        if latest is None:
+            if self._bloom is None:
+                self._bloom = ShardedBloom.sized(
+                    self.bloom_capacity, self.bloom_fpp, self.bloom_shards
+                )
+                self._bloom_snap = -1
+            return None
+        if self._bloom is not None and self._bloom_snap >= latest:
+            return self._bloom
+        if self._bloom is None:
+            # newest persisted blob ≤ latest, if any
+            best = -1
+            if self._bloom_dir.exists():
+                for p in self._bloom_dir.glob("merged-*.bin"):
+                    try:
+                        sid = int(p.stem.split("-")[1])
+                    except ValueError:
+                        continue
+                    if best < sid <= latest:
+                        best = sid
+            if best >= 0:
+                self._bloom = ShardedBloom.from_bytes(
+                    self._bloom_blob_path(best).read_bytes()
+                )
+                self._bloom_snap = best
+            else:
+                self._bloom = ShardedBloom.sized(
+                    self.bloom_capacity, self.bloom_fpp, self.bloom_shards
+                )
+                self._bloom_snap = -1
+        if self._bloom_snap < latest:
+            dirs = self.store.data_dirs_between("seen", self._bloom_snap, latest)
+            if dirs:
+                delta = self.spark.read.parquet(*dirs).select("url_hash")
+                partial = build_bloom_into(delta, self._bloom.empty_like())
+                self._bloom.bits |= partial.bits
+            self._bloom_snap = latest
+            self._persist_bloom()
+        return self._bloom
+
+    def _bloom_add_wave(self, wave_keys_df: DataFrame, seen_snap: int) -> None:
+        """OR the freshly committed wave's keys into the merged filter and
+        persist — the only per-wave bloom work (the wave, never the table)."""
+        partial = build_bloom_into(wave_keys_df, self._bloom.empty_like())
+        self._bloom.bits |= partial.bits
+        self._bloom_snap = seen_snap
+        self._persist_bloom()
+
+    def _persist_bloom(self) -> None:
+        import os
+
+        self._bloom_dir.mkdir(parents=True, exist_ok=True)
+        path = self._bloom_blob_path(self._bloom_snap)
+        tmp = path.with_suffix(".bin.tmp")
+        tmp.write_bytes(self._bloom.to_bytes())
+        os.replace(tmp, path)  # atomic, like the manifest
 
     def next_wave_number(self) -> int:
         latest = self.store.latest_snapshot_id("frontier")
@@ -140,7 +229,10 @@ class CrawlJob:
         # presence, CrawlerPet911.fs:79-92), then the positive seen set
         frontier = filter_not_missing(frontier, missing)
         if self.use_bloom:
-            bloom = build_bloom(seen) if seen.limit(1).count() else None
+            # incremental filter: covers all committed seen snapshots without
+            # rescanning the seen table (per-wave partials OR-merged; the
+            # exact anti-join backstop below guarantees correctness)
+            bloom = self._bloom_sync()
             frontier = (
                 filter_unseen_with_bloom(frontier, seen, bloom) if bloom
                 else frontier
@@ -188,15 +280,26 @@ class CrawlJob:
                     & (F.col("fetch_status") == "downloaded"), 1
                 ).otherwise(0)
             ).alias("photos_downloaded"),
+            F.sum(
+                F.when(F.col("resource_type") == "card", 1).otherwise(0)
+            ).alias("cards_total"),
+            F.sum(
+                F.when(F.col("resource_type") == "photo", 1).otherwise(0)
+            ).alias("photos_total"),
         ).collect()[0]
         n_cards_dl = int(frow["cards_downloaded"] or 0)
         n_photos_dl = int(frow["photos_downloaded"] or 0)
+        n_cards_wave = int(frow["cards_total"] or 0)
+        n_photos_wave = int(frow["photos_total"] or 0)
         t0 = _mark("fetch_plan", t0)
 
         # ---- cards ----------------------------------------------------------
         if n_cards_dl:
+            # wave size gates the join strategy: broadcast small waves,
+            # hash-partitioned join for waves too big to broadcast
             parsed_src = fetch_downloaded(
-                batch.where(F.col("resource_type") == "card"), self.pages
+                batch.where(F.col("resource_type") == "card"), self.pages,
+                wave_rows=n_cards_wave,
             )
         else:
             parsed_src = self.spark.createDataFrame(
@@ -239,7 +342,8 @@ class CrawlJob:
         # ---- photos ---------------------------------------------------------
         if n_photos_dl:
             photos_src = fetch_downloaded(
-                batch.where(F.col("resource_type") == "photo"), self.pages
+                batch.where(F.col("resource_type") == "photo"), self.pages,
+                wave_rows=n_photos_wave,
             )
         else:
             photos_src = self.spark.createDataFrame(
@@ -265,6 +369,9 @@ class CrawlJob:
         # cache the cards commit materializes.
         from concurrent.futures import ThreadPoolExecutor
 
+        seen_rows = fetched.select(
+            F.col("url_hash"), F.col("id"), F.lit(wave).alias("wave")
+        )
         with ThreadPoolExecutor(max_workers=4) as pool:
             futures = [
                 pool.submit(self.store.commit, "cards", parsed.drop("url")),
@@ -273,15 +380,16 @@ class CrawlJob:
                     self.store.commit, "missing",
                     absent.select("id", F.lit(wave).alias("wave")),
                 ),
-                pool.submit(
-                    self.store.commit, "seen",
-                    fetched.select(
-                        F.col("url_hash"), F.col("id"), F.lit(wave).alias("wave")
-                    ),
-                ),
+                pool.submit(self.store.commit, "seen", seen_rows),
             ]
             for fut in futures:
                 fut.result()
+        if self.use_bloom:
+            # fold ONLY this wave's keys into the persisted merged filter —
+            # the seen table itself is never rescanned after wave 0
+            self._bloom_add_wave(
+                fetched.select("url_hash"), futures[3].result()
+            )
         t0 = _mark("parallel_commits", t0)
 
         # ---- crawl log (K5/K6, ordering evidence) ---------------------------

@@ -88,6 +88,22 @@ class SnapshotStore:
         self._write_manifest(table, snaps)
         return snap_id
 
+    def data_dirs_between(self, table: str, after: int,
+                          until: int | None = None) -> list[str]:
+        """Data dirs WRITTEN by snapshots in (after, until] — the incremental
+        read path: consumers that already processed snapshot ``after`` read
+        only the newer files, never the whole table (each commit writes
+        exactly one new dir, for append and overwrite alike)."""
+        snaps = self.snapshots(table)
+        out = []
+        for s in snaps:
+            sid = s["snapshot"]
+            if sid > after and (until is None or sid <= until):
+                d = self.root / table / f"snap-{sid}"
+                if d.exists():
+                    out.append(str(d))
+        return out
+
     # -- read path ----------------------------------------------------------
     def read(self, spark: SparkSession, table: str, as_of: int | None = None,
              schema: str | None = None) -> DataFrame | None:

@@ -274,6 +274,66 @@ def test_e2e_photo_barrier(crawl_result):
     assert bad.count() == 0
 
 
+def test_e2e_incremental_bloom(crawl_result, spark, sf_dir, tmp_path_factory,
+                               monkeypatch):
+    """C1-scale: the seen-bloom is maintained incrementally — one partial
+    per wave over that wave's keys only, never a rescan of the seen table —
+    persisted per snapshot, reloadable after a restart, and semantically
+    identical to the exact-anti-join run."""
+    import crawler_spark.plans.crawl_job as cj
+
+    calls: list[int] = []
+    real = cj.build_bloom_into
+
+    def spy(df, proto, key="url_hash"):
+        calls.append(df.count())
+        return real(df, proto, key)
+
+    monkeypatch.setattr(cj, "build_bloom_into", spy)
+
+    ref_job, _, n_docs = crawl_result
+    pages = ref_job.pages
+    store = str(tmp_path_factory.mktemp("bloomstore"))
+    job = CrawlJob(spark, store, pages, wave_seconds=10**9, use_bloom=True,
+                   prewarm=False)
+    job.seed_frontier(ref_job.store.read(spark, "frontier", as_of=0))
+    job.crawl(max_waves=10)
+
+    n_waves = job.store.latest_snapshot_id("seen") + 1
+    # exactly one partial build per wave, each over that wave's rows only;
+    # summed they cover the seen table once — no wave rescanned history
+    assert len(calls) == n_waves
+    assert sum(calls) == job.seen_set().count()
+    # one persisted blob per wave (crash-safe incremental state)
+    blobs = sorted((job.store.root / "seen_bloom").glob("merged-*.bin"))
+    assert len(blobs) == n_waves
+
+    # restart: a fresh job loads the blob — no partial build, no table read
+    calls.clear()
+    job2 = CrawlJob(spark, store, pages, wave_seconds=10**9, use_bloom=True,
+                    prewarm=False)
+    bloom = job2._bloom_sync()
+    assert calls == [] and job2._bloom_snap == n_waves - 1
+    assert bloom is not None
+
+    # blobs lost (legacy store): one top-up build from the snapshot dirs
+    for b in blobs:
+        b.unlink()
+    job3 = CrawlJob(spark, store, pages, wave_seconds=10**9, use_bloom=True,
+                    prewarm=False)
+    job3._bloom_sync()
+    assert len(calls) == 1 and sum(calls) == job.seen_set().count()
+
+    # semantics: identical final state vs the exact-anti-join reference run
+    for getter in ("cards", "seen_set", "missing_set"):
+        da, db = getattr(ref_job, getter)(), getattr(job, getter)()
+        cols = [c for c in da.columns if c != "wave"]
+        assert (
+            da.select(cols).exceptAll(db.select(cols)).count() == 0
+            and db.select(cols).exceptAll(da.select(cols)).count() == 0
+        ), f"{getter} differs between bloom and exact runs"
+
+
 def test_e2e_resume_exactness(spark, sf_dir, tmp_path_factory):
     """North_rule: exact resume from snapshots — run A: all waves in one
     process; run B: one wave, new CrawlJob over the same store, finish.

@@ -37,6 +37,39 @@ def test_fetch_downloaded_uses_broadcast_hash_join(spark, sf_dir):
     assert "Exchange hashpartitioning(url" not in plan
 
 
+def test_fetch_downloaded_large_wave_switches_to_hash_join(spark, sf_dir):
+    """Above the broadcast gate the wave must NOT be broadcast — the join
+    falls back to a hash-partitioned shuffled-hash join (never a broadcast
+    of a multi-GB wave, and never a sort of the payload rows)."""
+    from crawler_spark.operators.fetch import fetch_downloaded
+    from crawler_spark.sources.frontier import frontier_from_range
+    from crawler_spark.sources.pages import build_pages, synthetic_docs_from_range
+
+    docs = synthetic_docs_from_range(spark, 100)
+    pages = build_pages(spark, sf_dir, include_fixtures=False, docs_df=docs)
+    frontier = frontier_from_range(spark, 100_000, 100_050)
+    plan = plan_of(fetch_downloaded(frontier, pages, wave_rows=10_000_000))
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_fetch_downloaded_paths_agree(spark, sf_dir):
+    """e2e equality of the two join strategies on the same wave."""
+    from crawler_spark.operators.fetch import fetch_downloaded
+    from crawler_spark.sources.frontier import frontier_from_range
+    from crawler_spark.sources.pages import build_pages, synthetic_docs_from_range
+
+    docs = synthetic_docs_from_range(spark, 100)
+    pages = build_pages(spark, sf_dir, include_fixtures=False, docs_df=docs)
+    frontier = frontier_from_range(spark, 100_000, 100_050)
+    small = fetch_downloaded(frontier, pages).select("id", "url").collect()
+    large = fetch_downloaded(frontier, pages, wave_rows=10_000_000).select(
+        "id", "url"
+    ).collect()
+    assert sorted(map(tuple, small)) == sorted(map(tuple, large))
+    assert len(small) > 0
+
+
 def test_exact_dedup_has_partial_aggregation(spark, sf_dir):
     from crawler_spark.operators.dedup import exact_dedup
 
