@@ -15,8 +15,11 @@
                     deterministic), only per-row doubles and exact integer
                     aggregates.
 
-Multimodal queries (mapInPandas kernels) have no SQL equivalent and appear
-in ``queries()`` only — the driver records the weaker rows-only check.
+Multimodal queries run Arrow-batched ``mapInPandas`` kernels whose decode
+step is a deterministic byte-arithmetic fake (the container has no codecs) —
+which makes even them exactly oracle-checkable: the DuckDB twin recomputes
+the 8×8 tile / mean-luma / sign-bit phash from ``hex(encode(text))`` byte
+extraction, so all queries carry full oracles.
 """
 
 from __future__ import annotations
@@ -185,6 +188,29 @@ def _simhash_sql() -> str:
   ),
   sh AS (
     SELECT doc_id, ({bit_terms}) AS simhash FROM hashed
+  )"""
+
+
+def _simhash64_sql() -> str:
+    """64-bit simhash as two 32-bit halves (mirrors simhash_signatures64:
+    lo half from h32(t), hi half from h32('x:'||t))."""
+
+    def pack(hs: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_sum(list_transform({hs}, x -> CASE WHEN (x >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) >= 0 THEN {2 ** b}::bigint ELSE 0 END)"
+            for b in range(32)
+        )
+
+    return f"""
+  hashed64 AS (
+    SELECT doc_id,
+           list_transform({_DTOKS}, t -> {_h32('t')}) AS hs_lo,
+           list_transform({_DTOKS}, t -> {_h32("'x:' || t")}) AS hs_hi
+    FROM documents
+  ),
+  sh64 AS (
+    SELECT doc_id, ({pack('hs_hi')}) AS sim_hi, ({pack('hs_lo')}) AS sim_lo
+    FROM hashed64
   )"""
 
 
@@ -655,9 +681,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["emb_cosine_topk"] = emb_cosine_topk
 
     def emb_lsh_topk(spark, sf_dir):
+        # n_planes sized to the corpus via the suggest_n_planes rule
+        # (suggest_n_planes(500) = 7); the operator default (16) targets
+        # 10^8-scale corpora where 2^16 buckets keep in-bucket work bounded
         emb = _emb_double(spark, sf_dir)
         queries_df = emb.where(F.col("vec_id") < 5)
-        return lsh_bucketed_topk(emb, queries_df, k=5, n_planes=6)
+        return lsh_bucketed_topk(emb, queries_df, k=5, n_planes=7,
+                                 multiprobe=True)
 
     q["emb_lsh_topk"] = emb_lsh_topk
 
@@ -671,8 +701,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["emb_ivf_topk"] = emb_ivf_topk
 
     def emb_near_dup(spark, sf_dir):
+        # 12 planes = 4096 buckets: ~N²/2^(p+1) ≈ 30 expected co-bucket
+        # pairs at N=500 — a demo-sized candidate set; the operator default
+        # (16) is the 10^8-scale setting
         return embedding_near_dup(
-            _emb_double(spark, sf_dir), threshold=0.3, n_planes=8
+            _emb_double(spark, sf_dir), threshold=0.3, n_planes=12
         )
 
     q["emb_near_dup"] = emb_near_dup
@@ -895,17 +928,22 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["doc_simhash_near_pairs"] = f"""
-    WITH {_simhash_sql()},
+    WITH {_simhash64_sql()},
     blocks AS (
-      SELECT doc_id, simhash, unnest([
-        {",".join(f"'{i}|' || ((simhash >> {i * 8}) & 255)::varchar" for i in range(4))}
-      ]) AS block FROM sh
+      SELECT doc_id, sim_hi, sim_lo, unnest([
+        '0|' || ((sim_lo >> 0) & 65535)::varchar,
+        '1|' || ((sim_lo >> 16) & 65535)::varchar,
+        '2|' || ((sim_hi >> 0) & 65535)::varchar,
+        '3|' || ((sim_hi >> 16) & 65535)::varchar
+      ]) AS block FROM sh64
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-           bit_count(xor(a.simhash, b.simhash))::int AS hamming
+           (bit_count(xor(a.sim_hi, b.sim_hi))
+            + bit_count(xor(a.sim_lo, b.sim_lo)))::int AS hamming
     FROM blocks a JOIN blocks b USING (block)
     WHERE a.doc_id < b.doc_id
-      AND bit_count(xor(a.simhash, b.simhash)) <= 3
+      AND bit_count(xor(a.sim_hi, b.sim_hi))
+          + bit_count(xor(a.sim_lo, b.sim_lo)) <= 3
     """
 
     o["doc_lang_id"] = f"""
@@ -948,10 +986,18 @@ def oracle_sql() -> dict[str, str]:
 
     o["emb_lsh_topk"] = f"""
     WITH {_EMB_CTE},
-    sk AS (SELECT vec_id, v, {_sketch_sql("v", 6)} AS sketch FROM emb),
-    q AS (SELECT vec_id AS query_id, v AS qv, sketch FROM sk WHERE vec_id < 5),
+    sk AS (SELECT vec_id, v, {_sketch_sql("v", 7)} AS sketch FROM emb),
+    q AS (
+      SELECT query_id, qv, unnest(probes) AS sketch FROM (
+        SELECT vec_id AS query_id, v AS qv,
+               list_prepend(sketch,
+                 list_transform(range(0, 7),
+                   p -> xor(sketch, (1::bigint << p)))) AS probes
+        FROM sk WHERE vec_id < 5
+      ) t
+    ),
     scored AS (
-      SELECT q.query_id, c.vec_id AS neighbor_id,
+      SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id,
              round({_cos_sql("q.qv", "c.v")}, 9) AS cos9
       FROM sk c JOIN q USING (sketch) WHERE c.vec_id <> q.query_id
     ),
@@ -967,15 +1013,13 @@ def oracle_sql() -> dict[str, str]:
 
     o["emb_ivf_topk"] = f"""
     WITH {_EMB_CTE},
-    ranked AS (
-      SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) - 1 AS rn,
-             count(*) OVER () AS total
-      FROM emb
-    ),
     cents AS (
-      SELECT (rn // (total // 8))::int AS centroid_id, v AS cvec
-      FROM ranked
-      WHERE rn % (total // 8) = 0 AND rn // (total // 8) < 8
+      SELECT (row_number() OVER (ORDER BY hk, vec_id) - 1)::int AS centroid_id,
+             v AS cvec
+      FROM (
+        SELECT vec_id, v, {_h32("vec_id::varchar")} AS hk
+        FROM emb ORDER BY hk, vec_id LIMIT 8
+      ) seed
     ),
     assigned AS (
       SELECT vec_id AS neighbor_id, v AS cv,
@@ -1013,9 +1057,60 @@ def oracle_sql() -> dict[str, str]:
     FROM fin WHERE rank <= 5
     """
 
+    # ---- multimodal: exact byte-arithmetic twins of the fake decode kernel.
+    # payload = encode(text,'UTF-8'); decode = the byte stream tiled to an
+    # 8x8 grayscale image (tiled[i] = byte[i % len]); byte i extracted via
+    # hex(encode(text)) so multi-byte text stays byte-exact.
+    _MEDIA_CTE = """
+    m AS (
+      SELECT 'm' || doc_id::varchar AS media_id,
+             hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS len
+      FROM documents
+    )"""
+
+    o["media_image_features"] = f"""
+    WITH {_MEDIA_CTE},
+    tiled AS (
+      SELECT media_id,
+             list_transform(range(0, 64),
+               i -> ('0x' || substr(hx, 2 * (i % len) + 1, 2))::bigint) AS tb
+      FROM m WHERE len > 0
+    ),
+    feat AS (
+      SELECT media_id, tb, list_sum(tb)::double / 64.0 AS luma FROM tiled
+    )
+    SELECT media_id, true AS ok, 8::int AS width, 8::int AS height,
+           round(luma, 6) AS mean_luma,
+           list_sum(list_transform(range(0, 63),
+             i -> CASE WHEN tb[i + 1]::double >= luma
+                       THEN (1::bigint << i) ELSE 0::bigint END))::bigint AS phash,
+           NULL::varchar AS error
+    FROM feat
+    UNION ALL
+    SELECT media_id, false, NULL::int, NULL::int, NULL::double, NULL::bigint,
+           'empty media payload'
+    FROM m WHERE len = 0
+    """
+
+    o["media_frame_sample"] = f"""
+    WITH {_MEDIA_CTE},
+    frames AS (
+      SELECT media_id, hx, len,
+             unnest(range(0, least(greatest(len // 64, 1), 8), 2)) AS frame_idx
+      FROM m WHERE len > 0
+    )
+    SELECT media_id, frame_idx::int AS frame_idx,
+           list_sum(list_transform(range(0, 64),
+             i -> ('0x' || substr(hx,
+                     2 * (frame_idx * 64 + (i % least(64, len - frame_idx * 64))) + 1,
+                     2))::bigint))::bigint AS frame_phash
+    FROM frames
+    """
+
     o["emb_near_dup"] = f"""
     WITH {_EMB_CTE},
-    sk AS (SELECT vec_id, v, {_sketch_sql("v", 8)} AS sketch FROM emb)
+    sk AS (SELECT vec_id, v, {_sketch_sql("v", 12)} AS sketch FROM emb)
     SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
            round({_cos_sql("a.v", "b.v")}, 6) AS cosine
     FROM sk a JOIN sk b USING (sketch)

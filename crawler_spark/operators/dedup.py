@@ -199,37 +199,104 @@ def simhash_dedup(df: DataFrame, text_col: str = "text",
     )
 
 
+def simhash_signatures64(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Relational 64-bit SimHash as TWO 32-bit halves (sim_hi, sim_lo).
+
+    The token's 64-bit hash is (h32('x:'||tok) << 32) | h32(tok); keeping
+    the halves in separate non-negative longs sidesteps int64 sign-bit
+    pitfalls in both engines (bit 63 would flip the sign, making shifts and
+    band masks engine-dependent) while staying bit-for-bit oracle-checkable.
+    Same one-pass shape as :func:`simhash_signatures`: explode distinct
+    tokens, hash once, 64 flat ±1 vote sums in one map-side-combined
+    groupBy.  Returns (id_col, sim_hi, sim_lo).
+    """
+    toks = _ensure_parallelism(df, id_col).select(
+        F.col(id_col),
+        F.explode(distinct_tokens(F.col(text_col))).alias("tok"),
+    )
+    hashed = toks.select(
+        F.col(id_col),
+        h32(F.col("tok")).alias("h_lo"),
+        h32(F.concat(F.lit("x:"), F.col("tok"))).alias("h_hi"),
+    )
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col(half), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v_{half}_{b}")
+            for half in ("h_hi", "h_lo")
+            for b in range(32)
+        ]
+    )
+
+    def _pack(half: str):
+        sim = None
+        for b in range(32):
+            term = F.when(
+                F.col(f"v_{half}_{b}") >= 0, F.lit(2 ** b).cast("long")
+            ).otherwise(F.lit(0))
+            sim = term if sim is None else sim + term
+        return sim
+
+    return votes.select(
+        F.col(id_col), _pack("h_hi").alias("sim_hi"), _pack("h_lo").alias("sim_lo")
+    )
+
+
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) <= max_hamming.
+    """Near-dup pairs with hamming(simhash64) <= max_hamming.
 
-    Candidate generation by 4x 8-bit band blocking (two signatures within
-    hamming 3 of each other must agree on at least one of 4 disjoint bytes
-    — pigeonhole), then exact hamming verify inside the bucket.  Returns
-    (id_a, id_b, hamming).
+    Candidate generation by 4 × 16-bit band blocking over the 64-bit
+    signature: two signatures within hamming 3 must agree on at least one
+    of the 4 disjoint 16-bit blocks (pigeonhole), then exact hamming verify
+    inside the bucket.  Returns (id_a, id_b, hamming).
+
+    Scale math (why 16-bit bands): each band has 2^16 = 65,536 distinct
+    keys, so expected bucket size is N/65,536 and the within-bucket
+    self-join is (N/65,536)² per band — vs the previous 32-bit/8-bit-band
+    scheme whose 256 keys per band collapsed to (N/256)² pairs (already
+    14k pairs at 500 docs).  At 10^8 docs: ~1.5k docs/bucket → ~10^6
+    comparisons per bucket, tractable; the 8-bit scheme would be ~10^11.
     """
-    s = simhash_signatures(df, text_col, id_col)
+    s = simhash_signatures64(df, text_col, id_col)
+    blocks = [
+        F.shiftright(F.col("sim_lo"), 0).bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright(F.col("sim_lo"), 16).bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright(F.col("sim_hi"), 0).bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright(F.col("sim_hi"), 16).bitwiseAND(F.lit(0xFFFF)),
+    ]
     bands = s.select(
         F.col(id_col),
-        "simhash",
+        "sim_hi",
+        "sim_lo",
         F.explode(
             F.array(*[
-                F.concat(
-                    F.lit(f"{i}|"),
-                    F.shiftright(F.col("simhash"), i * 8).bitwiseAND(F.lit(255)).cast("string"),
-                ).alias("k")
-                for i in range(4)
+                F.concat(F.lit(f"{i}|"), blk.cast("string"))
+                for i, blk in enumerate(blocks)
             ])
         ).alias("block"),
     )
-    a = bands.select("block", F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
-    b = bands.select("block", F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    a = bands.select(
+        "block", F.col(id_col).alias("id_a"),
+        F.col("sim_hi").alias("hi_a"), F.col("sim_lo").alias("lo_a"),
+    )
+    b = bands.select(
+        "block", F.col(id_col).alias("id_b"),
+        F.col("sim_hi").alias("hi_b"), F.col("sim_lo").alias("lo_b"),
+    )
     return (
         a.join(b, "block")
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a", "id_b",
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+            (
+                F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+                + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+            ).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
         .distinct()
@@ -277,15 +344,18 @@ def ngram_jaccard_pairs(df: DataFrame, candidates: DataFrame,
 
 def embedding_near_dup(emb: DataFrame, vec_col: str = "embedding",
                        id_col: str = "vec_id", threshold: float = 0.95,
-                       n_planes: int = 8) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via random-hyperplane LSH.
+                       n_planes: int = 16) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via sign-sketch LSH.
 
-    Bucket by an ``n_planes``-bit sign sketch (hyperplane normals derived
-    from the deterministic h32 stream so the oracle can reproduce them),
+    Bucket by an ``n_planes``-bit deterministic sign sketch (coordinate
+    comparisons, so the oracle reproduces it with plain list indexing),
     then exact cosine inside the bucket.  Returns (id_a, id_b, cosine).
 
     Scale: the sketch is the shuffle key; exact cosine runs only within a
-    bucket (expected size |corpus| / 2^n_planes per bucket).
+    bucket (expected size |corpus| / 2^n_planes).  Default 16 planes =
+    65,536 buckets — at 10^8 vectors ~1.5k/bucket → ~10^6 in-bucket
+    comparisons; 8 planes (256 buckets) would be (N/256)², a scale-killer.
+    Recall is a knob: fewer planes → bigger buckets → higher recall.
     """
     from .similarity import cosine_expr, sketch_expr
 

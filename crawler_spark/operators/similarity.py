@@ -60,6 +60,25 @@ def sketch_expr(vec: Column, n_planes: int = 8) -> Column:
     return out
 
 
+def suggest_n_planes(corpus_rows: int, target_candidates: int = 32,
+                     multiprobe: bool = True) -> int:
+    """Plane count sizing rule: smallest p whose expected candidate count
+    per query — N·(1+p)/2^p with hamming-1 multi-probe, N/2^p without —
+    stays at or under ``target_candidates``.
+
+    The bucket count must scale with the corpus: 500 vectors want ~8
+    planes, 10^8 vectors want ~27 — a fixed small p collapses to
+    (N/2^p)² in-bucket work at scale, a fixed large p starves small
+    corpora of candidates (recall → 0).
+    """
+    n = max(corpus_rows, 1)
+    for p in range(1, 33):
+        probes = (1 + p) if multiprobe else 1
+        if n * probes / (2 ** p) <= target_candidates:
+            return p
+    return 32
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Exact brute-force cosine top-k per query.
@@ -125,22 +144,33 @@ def assign_centroids(df: DataFrame, centroids: DataFrame,
 
 def pick_centroids(corpus: DataFrame, n_centroids: int = 8,
                    vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """Deterministic centroid seed: every (|corpus|/n)-th vector by id.
+    """Deterministic centroid seed: the ``n_centroids`` vectors with the
+    smallest ``(h32(id), id)`` key.
+
+    ``orderBy().limit(n)`` compiles to TakeOrderedAndProject — a map-side
+    partial top-k per partition merged on the driver — so there is NO
+    global sort and NO single-partition window anywhere (the previous
+    ``Window.orderBy(id)`` funneled the whole corpus through one task; a
+    scale-killer, asserted gone in tests/test_plans.py).  The portable h32
+    key makes the pick a uniform pseudo-random sample of the corpus while
+    staying bit-reproducible in the DuckDB oracle.  Exactly ``n_centroids``
+    rows reach the driver — constant, never corpus-sized; a corpus smaller
+    than ``n_centroids`` simply yields fewer centroids (no division edge).
 
     A k-means refinement would iterate assign→mean; the seed alone already
     gives the IVF bucketing structure (and stays fully deterministic)."""
-    w = Window.orderBy(F.col(id_col))
-    ranked = corpus.select(F.col(id_col), F.col(vec_col)).withColumn(
-        "rn", F.row_number().over(w) - 1
+    from ..functions.text import h32
+
+    picked = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("hk", h32(F.col(id_col).cast("string")))
+        .orderBy(F.col("hk").asc(), F.col(id_col).asc())
+        .limit(n_centroids)
+        .collect()
     )
-    total = corpus.count()
-    step = max(total // n_centroids, 1)
-    return (
-        ranked.where((F.col("rn") % step == 0) & (F.col("rn") / step < n_centroids))
-        .select(
-            (F.col("rn") / step).cast("int").alias("centroid_id"),
-            F.col(vec_col).alias("cvec"),
-        )
+    rows = [(cid, list(r[vec_col])) for cid, r in enumerate(picked)]
+    return corpus.sparkSession.createDataFrame(
+        rows, "centroid_id int, cvec array<double>"
     )
 
 
@@ -200,19 +230,38 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                       vec_col: str = "embedding", id_col: str = "vec_id",
-                      n_planes: int = 6) -> DataFrame:
-    """Approximate top-k: candidates limited to the query's sketch bucket.
+                      n_planes: int = 16, multiprobe: bool = True) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's sketch bucket —
+    plus, with ``multiprobe``, every bucket at hamming distance 1 from it.
 
     Same output shape as :func:`cosine_topk`; recall measured (not asserted
     =1) in tests.  At scale the corpus is bucketed once (write-side
-    partitionBy(sketch)), each query probes exactly one partition — the
-    cross-join shrinks by ~2^n_planes.
+    partitionBy(sketch)); a query probes 1 + n_planes of the 2^n_planes
+    buckets, so the candidate set is ~(1+n_planes)/2^n_planes of the
+    corpus.  Default 16 planes = 65,536 buckets keeps in-bucket work
+    (N/65,536 candidates per probe) tractable at 10^8+ vectors, and
+    multi-probe buys back the recall that finer bucketing costs — the
+    standard trade vs the old 6-plane/64-bucket default whose buckets held
+    N/64 vectors (quadratic blowup at scale).
     """
-    q = queries.select(
+    q_sketch = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         sketch_expr(F.col(vec_col), n_planes).alias("sketch"),
     )
+    if multiprobe:
+        probes = F.array(
+            F.col("sketch"),
+            *[
+                F.col("sketch").bitwiseXOR(F.lit(2 ** p).cast("long"))
+                for p in range(n_planes)
+            ],
+        )
+        q = q_sketch.select(
+            "query_id", "qv", F.explode(probes).alias("sketch")
+        )
+    else:
+        q = q_sketch
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
@@ -226,6 +275,8 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             "neighbor_id",
             F.round(cosine_expr(F.col("qv"), F.col("cv")), 9).alias("cos9"),
         )
+        # a neighbor can surface in several probe buckets — dedup before rank
+        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos9").desc(), F.col("neighbor_id").asc()

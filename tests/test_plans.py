@@ -103,6 +103,20 @@ def test_minhash_pipeline_stays_in_codegen(spark, sf_dir):
     assert "partial_min" in plan                     # map-side combine
 
 
+def test_ivf_plan_has_no_global_window(spark, sf_dir):
+    """Every window in the IVF plan must be partitioned (per query_id) —
+    a partition-less Window.orderBy funnels the corpus through one task."""
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()["emb_ivf_topk"](spark, sf_dir)
+    plan = plan_of(q)
+    specs = plan.split("windowspecdefinition(")[1:]
+    assert specs, "expected windows for the per-query top-k"
+    for frag in specs:
+        head = frag.split(",")[0]
+        assert "query_id" in head, f"unpartitioned window found: {frag[:80]}"
+
+
 def test_doc_token_stats_prunes_text_dependencies_only(spark, sf_dir):
     """Aggregation query reads only the columns it needs from parquet."""
     import __spark_entry__ as entrymod

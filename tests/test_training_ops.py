@@ -153,6 +153,62 @@ def test_embedding_near_dup(emb):
     assert (1, 41) in pairs
 
 
+def test_lsh_recall_measured_at_sf01(spark):
+    """Recall gauge at sf0.1 (2000 vectors), planes sized by the
+    suggest_n_planes rule.
+
+    Two populations: (a) planted near-duplicates (cosine ≈ 0.999) — the
+    workload LSH bucketing is for — must be retrieved with high recall;
+    (b) arbitrary nearest neighbors of isotropic random vectors — reported
+    for the record (sign sketches are weak there by construction, which is
+    why `cosine_topk` stays the exactness baseline).  Multi-probe may only
+    add candidates, so its recall dominates single-probe.
+    """
+    import numpy as np
+
+    from crawler_spark.operators.similarity import suggest_n_planes
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    base = emb.where(F.col("vec_id") < 50).collect()
+    rng = np.random.RandomState(11)
+    planted = []
+    for r in base:
+        v = np.array(r["embedding"]) + rng.randn(64) * 0.02
+        planted.append((int(r["vec_id"]) + 100_000, [float(x) for x in v]))
+    corpus = emb.unionByName(
+        spark.createDataFrame(planted, "vec_id long, embedding array<double>")
+    )
+    n = corpus.count()
+    planes = suggest_n_planes(n)
+    queries = emb.where(F.col("vec_id") < 20)
+
+    def pairs(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    exact = pairs(cosine_topk(corpus, queries, k=5))
+    multi = pairs(lsh_bucketed_topk(corpus, queries, k=5, n_planes=planes,
+                                    multiprobe=True))
+    single = pairs(lsh_bucketed_topk(corpus, queries, k=5, n_planes=planes,
+                                     multiprobe=False))
+    overall = len(exact & multi) / len(exact)
+    overall_single = len(exact & single) / len(exact)
+
+    want = {(q, q + 100_000) for q in range(20)}  # each query's planted dup
+    planted_multi = len(want & multi) / len(want)
+    planted_single = len(want & single) / len(want)
+    print(
+        f"lsh recall@5 sf0.1 planes={planes}: planted multi={planted_multi:.2f} "
+        f"single={planted_single:.2f}; overall multi={overall:.2f} "
+        f"single={overall_single:.2f}"
+    )
+    assert planted_multi >= 0.7       # near-dups land in the probed buckets
+    assert planted_multi >= planted_single
+    assert overall >= overall_single  # multi-probe only widens the candidates
+
+
 # ---------------------------------------------------------------- text analysis
 
 def test_lang_id_rules(spark):
