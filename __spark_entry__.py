@@ -584,6 +584,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["union_top50_known"] = union_top50_known
 
+    def discovery_probe_window(spark, sf_dir):
+        # D3 single-cycle projection (NewCards.fs:102-151): from the largest
+        # verified known id L, probe every tens-prefix in
+        # [L/10 .. (L+lookahead)/10] against the universe in ONE job, keep
+        # discovered ids > L.  Universe ≙ orders, id ≙ o_orderkey;
+        # the crawl-path twin is plans/discovery.get_new_cards_from_check_api.
+        largest, lookahead = 1_000, 300
+        lo, hi = largest // 10, (largest + lookahead) // 10
+        probes = spark.range(lo, hi + 1).select(F.col("id").alias("prefix"))
+        return (
+            _t(spark, sf_dir, "orders")
+            .select(F.col("o_orderkey").alias("num"))
+            .withColumn("prefix", F.floor(F.col("num") / 10).cast("long"))
+            .join(F.broadcast(probes), "prefix")
+            .where(F.col("num") > largest)
+            .select("num")
+            .distinct()
+        )
+
+    q["discovery_probe_window"] = discovery_probe_window
+
     def rollup_counts(spark, sf_dir):
         # grouping-sets surface: counts per (event_type, hour) with rollup
         _utc(spark)
@@ -882,6 +903,13 @@ def oracle_sql() -> dict[str, str]:
       UNION
       SELECT l_orderkey AS id FROM lineitem
     ) t ORDER BY id DESC LIMIT 50
+    """
+
+    o["discovery_probe_window"] = """
+    SELECT DISTINCT o_orderkey AS num
+    FROM orders
+    JOIN generate_series(100, 130) p(prefix) ON o_orderkey // 10 = p.prefix
+    WHERE o_orderkey > 1000
     """
 
     o["rollup_counts"] = """

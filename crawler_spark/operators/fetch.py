@@ -50,19 +50,42 @@ def max_attempts(delay_unit_ms: int = DELAY_UNIT_MS,
     return k
 
 
-def within_retry_budget(attempt: Column) -> Column:
+def within_retry_budget(attempt: Column,
+                        delay_unit_ms: int = DELAY_UNIT_MS,
+                        max_delay_ms: int = MAX_PERMITTED_DELAY_MS) -> Column:
     """F2 budget predicate — attempt is 0-based retry index."""
-    return attempt < F.lit(max_attempts())
+    return attempt < F.lit(max_attempts(delay_unit_ms, max_delay_ms))
+
+
+def _mime_col(pages_df: DataFrame):
+    """mime column of the fetch universe, if it carries one (the minimum
+    input_hint shape has none; our synthetic corpus records the Content-Type
+    the reference captures at Downloader.fs:114)."""
+    return F.col("mime") if "mime" in pages_df.columns else F.lit(None).cast(
+        "string"
+    ).alias("mime")
+
+
+def _fault_active(frontier_df: DataFrame):
+    """Transport-error predicate after a faults join: the url fails while
+    its configured fail_attempts exceeds the row's attempt counter."""
+    attempt = (
+        F.col("attempt") if "attempt" in frontier_df.columns else F.lit(0)
+    )
+    return F.col("fail_attempts").isNotNull() & (F.col("fail_attempts") > attempt)
 
 
 def fetch_wave(frontier_df: DataFrame, pages_df: DataFrame,
-               payload: bool = True) -> DataFrame:
+               payload: bool = True,
+               faults_df: DataFrame | None = None) -> DataFrame:
     """One fetch micro-batch: frontier ⟕ pages on url.
 
-    Adds: fetch_status ∈ {downloaded, absent} and, when ``payload``,
-    html/text/warc_ts.  (An `error` status would come from a live-fetch
-    transport layer; the deterministic corpus has no transport errors —
-    Downloader.fs:118-120.)
+    Adds: fetch_status ∈ {downloaded, absent, error} and, when ``payload``,
+    warc_ts/html/text/mime.  ``faults_df`` (url, fail_attempts) injects the
+    live-transport ``error`` arm (Downloader.fs:118-120): a faulted url
+    reports ``error`` until the row's attempt counter reaches
+    fail_attempts — the deterministic stand-in for a server 5xx that heals
+    after N retries, making the F2 fibonacci-budget path testable e2e.
 
     ``payload=False`` joins against a url-presence projection only — for
     consumers that need statuses, not bytes (seen/missing/log bookkeeping);
@@ -71,34 +94,43 @@ def fetch_wave(frontier_df: DataFrame, pages_df: DataFrame,
     which never shuffles the pages side at all.
     """
     frontier_cols = frontier_df.columns
+    if faults_df is not None:
+        frontier = frontier_df.join(F.broadcast(faults_df), "url", "left")
+        erroring = _fault_active(frontier_df)
+    else:
+        frontier = frontier_df
+        erroring = F.lit(False)
     if payload:
         pages_cols = pages_df.select(
             "url",
             F.col("warc_ts"),
             F.col("html"),
             F.col("text").alias("page_text"),
+            _mime_col(pages_df).alias("page_mime"),
         )
-        joined = frontier_df.join(pages_cols, "url", "left")
+        joined = frontier.join(pages_cols, "url", "left")
         out = joined.withColumn(
             "fetch_status",
-            F.when(F.col("html").isNotNull(), F.lit(STATUS_DOWNLOADED)).otherwise(
-                F.lit(STATUS_ABSENT)
-            ),
+            F.when(erroring, F.lit(STATUS_ERROR))
+            .when(F.col("html").isNotNull(), F.lit(STATUS_DOWNLOADED))
+            .otherwise(F.lit(STATUS_ABSENT)),
         ).withColumn(
             # P17: canonical text = UTF-8 decode of bytes; prefer the corpus's
             # pre-decoded text column when present (identical by construction)
             "text",
             F.coalesce(F.col("page_text"), F.decode(F.col("html"), "UTF-8")),
-        ).drop("page_text")
-        return out.select(*frontier_cols, "warc_ts", "html", "text", "fetch_status")
+        ).withColumn("mime", F.col("page_mime"))
+        return out.select(
+            *frontier_cols, "warc_ts", "html", "text", "mime", "fetch_status"
+        )
 
     pages_cols = pages_df.select("url", F.lit(True).alias("__present"))
-    joined = frontier_df.join(pages_cols, "url", "left")
+    joined = frontier.join(pages_cols, "url", "left")
     out = joined.withColumn(
         "fetch_status",
-        F.when(F.col("__present"), F.lit(STATUS_DOWNLOADED)).otherwise(
-            F.lit(STATUS_ABSENT)
-        ),
+        F.when(erroring, F.lit(STATUS_ERROR))
+        .when(F.col("__present"), F.lit(STATUS_DOWNLOADED))
+        .otherwise(F.lit(STATUS_ABSENT)),
     ).drop("__present")
     return out.select(*frontier_cols, "fetch_status")
 
@@ -112,7 +144,8 @@ BROADCAST_MAX_WAVE_ROWS = 2_000_000
 
 def fetch_downloaded(frontier_df: DataFrame, pages_df: DataFrame,
                      wave_rows: int | None = None,
-                     broadcast_max_rows: int = BROADCAST_MAX_WAVE_ROWS) -> DataFrame:
+                     broadcast_max_rows: int = BROADCAST_MAX_WAVE_ROWS,
+                     faults_df: DataFrame | None = None) -> DataFrame:
     """Payload fetch of the PRESENT urls only (inner join, frontier build side).
 
     This is the hot path feeding the parser/validator (absent rows come from
@@ -131,11 +164,20 @@ def fetch_downloaded(frontier_df: DataFrame, pages_df: DataFrame,
     Both paths are semantically identical (asserted in tests/test_plans.py).
     """
     frontier_cols = frontier_df.columns
+    if faults_df is not None:
+        # currently-erroring urls yield no payload this wave (they re-enter
+        # via the retry path) — drop them from the build side up front
+        frontier_df = (
+            frontier_df.join(F.broadcast(faults_df), "url", "left")
+            .where(~_fault_active(frontier_df))
+            .drop("fail_attempts")
+        )
     pages_cols = pages_df.select(
         "url",
         F.col("warc_ts"),
         F.col("html"),
         F.col("text").alias("page_text"),
+        _mime_col(pages_df).alias("page_mime"),
     )
     if wave_rows is not None and wave_rows > broadcast_max_rows:
         joined = pages_cols.join(frontier_df.hint("shuffle_hash"), "url", "inner")
@@ -144,5 +186,7 @@ def fetch_downloaded(frontier_df: DataFrame, pages_df: DataFrame,
     out = joined.withColumn("fetch_status", F.lit(STATUS_DOWNLOADED)).withColumn(
         "text",
         F.coalesce(F.col("page_text"), F.decode(F.col("html"), "UTF-8")),
-    ).drop("page_text")
-    return out.select(*frontier_cols, "warc_ts", "html", "text", "fetch_status")
+    ).withColumn("mime", F.col("page_mime"))
+    return out.select(
+        *frontier_cols, "warc_ts", "html", "text", "mime", "fetch_status"
+    )

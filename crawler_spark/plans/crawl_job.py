@@ -12,8 +12,9 @@ wave k:
              photo fan-out (J1) enqueued for wave k+1
      photos: downloaded → image validation (P18) → `card_photos` append
      absent  → `missing` append  (MissingResourceTracker semantics)
-  6. `seen` append (url_hash of everything fetched), `crawl_log` append
-     (wave, seq, id, status, error) — the crawl-order evidence
+  6. `seen` append (url_hash of everything successfully stored — absent
+     lives in `missing`, transport errors stay out so retries can re-fetch),
+     `crawl_log` append (wave, seq, id, status, error) — crawl-order evidence
   7. new frontier snapshot = deferred ∪ fan-out ∪ in-budget retries
 
 Every table is a SnapshotStore (Iceberg-contract) table; killing the job
@@ -64,7 +65,10 @@ class CrawlJob:
                  wave_seconds: int = 3600, robots_df: DataFrame | None = None,
                  use_bloom: bool = False, salted: bool = False,
                  prewarm: bool = True, bloom_capacity: int = 2_000_000,
-                 bloom_fpp: float = 0.01, bloom_shards: int = 32):
+                 bloom_fpp: float = 0.01, bloom_shards: int = 32,
+                 faults_df: DataFrame | None = None,
+                 retry_delay_unit_ms: int | None = None,
+                 retry_max_delay_ms: int | None = None):
         self.spark = spark
         self.store = SnapshotStore(store_dir)
         self.pages = pages_df
@@ -72,6 +76,13 @@ class CrawlJob:
         self.robots = robots_df
         self.use_bloom = use_bloom
         self.salted = salted
+        # F2 fault/retry surface: faults_df (url, fail_attempts) injects
+        # transport errors; the fib budget parameters default to the
+        # reference's 100ms unit / 180s cap (Downloader.fs:134-137)
+        self.faults = faults_df
+        from ..operators.fetch import DELAY_UNIT_MS, MAX_PERMITTED_DELAY_MS
+        self.retry_delay_unit_ms = retry_delay_unit_ms or DELAY_UNIT_MS
+        self.retry_max_delay_ms = retry_max_delay_ms or MAX_PERMITTED_DELAY_MS
         # incremental seen-bloom state: the merged filter and the seen
         # snapshot id it covers; persisted per wave under seen_bloom/ so a
         # resumed job reloads it instead of rescanning the seen table
@@ -260,7 +271,9 @@ class CrawlJob:
         # payload-bearing join is streamed straight into its single consumer
         # instead of being materialized.  At 100 TB caching payloads would be
         # the memory bottleneck; this shape never holds a page after use.
-        fetched = fetch_wave(batch, self.pages, payload=False).cache()
+        fetched = fetch_wave(
+            batch, self.pages, payload=False, faults_df=self.faults
+        ).cache()
         # materialize the slim cache + wave counts in ONE job, so the heavy
         # payload paths below can be skipped entirely when their input is
         # empty (a pages scan per skipped path saved — e.g. photo-only waves)
@@ -299,12 +312,12 @@ class CrawlJob:
             # hash-partitioned join for waves too big to broadcast
             parsed_src = fetch_downloaded(
                 batch.where(F.col("resource_type") == "card"), self.pages,
-                wave_rows=n_cards_wave,
+                wave_rows=n_cards_wave, faults_df=self.faults,
             )
         else:
             parsed_src = self.spark.createDataFrame(
                 [], FRONTIER_SCHEMA + ", warc_ts timestamp, html binary, "
-                    "text string, fetch_status string"
+                    "text string, mime string, fetch_status string"
             )
         parsed = (
             with_parsed_card(parsed_src, "text")
@@ -343,19 +356,25 @@ class CrawlJob:
         if n_photos_dl:
             photos_src = fetch_downloaded(
                 batch.where(F.col("resource_type") == "photo"), self.pages,
-                wave_rows=n_photos_wave,
+                wave_rows=n_photos_wave, faults_df=self.faults,
             )
         else:
             photos_src = self.spark.createDataFrame(
                 [], FRONTIER_SCHEMA + ", warc_ts timestamp, html binary, "
-                    "text string, fetch_status string"
+                    "text string, mime string, fetch_status string"
             )
+        from ..operators.photos import mime_to_ext
+
         photo_results = validate_image(photos_src).select(
             F.split(F.col("id"), "/")[0].alias("card_id"),
             F.col("seq"),
             F.col("id").alias("photo_id"),
             F.col("url"),
             F.col("image_ok"),
+            # K1/K2 mime sidecar (FileCollector.fs:36-40, captured at
+            # Downloader.fs:114) + extension mapping (Images.fs:26-34)
+            F.col("mime"),
+            mime_to_ext(F.col("mime")).alias("ext"),
             F.when(~F.col("image_ok"), F.lit("Resource is not a valid image")).alias("error"),
         )
 
@@ -369,9 +388,12 @@ class CrawlJob:
         # cache the cards commit materializes.
         from concurrent.futures import ThreadPoolExecutor
 
-        seen_rows = fetched.select(
-            F.col("url_hash"), F.col("id"), F.lit(wave).alias("wave")
-        )
+        # seen = successfully STORED resources ({dirs created} in the
+        # reference) — absent goes to `missing`, transport errors stay out
+        # entirely so the retry path can re-fetch them next wave
+        seen_rows = fetched.where(
+            F.col("fetch_status") == "downloaded"
+        ).select(F.col("url_hash"), F.col("id"), F.lit(wave).alias("wave"))
         with ThreadPoolExecutor(max_workers=4) as pool:
             futures = [
                 pool.submit(self.store.commit, "cards", parsed.drop("url")),
@@ -388,7 +410,10 @@ class CrawlJob:
             # fold ONLY this wave's keys into the persisted merged filter —
             # the seen table itself is never rescanned after wave 0
             self._bloom_add_wave(
-                fetched.select("url_hash"), futures[3].result()
+                fetched.where(F.col("fetch_status") == "downloaded").select(
+                    "url_hash"
+                ),
+                futures[3].result(),
             )
         t0 = _mark("parallel_commits", t0)
 
@@ -422,7 +447,13 @@ class CrawlJob:
         frontier_cols = [c.split(" ")[0] for c in FRONTIER_SCHEMA.split(", ")]
         retries = (
             fetched.where(F.col("fetch_status") == "error")
-            .where(within_retry_budget(F.col("attempt")))
+            .where(
+                within_retry_budget(
+                    F.col("attempt"),
+                    self.retry_delay_unit_ms,
+                    self.retry_max_delay_ms,
+                )
+            )
             .withColumn("attempt", F.col("attempt") + 1)
             .select(*frontier_cols)
         )
@@ -476,7 +507,7 @@ class CrawlJob:
         return self._read(
             "card_photos",
             "card_id string, seq long, photo_id string, url string, "
-            "image_ok boolean, error string",
+            "image_ok boolean, mime string, ext string, error string",
         )
 
     def seen_set(self) -> DataFrame:

@@ -222,6 +222,7 @@ def synthetic_card_pages(spark: SparkSession, sf_dir: str,
             F.encode(page_text, "UTF-8").alias("html"),
             page_text.alias("text"),
             F.coalesce(F.col("lang"), F.lit("ru")).alias("lang"),
+            F.lit("text/html; charset=utf-8").alias("mime"),
         )
     )
 
@@ -253,6 +254,7 @@ def synthetic_photo_pages(spark: SparkSession, sf_dir: str,
         F.concat(F.encode(F.lit("RIFF\x00\x00\x00\x00"), "UTF-8"), F.encode(payload, "UTF-8")).alias("html"),
         F.lit(None).cast("string").alias("text"),
         F.lit(None).cast("string").alias("lang"),
+        F.lit("image/webp").alias("mime"),
     )
 
 
@@ -364,6 +366,7 @@ def synthetic_catalog_pages(spark: SparkSession, sf_dir: str,
         F.encode(F.col("html_text"), "UTF-8").alias("html"),
         F.col("html_text").alias("text"),
         F.lit("ru").alias("lang"),
+        F.lit("text/html; charset=utf-8").alias("mime"),
     )
 
 
@@ -442,6 +445,7 @@ def synthetic_checkapi_pages(spark: SparkSession, sf_dir: str,
         F.encode(F.col("json_text"), "UTF-8").alias("html"),
         F.col("json_text").alias("text"),
         F.lit(None).cast("string").alias("lang"),
+        F.lit("application/json").alias("mime"),
     )
 
 
@@ -459,6 +463,7 @@ def fixture_pages(spark: SparkSession) -> DataFrame:
         "html",
         "text",
         F.lit("ru").alias("lang"),
+        F.lit("text/html; charset=utf-8").alias("mime"),
     )
 
 

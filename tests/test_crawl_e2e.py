@@ -274,6 +274,77 @@ def test_e2e_photo_barrier(crawl_result):
     assert bad.count() == 0
 
 
+def test_e2e_photo_mime_and_ext(crawl_result):
+    """K1/K2 mime sidecar semantics (FileCollector.fs:36-40, mime captured
+    at Downloader.fs:114) + mimeToExt mapping (Images.fs:26-34): every
+    stored photo carries the corpus Content-Type and its mapped extension."""
+    job, _, _ = crawl_result
+    photos = job.card_photos().collect()
+    assert photos
+    for r in photos:
+        assert r["mime"] == "image/webp"
+        assert r["ext"] == "webp"
+
+
+def test_e2e_retry_fib_budget(spark, sf_dir, tmp_path_factory):
+    """F2 e2e (Downloader.fs:154-182): a transport-erroring url re-enters
+    the next wave with attempt+1 until it heals or the fibonacci delay
+    budget is exhausted.
+
+    unit=30s → budget = fibs {1,1,2,3,5}×30s ≤ 180s → 5 attempts.
+    Card A heals after 2 failures (succeeds on attempt 2); card B always
+    fails and must be given up after exactly 5 attempts.
+    """
+    from crawler_spark.functions.url import card_id_to_url
+    from crawler_spark.operators.fetch import max_attempts
+
+    assert max_attempts(30_000, 180_000) == 5
+
+    docs = __import__(
+        "crawler_spark.sources.pages", fromlist=["synthetic_docs_from_range"]
+    ).synthetic_docs_from_range(spark, 10)
+    pages = build_pages(spark, "", include_fixtures=False, docs_df=docs)
+    url_a = spark.range(1).select(
+        card_id_to_url(F.lit(f"rf{NUM_BASE + 2}")).alias("url")
+    ).collect()[0]["url"]
+    url_b = spark.range(1).select(
+        card_id_to_url(F.lit(f"rl{NUM_BASE + 3}")).alias("url")
+    ).collect()[0]["url"]
+    faults = spark.createDataFrame(
+        [(url_a, 2), (url_b, 999)], "url string, fail_attempts int"
+    )
+    job = CrawlJob(
+        spark, str(tmp_path_factory.mktemp("faults")), pages,
+        wave_seconds=10**9, faults_df=faults,
+        retry_delay_unit_ms=30_000, prewarm=False,
+    )
+    job.seed_range(NUM_BASE, NUM_BASE + 9)
+    job.crawl(max_waves=20)
+
+    assert job.pending_frontier().isEmpty()
+    log = job.crawl_log()
+
+    # card A: exactly 2 error rows, then downloaded on attempt 2 → parsed
+    a_id = f"rf{NUM_BASE + 2}"
+    a_log = log.where(F.col("id") == a_id).collect()
+    assert sorted(r["status"] for r in a_log) == ["downloaded", "error", "error"]
+    assert job.cards().where(
+        (F.col("id") == a_id) & F.col("error").isNull()
+    ).count() == 1
+    assert job.seen_set().where(F.col("id") == a_id).count() == 1
+
+    # card B: the initial attempt + 5 in-budget retries = 6 error rows
+    # (an error at retry index i re-enters iff fib[i]*unit <= cap,
+    # Downloader.fs:162-169), then given up — never stored, never marked
+    # seen or missing (the reference reports the error and moves on)
+    b_id = f"rl{NUM_BASE + 3}"
+    b_log = log.where(F.col("id") == b_id).collect()
+    assert [r["status"] for r in b_log] == ["error"] * 6
+    assert job.cards().where(F.col("id") == b_id).count() == 0
+    assert job.seen_set().where(F.col("id") == b_id).count() == 0
+    assert job.missing_set().where(F.col("id") == b_id).count() == 0
+
+
 def test_e2e_incremental_bloom(crawl_result, spark, sf_dir, tmp_path_factory,
                                monkeypatch):
     """C1-scale: the seen-bloom is maintained incrementally — one partial
