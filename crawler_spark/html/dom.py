@@ -44,9 +44,17 @@ _SELF_NESTING_CLOSERS = {
 
 
 class Node:
-    """One element / text node.  ``tag`` is None for text nodes."""
+    """One element / text node.  ``tag`` is None for text nodes.
 
-    __slots__ = ("tag", "attrs", "children", "parent", "text")
+    ``_start``/``_end`` are document-order subtree spans (element counter at
+    open / after close), letting the lazy per-document query index answer
+    "descendant of X" by interval containment instead of re-walking the
+    tree for every selector (the parse kernel runs ~20 selector scans per
+    card — the index makes each one a dict lookup + span filter).
+    """
+
+    __slots__ = ("tag", "attrs", "children", "parent", "text",
+                 "_start", "_end", "_index")
 
     def __init__(self, tag, attrs=None, parent=None, text=None):
         self.tag = tag
@@ -54,6 +62,9 @@ class Node:
         self.children = []
         self.parent = parent
         self.text = text
+        self._start = 0
+        self._end = 0
+        self._index = None  # on the document root: (class_index, tag_index)
 
     # -- HAP-compatible accessors -------------------------------------------------
     def inner_text(self):
@@ -90,20 +101,66 @@ class Node:
                 yield n
                 stack.extend(reversed(n.children))
 
+    def _document_index(self):
+        """Lazy whole-document (class→nodes, tag→nodes) index on the root —
+        built ONCE per parsed page by a single walk, amortized over every
+        subsequent selector."""
+        root = self
+        while root.parent is not None:
+            root = root.parent
+        if root._index is None:
+            class_index: dict = {}
+            tag_index: dict = {}
+            stack = list(reversed(root.children))
+            while stack:
+                n = stack.pop()
+                if n.tag is None:
+                    continue
+                tag_index.setdefault(n.tag, []).append(n)
+                cls = n.attrs.get("class")
+                if cls is not None:
+                    class_index.setdefault(cls, []).append(n)
+                stack.extend(reversed(n.children))
+            root._index = (class_index, tag_index)
+        return root._index
+
     def find_all(self, tag=None, class_exact=None, class_contains=None):
         """All descendant elements matching tag + class predicate, doc order.
 
         ``class_exact``    → XPath ``[@class='x']`` (whole attribute string equal)
         ``class_contains`` → XPath ``[contains(@class,'x')]`` (raw substring)
+
+        Served from the per-document index: candidate lists are in document
+        order by construction; subtree anchoring is the ``_start``/``_end``
+        span check (strictly inside this node's interval = descendant).
         """
+        class_index, tag_index = self._document_index()
+        if class_exact is not None:
+            candidates = class_index.get(class_exact, ())
+        elif class_contains is not None:
+            lists = [
+                nodes for cls, nodes in class_index.items()
+                if class_contains in cls
+            ]
+            if not lists:
+                candidates = ()
+            elif len(lists) == 1:
+                candidates = lists[0]
+            else:
+                candidates = sorted(
+                    (n for ns in lists for n in ns), key=lambda n: n._start
+                )
+        elif tag is not None:
+            candidates = tag_index.get(tag, ())
+        else:
+            return list(self.iter_descendants())
+        lo, hi = self._start, self._end
+        anchored = self.parent is not None  # document root spans everything
         out = []
-        for n in self.iter_descendants():
+        for n in candidates:
             if tag is not None and n.tag != tag:
                 continue
-            cls = n.attrs.get("class")
-            if class_exact is not None and cls != class_exact:
-                continue
-            if class_contains is not None and (cls is None or class_contains not in cls):
+            if anchored and not (lo < n._start < hi):
                 continue
             out.append(n)
         return out
@@ -131,11 +188,15 @@ class _TreeBuilder(HTMLParser):
         super().__init__(convert_charrefs=False)
         self.root = Node("#document")
         self.stack = [self.root]
+        self._counter = 0  # element doc-order counter for subtree spans
 
     # attribute values arrive entity-DECODED from HTMLParser (matches HAP).
     def handle_starttag(self, tag, attrs):
         self._implied_end(tag)
         node = Node(tag, dict(attrs), parent=self.stack[-1])
+        node._start = self._counter
+        self._counter += 1
+        node._end = self._counter  # final for leaves; re-set at close
         self.stack[-1].children.append(node)
         if tag not in VOID_ELEMENTS:
             self.stack.append(node)
@@ -143,7 +204,15 @@ class _TreeBuilder(HTMLParser):
     def handle_startendtag(self, tag, attrs):
         self._implied_end(tag)
         node = Node(tag, dict(attrs), parent=self.stack[-1])
+        node._start = self._counter
+        self._counter += 1
+        node._end = self._counter
         self.stack[-1].children.append(node)
+
+    def _pop_to(self, i):
+        for n in self.stack[i:]:
+            n._end = self._counter
+        del self.stack[i:]
 
     def handle_endtag(self, tag):
         if tag in VOID_ELEMENTS:
@@ -151,17 +220,17 @@ class _TreeBuilder(HTMLParser):
         # close up to the nearest matching open tag; ignore stray end tags
         for i in range(len(self.stack) - 1, 0, -1):
             if self.stack[i].tag == tag:
-                del self.stack[i:]
+                self._pop_to(i)
                 return
 
     def _implied_end(self, tag):
         top = self.stack[-1].tag
         if top == "p" and tag in _P_CLOSERS:
-            self.stack.pop()
+            self._pop_to(len(self.stack) - 1)
             return
         closers = _SELF_NESTING_CLOSERS.get(tag)
         if closers and top in closers:
-            self.stack.pop()
+            self._pop_to(len(self.stack) - 1)
 
     def _append_text(self, data):
         parent = self.stack[-1]
@@ -189,4 +258,6 @@ def parse_html(text: str) -> Node:
     builder = _TreeBuilder()
     builder.feed(text)
     builder.close()
+    for n in builder.stack:  # unclosed-at-EOF elements span to the end
+        n._end = builder._counter
     return builder.root

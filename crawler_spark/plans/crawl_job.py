@@ -327,6 +327,8 @@ class CrawlJob:
                 # succeeded, else the frontier id so error rows stay addressable
                 F.coalesce(F.col("card.id"), F.col("id")).alias("id"),
                 "url", "num", "kind",
+                # K1 .mime sidecar of the stored card (FileCollector.fs:36-40)
+                "mime",
                 *[F.col(f"card.{c}").alias(c) for c in
                   ("animal", "sex", "type", "address", "latitude", "longitude",
                    "date", "description", "author", "photos", "error")],
@@ -496,7 +498,8 @@ class CrawlJob:
     def cards(self) -> DataFrame:
         return self._read(
             "cards",
-            "seq long, id string, num long, kind string, animal int, sex int, "
+            "seq long, id string, num long, kind string, mime string, "
+            "animal int, sex int, "
             "type int, address string, latitude double, longitude double, "
             "date timestamp, description string, "
             "author struct<name:string,phone:string,email:string>, "

@@ -284,6 +284,9 @@ def test_e2e_photo_mime_and_ext(crawl_result):
     for r in photos:
         assert r["mime"] == "image/webp"
         assert r["ext"] == "webp"
+    # the stored card record carries its Content-Type too (K1 .mime sidecar)
+    cards = job.cards().where(F.col("error").isNull()).limit(5).collect()
+    assert cards and all(r["mime"] == "text/html; charset=utf-8" for r in cards)
 
 
 def test_e2e_retry_fib_budget(spark, sf_dir, tmp_path_factory):
