@@ -16,7 +16,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..functions.url import card_id_to_url, url_hash, url_host
 
@@ -48,19 +47,24 @@ def frontier_from_range(spark: SparkSession, first: int, last: int,
 def frontier_from_ids(ids_df: DataFrame, id_col: str = "id") -> DataFrame:
     """Descriptor DF from arbitrary card ids (discovery output, Program.fs:97).
 
-    Order: numeric id descending (newcards bookkeeping order, Program.fs:123-126).
+    Order: numeric id descending (newcards bookkeeping order,
+    Program.fs:123-126), rf before rl on ties.  ``seq`` only needs to be a
+    unique total-order key in that order — it is computed as the ORDER
+    ENCODING ``(max_num - num)*2 + kind_rank`` (one parallel max aggregate),
+    NOT a row_number over a partition-less window: a global window funnels
+    the whole input through one task, and this function also serves the
+    revalidation sweep whose input is unbounded at scale.
     """
     df = (
         ids_df.select(F.col(id_col).alias("id"))
         .withColumn("num", F.substring("id", 3, 2_000_000).cast("long"))
         .withColumn("kind", F.substring("id", 1, 2))
-        .withColumn(
-            "seq",
-            F.row_number()
-            .over(Window.orderBy(F.col("num").desc(), F.col("kind").asc()))
-            .cast("long")
-            - 1,
-        )
+    )
+    mx = df.agg(F.max("num")).collect()[0][0] or 0
+    df = df.withColumn(
+        "seq",
+        (F.lit(int(mx)) - F.col("num")) * 2
+        + F.when(F.col("kind") == "rl", 1).otherwise(0),
     )
     return _with_url_columns(df).select(
         "seq", "id", "url", "num", "kind", "url_hash", "host",
