@@ -85,10 +85,19 @@ def select_wave_salted(frontier_df: DataFrame, wave_seconds: int = 60,
     budget can overshoot by ≤ n_salts-1 urls per hot host per wave — an
     accepted politeness rounding at scale, never a correctness issue.
     """
-    counts = frontier_df.groupBy("host").agg(F.count("*").alias("__host_n"))
-    df = frontier_df.join(F.broadcast(counts), "host", "left")
-    hot = df.where(F.col("__host_n") >= hot_host_threshold).drop("__host_n")
-    cold = df.where(F.col("__host_n") < hot_host_threshold).drop("__host_n")
+    # broadcast only the HOT host list: hosts above the threshold are few by
+    # definition (at 10^10 urls the full per-host count table could be 10^7+
+    # rows — too big to broadcast; the hot subset is KBs)
+    hot_hosts = (
+        frontier_df.groupBy("host")
+        .agg(F.count("*").alias("__host_n"))
+        .where(F.col("__host_n") >= hot_host_threshold)
+        .select("host")
+        .withColumn("__hot", F.lit(True))
+    )
+    df = frontier_df.join(F.broadcast(hot_hosts), "host", "left")
+    hot = df.where(F.col("__hot").isNotNull()).drop("__hot")
+    cold = df.where(F.col("__hot").isNull()).drop("__hot")
 
     cold_sel = select_wave(cold, wave_seconds, robots_df)
 
