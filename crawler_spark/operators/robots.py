@@ -1,0 +1,104 @@
+"""robots.txt parsing — corpus text → the ``robots(host, disallow_prefix,
+crawl_delay_ms)`` rules table that :func:`..operators.politeness.apply_robots`
+and the token bucket consume.
+
+The reference has NO robots support at all (grep-verified, SURVEY §2.2 F3 —
+it even drops its User-Agent header, ``CrawlerLib/Downloader.fs:70-72``);
+robots compliance is a north-rule extension.  The parser is 100% relational
+(split/explode/regexp/window, no Python), per a pragmatic subset of RFC 9309:
+
+* lines are ``key: value`` with ``#`` comments stripped, keys case-insensitive;
+* consecutive ``User-agent`` lines open ONE group (per the RFC); a group's
+  rules end at the next group;
+* only ``*`` groups are honored — the reference never sends a User-Agent, so
+  the wildcard group is the one that governs it;
+* ``Disallow`` with a non-empty value contributes a path prefix; an empty
+  ``Disallow:`` means allow-all (contributes nothing);
+* ``Crawl-delay`` (seconds, decimal allowed) → ``crawl_delay_ms`` via the
+  per-host minimum (the most conservative delay wins).
+
+Scale: everything windows per host over the (tiny) per-host robots body —
+robots.txt files are KBs, so partitions are bounded no matter the host count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.url import url_host
+
+
+def robots_pages(pages_df: DataFrame) -> DataFrame:
+    """The corpus's robots.txt pages → (host, text)."""
+    return pages_df.where(F.col("url").rlike(r"^[a-z]+://[^/]+/robots\.txt$")).select(
+        url_host(F.col("url")).alias("host"),
+        F.coalesce(F.col("text"), F.decode(F.col("html"), "UTF-8")).alias("text"),
+    )
+
+
+def parse_robots(robots_df: DataFrame) -> DataFrame:
+    """(host, text) robots bodies → (host, disallow_prefix, crawl_delay_ms).
+
+    Hosts whose wildcard group has no disallows but a crawl-delay still get
+    one row with ``disallow_prefix`` NULL (politeness-only rule);
+    :func:`..operators.politeness.apply_robots` ignores NULL prefixes.
+    """
+    lines = robots_df.select(
+        "host",
+        F.posexplode(F.split(F.col("text"), "\r?\n")).alias("line_no", "raw"),
+    )
+    kv = lines.select(
+        "host",
+        "line_no",
+        F.lower(
+            F.trim(F.regexp_extract(F.regexp_replace("raw", "#.*", ""),
+                                    r"^\s*([A-Za-z-]+)\s*:", 1))
+        ).alias("key"),
+        F.trim(F.regexp_extract(F.regexp_replace("raw", "#.*", ""),
+                                r"^\s*[A-Za-z-]+\s*:\s*(.*?)\s*$", 1)).alias("val"),
+    ).where(F.col("key") != "")
+
+    w = Window.partitionBy("host").orderBy("line_no")
+    is_ua = (F.col("key") == "user-agent").cast("int")
+    grouped = (
+        kv.withColumn("__ua", is_ua)
+        # a User-agent line OPENS a group unless the previous line was also
+        # one (consecutive UA lines share the group, RFC 9309 §2.1)
+        .withColumn(
+            "__new_group",
+            ((F.col("__ua") == 1)
+             & (F.coalesce(F.lag("__ua").over(w), F.lit(0)) == 0)).cast("int"),
+        )
+        .withColumn("group_id", F.sum("__new_group").over(w))
+    )
+    star_groups = (
+        grouped.where((F.col("key") == "user-agent") & (F.col("val") == "*"))
+        .select("host", "group_id")
+        .distinct()
+    )
+    rules = grouped.join(star_groups, ["host", "group_id"], "left_semi")
+
+    disallows = (
+        rules.where((F.col("key") == "disallow") & (F.col("val") != ""))
+        .select("host", F.col("val").alias("disallow_prefix"))
+        .distinct()
+    )
+    delays = (
+        rules.where(F.col("key") == "crawl-delay")
+        .where(F.col("val").rlike(r"^\d+(\.\d+)?$"))
+        .groupBy("host")
+        .agg((F.min(F.col("val").cast("double")) * 1000).cast("long")
+             .alias("crawl_delay_ms"))
+    )
+    out = disallows.join(delays, "host", "full").select(
+        "host",
+        "disallow_prefix",
+        F.col("crawl_delay_ms"),
+    )
+    return out
+
+
+def robots_rules_from_corpus(pages_df: DataFrame) -> DataFrame:
+    """One-call convenience: corpus → rules table for CrawlJob(robots_df=…)."""
+    return parse_robots(robots_pages(pages_df))

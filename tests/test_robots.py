@@ -1,0 +1,91 @@
+"""robots.txt parsing (north-rule compliance extension — the reference has
+no robots support, SURVEY §2.2 F3) and its wiring into the politeness layer."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawler_spark.operators.politeness import apply_robots, select_wave
+from crawler_spark.operators.robots import (
+    parse_robots,
+    robots_pages,
+    robots_rules_from_corpus,
+)
+from crawler_spark.sources.frontier import frontier_from_range
+
+ROBOTS_TXT = """\
+# example robots.txt
+User-agent: SpecificBot
+Disallow: /only-for-specificbot
+
+User-agent: FirstBot
+User-agent: *
+Disallow: /private/   # trailing comment
+Disallow: /tmp
+Disallow:
+Crawl-delay: 2.5
+
+User-agent: OtherBot
+Disallow: /other
+"""
+
+
+def _robots_df(spark, host="pet911.ru", text=ROBOTS_TXT):
+    return spark.createDataFrame([(host, text)], "host string, text string")
+
+
+def test_parse_robots_star_group_only(spark):
+    rules = parse_robots(_robots_df(spark)).collect()
+    prefixes = {r["disallow_prefix"] for r in rules}
+    # star group rules only: the SpecificBot/OtherBot groups are ignored,
+    # the empty Disallow contributes nothing, comments are stripped
+    assert prefixes == {"/private/", "/tmp"}
+    delays = {r["crawl_delay_ms"] for r in rules}
+    assert delays == {2500}
+
+
+def test_parse_robots_consecutive_ua_lines_share_group(spark):
+    # FirstBot and * are ONE group (RFC 9309 §2.1) — rules bind to both;
+    # flip the order so * is first and FirstBot second: still honored
+    text = "User-agent: *\nUser-agent: FirstBot\nDisallow: /x\n"
+    rules = parse_robots(_robots_df(spark, text=text)).collect()
+    assert [r["disallow_prefix"] for r in rules] == ["/x"]
+
+
+def test_parse_robots_delay_only_host(spark):
+    text = "User-agent: *\nCrawl-delay: 1\n"
+    rules = parse_robots(_robots_df(spark, text=text)).collect()
+    assert len(rules) == 1
+    assert rules[0]["disallow_prefix"] is None       # politeness-only row
+    assert rules[0]["crawl_delay_ms"] == 1000
+    # apply_robots must ignore the NULL prefix (nothing disallowed)
+    frontier = frontier_from_range(spark, 0, 4)
+    kept = apply_robots(frontier, parse_robots(_robots_df(spark, text=text)))
+    assert kept.count() == frontier.count()
+
+
+def test_robots_pages_extraction_and_politeness_wiring(spark):
+    pages = spark.createDataFrame(
+        [
+            ("https://pet911.ru/robots.txt", None,
+             bytearray("User-agent: *\nDisallow: /%D0%A5\nCrawl-delay: 60\n"
+                       .encode())),
+            ("https://pet911.ru/%D0%A5abc/rf1", "a card page", None),
+        ],
+        "url string, text string, html binary",
+    )
+    rules = robots_rules_from_corpus(pages)
+    rows = rules.collect()
+    assert rows and rows[0]["host"] == "pet911.ru"
+
+    frontier = frontier_from_range(spark, 0, 99)      # 200 urls, one host
+    # every card url shares the /%D0%A5 prefix → all disallowed
+    assert apply_robots(frontier, rules).count() == 0
+
+    # crawl-delay drives the token budget: 600s wave / 60s delay = 10 tokens
+    delay_only = rules.select(
+        "host", F.lit(None).cast("string").alias("disallow_prefix"),
+        "crawl_delay_ms",
+    )
+    picked = select_wave(frontier, wave_seconds=600, robots_df=delay_only)
+    assert picked.where("selected").count() == 10
