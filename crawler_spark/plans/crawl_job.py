@@ -396,7 +396,18 @@ class CrawlJob:
         seen_rows = fetched.where(
             F.col("fetch_status") == "downloaded"
         ).select(F.col("url_hash"), F.col("id"), F.lit(wave).alias("wave"))
-        with ThreadPoolExecutor(max_workers=4) as pool:
+        # per-host lineage metrics (K6 / north-rule "per-partition lineage
+        # and fetch/parse metrics"): where each wave's fetches went, keyed by
+        # the host the politeness layer shards on — committed concurrently
+        # with the four state tables (one cheap agg over the slim cache)
+        host_metrics = fetched.groupBy("host").agg(
+            F.count(F.lit(1)).alias("fetched"),
+            F.sum(F.when(F.col("fetch_status") == "downloaded", 1).otherwise(0)).alias("downloaded"),
+            F.sum(F.when(F.col("fetch_status") == "absent", 1).otherwise(0)).alias("absent"),
+            F.sum(F.when(F.col("fetch_status") == "error", 1).otherwise(0)).alias("errors"),
+        ).select(F.lit(wave).alias("wave"), "host", "fetched", "downloaded",
+                 "absent", "errors")
+        with ThreadPoolExecutor(max_workers=5) as pool:
             futures = [
                 pool.submit(self.store.commit, "cards", parsed.drop("url")),
                 pool.submit(self.store.commit, "card_photos", photo_results),
@@ -405,6 +416,7 @@ class CrawlJob:
                     absent.select("id", F.lit(wave).alias("wave")),
                 ),
                 pool.submit(self.store.commit, "seen", seen_rows),
+                pool.submit(self.store.commit, "host_metrics", host_metrics),
             ]
             for fut in futures:
                 fut.result()
@@ -479,6 +491,24 @@ class CrawlJob:
         }
         _mark("stats", t0)
         stats["step_seconds"] = steps
+        # persist the wave metrics row (the K6 trace surface, queryable like
+        # any other table — not just a return value)
+        import json as _json
+
+        self.store.commit(
+            "wave_metrics",
+            self.spark.createDataFrame(
+                [(
+                    wave, int(stats["fetched"]), stats["downloaded"],
+                    stats["absent"], int(stats["parsed_ok"]),
+                    int(stats["deferred"]), int(stats["enqueued_photos"]),
+                    _json.dumps(steps),
+                )],
+                "wave int, fetched long, downloaded long, absent long, "
+                "parsed_ok long, deferred long, enqueued_photos long, "
+                "step_seconds_json string",
+            ),
+        )
         picked.unpersist()
         fetched.unpersist()
         parsed.unpersist()
@@ -521,6 +551,21 @@ class CrawlJob:
 
     def crawl_log(self) -> DataFrame:
         return self._read("crawl_log", LOG_SCHEMA)
+
+    def wave_metrics(self) -> DataFrame:
+        return self._read(
+            "wave_metrics",
+            "wave int, fetched long, downloaded long, absent long, "
+            "parsed_ok long, deferred long, enqueued_photos long, "
+            "step_seconds_json string",
+        )
+
+    def host_metrics(self) -> DataFrame:
+        return self._read(
+            "host_metrics",
+            "wave int, host string, fetched long, downloaded long, "
+            "absent long, errors long",
+        )
 
     def revalidate_cards(self) -> dict:
         """C4 cache self-heal (Crawler.fs:71-84): cards whose stored parse

@@ -274,6 +274,33 @@ def test_e2e_photo_barrier(crawl_result):
     assert bad.count() == 0
 
 
+def test_e2e_metrics_tables(crawl_result):
+    """K6 / north-rule lineage surface: per-wave and per-host fetch/parse
+    metrics persist as queryable store tables, consistent with the wave
+    stats and the crawl log."""
+    import json
+
+    job, stats, _ = crawl_result
+    wm = {r["wave"]: r for r in job.wave_metrics().collect()}
+    assert len(wm) == len(stats)
+    for s in stats:
+        row = wm[s["wave"]]
+        assert row["fetched"] == s["fetched"]
+        assert row["parsed_ok"] == s["parsed_ok"]
+        assert set(json.loads(row["step_seconds_json"])) == set(s["step_seconds"])
+
+    hm = job.host_metrics()
+    # per-host rows sum back to the per-wave totals
+    per_wave = {
+        r["wave"]: r["n"]
+        for r in hm.groupBy("wave").agg(F.sum("fetched").alias("n")).collect()
+    }
+    for s in stats:
+        assert per_wave[s["wave"]] == s["fetched"]
+    hosts = {r["host"] for r in hm.select("host").distinct().collect()}
+    assert "pet911.ru" in hosts and "cdn.pet911.ru" in hosts
+
+
 def test_e2e_photo_mime_and_ext(crawl_result):
     """K1/K2 mime sidecar semantics (FileCollector.fs:36-40, mime captured
     at Downloader.fs:114) + mimeToExt mapping (Images.fs:26-34): every
