@@ -174,6 +174,157 @@ def build_bloom_into(df: DataFrame, proto: BloomFilter,
     return merged
 
 
+class CuckooFilter:
+    """Cuckoo filter over int64 keys — the deletion-capable alternative to
+    :class:`ShardedBloom` (north_rule: "bloom/cuckoo URL-seen set").
+
+    Standard 2-choice construction: 16-bit fingerprints, 4 slots/bucket,
+    bucket₂ = bucket₁ XOR h(fingerprint), insert-with-eviction.  Unlike a
+    bloom it supports ``delete_many`` — which is exactly what the cache
+    re-validation sweep wants: a healed card's key can be REMOVED so the
+    prefilter stays precise, where the bloom permanently accumulates stale
+    keys (correct either way — stale keys only cost exact-join traffic).
+
+    Lookup is fully vectorized (two gathers + compares per key batch);
+    insert/delete run a per-key Python loop, acceptable because the engine
+    only ever inserts ONE politeness-bounded wave at a time, never a whole
+    table.  At 10^10 keys the same shard-by-key-mod layout as ShardedBloom
+    applies (each executor holds/serves its key range's filter); 16-bit
+    fingerprints at load ≤0.84 give ~2^-13 fpp per probe.
+    """
+
+    _MAGIC = 0x43_4B_46_31  # "CKF1"
+
+    def __init__(self, n_buckets: int, slots: int = 4, max_kicks: int = 500,
+                 table: np.ndarray | None = None):
+        assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of 2"
+        self.n_buckets = n_buckets
+        self.slots = slots
+        self.max_kicks = max_kicks
+        self.table = (
+            table if table is not None
+            else np.zeros((n_buckets, slots), dtype=np.uint16)
+        )
+
+    @classmethod
+    def sized(cls, expected_items: int, load: float = 0.84) -> "CuckooFilter":
+        need = max(int(expected_items / (4 * load)), 1)
+        n_buckets = 1 << (need - 1).bit_length()
+        return cls(n_buckets)
+
+    # -- hashing ------------------------------------------------------------
+    def _fp(self, keys: np.ndarray) -> np.ndarray:
+        k = keys.astype(np.uint64)
+        fp = ((k * np.uint64(0xFF51AFD7ED558CCD)) >> np.uint64(48)).astype(np.uint16)
+        fp[fp == 0] = 1  # 0 marks an empty slot
+        return fp
+
+    def _i1(self, keys: np.ndarray) -> np.ndarray:
+        k = keys.astype(np.uint64)
+        return ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(17)).astype(
+            np.int64
+        ) & (self.n_buckets - 1)
+
+    def _i2(self, i1: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        h = (fp.astype(np.uint64) * np.uint64(0x5BD1E995)) & np.uint64(
+            self.n_buckets - 1
+        )
+        return (i1.astype(np.uint64) ^ h).astype(np.int64)
+
+    # -- ops ----------------------------------------------------------------
+    def insert_many(self, keys: np.ndarray) -> int:
+        """Insert; returns the number of keys DROPPED (table too full —
+        callers size the filter so this stays 0; a dropped key is a false
+        negative, so the caller must fall back to exact joins if nonzero)."""
+        import random
+
+        rng = random.Random(0xC0FFEE)
+        fps, i1s = self._fp(keys), self._i1(keys)
+        i2s = self._i2(i1s, fps)
+        dropped = 0
+        for fp, i1, i2 in zip(fps.tolist(), i1s.tolist(), i2s.tolist()):
+            placed = False
+            # presence FIRST so re-inserting a key is idempotent (no
+            # duplicate fingerprints — keeps delete_many exact-ish and
+            # capacity honest on snapshot-overwrite top-ups)
+            for b in (i1, i2):
+                if (self.table[b] == fp).any():
+                    placed = True
+                    break
+            if not placed:
+                for b in (i1, i2):
+                    row = self.table[b]
+                    empty = np.nonzero(row == 0)[0]
+                    if len(empty):
+                        row[empty[0]] = fp
+                        placed = True
+                        break
+            if placed:
+                continue
+            b, cur = i1, fp
+            for _ in range(self.max_kicks):
+                s = rng.randrange(self.slots)
+                cur, self.table[b][s] = int(self.table[b][s]), cur
+                b = int(
+                    self._i2(np.array([b]), np.array([cur], dtype=np.uint16))[0]
+                )
+                row = self.table[b]
+                empty = np.nonzero(row == 0)[0]
+                if len(empty):
+                    row[empty[0]] = cur
+                    cur = None
+                    break
+            if cur is not None:
+                dropped += 1
+        return dropped
+
+    def delete_many(self, keys: np.ndarray) -> int:
+        """Remove one fingerprint copy per key; returns keys not found."""
+        fps, i1s = self._fp(keys), self._i1(keys)
+        i2s = self._i2(i1s, fps)
+        missing = 0
+        for fp, i1, i2 in zip(fps.tolist(), i1s.tolist(), i2s.tolist()):
+            for b in (i1, i2):
+                row = self.table[b]
+                hit = np.nonzero(row == fp)[0]
+                if len(hit):
+                    row[hit[0]] = 0
+                    break
+            else:
+                missing += 1
+        return missing
+
+    def might_contain(self, keys: np.ndarray) -> np.ndarray:
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        fps, i1s = self._fp(keys), self._i1(keys)
+        i2s = self._i2(i1s, fps)
+        return (
+            (self.table[i1s] == fps[:, None]).any(axis=1)
+            | (self.table[i2s] == fps[:, None]).any(axis=1)
+        )
+
+    # -- serialization ------------------------------------------------------
+    def to_bytes(self) -> bytes:
+        header = np.array(
+            [self._MAGIC, self.n_buckets, self.slots, self.max_kicks],
+            dtype=np.int64,
+        )
+        return header.tobytes() + self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, raw: bytes) -> "CuckooFilter":
+        header = np.frombuffer(raw[:32], dtype=np.int64)
+        assert header[0] == cls._MAGIC, "not a CuckooFilter blob"
+        cf = cls(int(header[1]), int(header[2]), int(header[3]))
+        cf.table = (
+            np.frombuffer(raw[32:], dtype=np.uint16)
+            .reshape(cf.n_buckets, cf.slots)
+            .copy()
+        )
+        return cf
+
+
 def build_bloom(seen_df: DataFrame, key: str = "url_hash",
                 expected_items: int | None = None, fpp: float = 0.01) -> BloomFilter:
     """One-shot distributed bloom build sized from the input (counts the
@@ -185,25 +336,54 @@ def build_bloom(seen_df: DataFrame, key: str = "url_hash",
     return build_bloom_into(seen_df, proto, key)
 
 
-def bloom_prefilter_unseen(frontier_df: DataFrame, bloom: BloomFilter,
+def serialize_filter(flt) -> tuple:
+    """Type-preserving wire form for broadcasting a seen-filter to executors.
+
+    The filter's bit/slot layout is part of its identity: reconstructing a
+    ShardedBloom's bitmap as a plain BloomFilter computes DIFFERENT bit
+    positions — silent false negatives.  Self-describing blobs (magic-headed
+    to_bytes) carry the type; the plain BloomFilter ships its two params.
+    """
+    if isinstance(flt, (ShardedBloom, CuckooFilter)):
+        return ("blob", flt.to_bytes())
+    return ("plain", flt.n_bits, flt.n_hashes, flt.bits.tobytes())
+
+
+def deserialize_filter(payload: tuple):
+    if payload[0] == "blob":
+        return filter_from_bytes(payload[1])
+    _, n_bits, n_hashes, raw = payload
+    return BloomFilter(n_bits, n_hashes, np.frombuffer(raw, dtype=np.uint8).copy())
+
+
+def filter_from_bytes(raw: bytes):
+    """Dispatch a magic-headed blob to its filter class."""
+    magic = int(np.frombuffer(raw[:8], dtype=np.int64)[0])
+    for cls in (ShardedBloom, CuckooFilter):
+        if magic == cls._MAGIC:
+            return cls.from_bytes(raw)
+    raise ValueError(f"unknown seen-filter blob magic {magic:#x}")
+
+
+def bloom_prefilter_unseen(frontier_df: DataFrame, bloom,
                            key: str = "url_hash") -> DataFrame:
-    """Drop rows the bloom proves unseen... inverted: KEEP rows that are
+    """Drop rows the filter proves unseen... inverted: KEEP rows that are
     definitely-NOT-seen plus the (≤fpp) maybe-seen band for the exact join.
 
-    Returns frontier with ``maybe_seen`` boolean — callers route:
-    ``maybe_seen = false`` → fetch directly (bloom guarantees unseen);
-    ``maybe_seen = true``  → exact anti-join backstop.
+    Accepts any approximate-membership filter (BloomFilter / ShardedBloom /
+    CuckooFilter).  Returns frontier with ``maybe_seen`` boolean — callers
+    route: ``maybe_seen = false`` → fetch directly (the filter guarantees
+    unseen); ``maybe_seen = true`` → exact anti-join backstop.
     """
     spark = frontier_df.sparkSession
-    bc = spark.sparkContext.broadcast((bloom.n_bits, bloom.n_hashes, bloom.bits.tobytes()))
+    bc = spark.sparkContext.broadcast(serialize_filter(bloom))
 
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("boolean")
     def might_contain_udf(keys: pd.Series) -> pd.Series:
-        n_bits, n_hashes, raw = bc.value
-        bf = BloomFilter(n_bits, n_hashes, np.frombuffer(raw, dtype=np.uint8))
-        return pd.Series(bf.might_contain(keys.to_numpy(dtype=np.int64, na_value=0)))
+        flt = deserialize_filter(bc.value)
+        return pd.Series(flt.might_contain(keys.to_numpy(dtype=np.int64, na_value=0)))
 
     return frontier_df.withColumn("maybe_seen", might_contain_udf(F.col(key)))
 

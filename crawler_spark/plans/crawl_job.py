@@ -38,8 +38,10 @@ from ..operators.fetch import fetch_downloaded, fetch_wave, within_retry_budget
 from ..operators.photos import fanin_photos, fanout_photos, validate_image
 from ..operators.politeness import apply_robots, select_wave, select_wave_salted
 from ..operators.seen import (
+    CuckooFilter,
     ShardedBloom,
     build_bloom_into,
+    filter_from_bytes,
     filter_not_missing,
     filter_unseen,
     filter_unseen_with_bloom,
@@ -68,7 +70,8 @@ class CrawlJob:
                  bloom_fpp: float = 0.01, bloom_shards: int = 32,
                  faults_df: DataFrame | None = None,
                  retry_delay_unit_ms: int | None = None,
-                 retry_max_delay_ms: int | None = None):
+                 retry_max_delay_ms: int | None = None,
+                 seen_filter: str = "bloom"):
         self.spark = spark
         self.store = SnapshotStore(store_dir)
         self.pages = pages_df
@@ -83,9 +86,13 @@ class CrawlJob:
         from ..operators.fetch import DELAY_UNIT_MS, MAX_PERMITTED_DELAY_MS
         self.retry_delay_unit_ms = retry_delay_unit_ms or DELAY_UNIT_MS
         self.retry_max_delay_ms = retry_max_delay_ms or MAX_PERMITTED_DELAY_MS
-        # incremental seen-bloom state: the merged filter and the seen
-        # snapshot id it covers; persisted per wave under seen_bloom/ so a
-        # resumed job reloads it instead of rescanning the seen table
+        # incremental seen-filter state: the merged filter (bloom or the
+        # deletion-capable cuckoo variant, north_rule "bloom/cuckoo") and the
+        # seen snapshot id it covers; persisted per wave under seen_bloom/ so
+        # a resumed job reloads it instead of rescanning the seen table
+        assert seen_filter in ("bloom", "cuckoo")
+        self.seen_filter = seen_filter
+        self._filter_degraded = False  # cuckoo overflow -> exact path only
         self.bloom_capacity = bloom_capacity
         self.bloom_fpp = bloom_fpp
         self.bloom_shards = bloom_shards
@@ -128,10 +135,10 @@ class CrawlJob:
         latest = self.store.latest_snapshot_id("seen")
         if latest is None:
             if self._bloom is None:
-                self._bloom = ShardedBloom.sized(
-                    self.bloom_capacity, self.bloom_fpp, self.bloom_shards
-                )
+                self._bloom = self._filter_new()
                 self._bloom_snap = -1
+            return None
+        if self._filter_degraded:
             return None
         if self._bloom is not None and self._bloom_snap >= latest:
             return self._bloom
@@ -147,32 +154,58 @@ class CrawlJob:
                     if best < sid <= latest:
                         best = sid
             if best >= 0:
-                self._bloom = ShardedBloom.from_bytes(
+                self._bloom = filter_from_bytes(
                     self._bloom_blob_path(best).read_bytes()
                 )
                 self._bloom_snap = best
             else:
-                self._bloom = ShardedBloom.sized(
-                    self.bloom_capacity, self.bloom_fpp, self.bloom_shards
-                )
+                self._bloom = self._filter_new()
                 self._bloom_snap = -1
         if self._bloom_snap < latest:
             dirs = self.store.data_dirs_between("seen", self._bloom_snap, latest)
             if dirs:
                 delta = self.spark.read.parquet(*dirs).select("url_hash")
-                partial = build_bloom_into(delta, self._bloom.empty_like())
-                self._bloom.bits |= partial.bits
+                self._filter_add(delta)
             self._bloom_snap = latest
+            if self._filter_degraded:
+                return None
             self._persist_bloom()
         return self._bloom
 
+    def _filter_new(self):
+        if self.seen_filter == "cuckoo":
+            return CuckooFilter.sized(self.bloom_capacity)
+        return ShardedBloom.sized(
+            self.bloom_capacity, self.bloom_fpp, self.bloom_shards
+        )
+
+    def _filter_add(self, keys_df: DataFrame) -> None:
+        """Fold a key DataFrame into the in-memory filter.
+
+        Bloom: distributed mapInPandas partial, OR-merged (bytes move, not
+        rows).  Cuckoo: the keys come to the driver (Arrow) and insert
+        sequentially — bounded because only politeness-bounded waves are
+        ever added; a cuckoo overflow (capacity undersized) would mean
+        false negatives, so it DEGRADES the job to the exact anti-join
+        path instead (correctness is never at stake).
+        """
+        if isinstance(self._bloom, CuckooFilter):
+            import numpy as _np
+
+            keys = keys_df.toPandas()["url_hash"].to_numpy(_np.int64)
+            if self._bloom.insert_many(keys):
+                self._filter_degraded = True
+        else:
+            partial = build_bloom_into(keys_df, self._bloom.empty_like())
+            self._bloom.bits |= partial.bits
+
     def _bloom_add_wave(self, wave_keys_df: DataFrame, seen_snap: int) -> None:
-        """OR the freshly committed wave's keys into the merged filter and
-        persist — the only per-wave bloom work (the wave, never the table)."""
-        partial = build_bloom_into(wave_keys_df, self._bloom.empty_like())
-        self._bloom.bits |= partial.bits
+        """Fold the freshly committed wave's keys into the merged filter and
+        persist — the only per-wave filter work (the wave, never the table)."""
+        self._filter_add(wave_keys_df)
         self._bloom_snap = seen_snap
-        self._persist_bloom()
+        if not self._filter_degraded:
+            self._persist_bloom()
 
     def _persist_bloom(self) -> None:
         import os
@@ -241,12 +274,14 @@ class CrawlJob:
         frontier = filter_not_missing(frontier, missing)
         if self.use_bloom:
             # incremental filter: covers all committed seen snapshots without
-            # rescanning the seen table (per-wave partials OR-merged; the
-            # exact anti-join backstop below guarantees correctness)
+            # rescanning the seen table (per-wave folds; the exact anti-join
+            # backstop guarantees correctness).  None ⇒ seen empty or the
+            # cuckoo overflowed (degraded) — either way the exact anti-join
+            # is the safe path (a no-op against an empty seen table).
             bloom = self._bloom_sync()
             frontier = (
                 filter_unseen_with_bloom(frontier, seen, bloom) if bloom
-                else frontier
+                else filter_unseen(frontier, seen)
             )
         else:
             frontier = filter_unseen(frontier, seen)
@@ -604,7 +639,24 @@ class CrawlJob:
         healed_seen = self.seen_set().join(
             refetch.select("url_hash"), "url_hash", "left_anti"
         )
+        # bring the seen-filter up to date BEFORE the overwrite: it then
+        # covers a superset of the healed table without ever re-reading it
+        flt = self._bloom_sync() if self.use_bloom else None
         self.store.commit("seen", healed_seen, mode="overwrite")
+        if flt is not None and not self._filter_degraded:
+            if isinstance(flt, CuckooFilter):
+                # the deletion-capable variant removes the healed keys so
+                # the prefilter stays precise; a bloom keeps them as stale
+                # false positives (correct either way — the exact anti-join
+                # backstop decides)
+                import numpy as _np
+
+                keys = refetch.select("url_hash").toPandas()["url_hash"].to_numpy(
+                    _np.int64
+                )
+                flt.delete_many(keys)
+            self._bloom_snap = self.store.latest_snapshot_id("seen")
+            self._persist_bloom()
         self.enqueue_frontier(refetch)
         return {"revalidated": n_bad}
 

@@ -78,15 +78,68 @@ def test_bloom_no_false_negatives():
     assert fp < 0.05  # fpp in the configured ballpark
 
 
-def test_bloom_path_equals_exact_antijoin(spark):
+@pytest.mark.parametrize("kind", ["plain", "sharded", "cuckoo"])
+def test_filter_path_equals_exact_antijoin(spark, kind):
+    """Every filter variant is a prefilter, never a semantics change — the
+    'sharded' case is the regression guard for type-preserving broadcast
+    (a ShardedBloom bitmap reinterpreted as a plain BloomFilter computes
+    different bit positions → silent false negatives)."""
+    import numpy as np
+
+    from crawler_spark.operators.seen import (
+        CuckooFilter,
+        ShardedBloom,
+        build_bloom_into,
+    )
+
     frontier = frontier_from_range(spark, 0, 499)
     seen = frontier.where(F.col("num") % 3 == 0).select("url_hash", "id").withColumn(
         "wave", F.lit(0)
     )
     exact = {r["id"] for r in filter_unseen(frontier, seen).collect()}
-    bloom = build_bloom(seen)
-    with_bloom = {r["id"] for r in filter_unseen_with_bloom(frontier, seen, bloom).collect()}
-    assert with_bloom == exact  # bloom is a prefilter, never a semantics change
+    if kind == "plain":
+        flt = build_bloom(seen)
+    elif kind == "sharded":
+        flt = build_bloom_into(
+            seen.select("url_hash"), ShardedBloom.sized(2_000, n_shards=8)
+        )
+    else:
+        flt = CuckooFilter.sized(2_000)
+        keys = np.array(
+            [r["url_hash"] for r in seen.select("url_hash").collect()],
+            dtype=np.int64,
+        )
+        assert flt.insert_many(keys) == 0
+    with_flt = {
+        r["id"] for r in filter_unseen_with_bloom(frontier, seen, flt).collect()
+    }
+    assert with_flt == exact
+
+
+def test_cuckoo_filter_semantics():
+    """Insert → no false negatives; idempotent re-insert; delete removes;
+    serialization round-trips through the magic-dispatched loader."""
+    import numpy as np
+
+    from crawler_spark.operators.seen import CuckooFilter, filter_from_bytes
+
+    cf = CuckooFilter.sized(10_000)
+    keys = np.arange(10_000, dtype=np.int64) * 2_654_435_761
+    assert cf.insert_many(keys) == 0
+    assert cf.might_contain(keys).all()          # zero false negatives
+    assert cf.insert_many(keys[:100]) == 0       # idempotent (no dup fps)
+
+    probe = np.arange(50_000, 60_000, dtype=np.int64)
+    assert cf.might_contain(probe).mean() < 0.01  # 16-bit fp → tiny fpp
+
+    cf2 = filter_from_bytes(cf.to_bytes())
+    assert isinstance(cf2, CuckooFilter)
+    assert cf2.might_contain(keys).all()
+
+    # deletion — the capability blooms lack (drives revalidate precision)
+    assert cf.delete_many(keys[:5_000]) == 0
+    assert not cf.might_contain(keys[:5_000]).any()
+    assert cf.might_contain(keys[5_000:]).all()
 
 
 # ----------------------------------------------------------------- politeness

@@ -62,14 +62,19 @@ def test_mime_to_ext_mapping(spark):
     assert got == ["jpg", "jpg", "png", "webp", None]   # Images.fs:26-34
 
 
-@pytest.mark.parametrize("use_bloom", [False, True])
-def test_revalidate_reenqueues_failed_parses(spark, tmp_path, use_bloom):
+@pytest.mark.parametrize("use_bloom,seen_filter", [
+    (False, "bloom"), (True, "bloom"), (True, "cuckoo"),
+])
+def test_revalidate_reenqueues_failed_parses(spark, tmp_path, use_bloom,
+                                             seen_filter):
     """A card whose stored parse failed is dropped from seen and re-enters
     the frontier; a second crawl against a FIXED universe re-fetches it.
 
-    With ``use_bloom`` the healed card's url_hash is STALE in the bloom
+    With the bloom the healed card's url_hash is STALE in the filter
     (blooms can't delete) — it must route through the maybe-seen band into
-    the exact anti-join, which confirms it unseen and re-fetches it."""
+    the exact anti-join, which confirms it unseen and re-fetches it.  The
+    cuckoo variant DELETES the healed key during the sweep and must behave
+    identically end-to-end."""
     from crawler_spark.plans.crawl_job import CrawlJob
     from crawler_spark.sources.pages import (
         NUM_BASE, build_pages, synthetic_docs_from_range,
@@ -87,7 +92,8 @@ def test_revalidate_reenqueues_failed_parses(spark, tmp_path, use_bloom):
     ).withColumn("html", F.encode(F.col("text"), "UTF-8"))
 
     job = CrawlJob(spark, str(tmp_path / "store"), broken,
-                   wave_seconds=3600 * 1000, use_bloom=use_bloom)
+                   wave_seconds=3600 * 1000, use_bloom=use_bloom,
+                   seen_filter=seen_filter)
     job.seed_range(NUM_BASE, NUM_BASE + 9)
     job.crawl()
     bad_before = job.cards().where(F.col("error").isNotNull()).count()
