@@ -97,6 +97,12 @@ def get_new_cards_from_catalog(spark: SparkSession, pages_df: DataFrame,
     for page_num in range(1, MAX_CATALOG_PAGES + 1):
         page = fetch_catalog_page(spark, pages_df, page_num)
         acc = page if acc is None else acc.unionByName(page).dropDuplicates(["id"])
+        if page_num % 25 == 0:
+            # the union/dedup chain deepens the logical plan per page — cut
+            # the lineage periodically so a long paging session never grows
+            # an analyzer-recursion-depth plan (accumulator stays small: it
+            # holds card descriptors, not pages)
+            acc = acc.localCheckpoint(eager=True)
         hit = page.join(known_df, "num", "left_semi").limit(1).count()
         if hit:
             return acc
