@@ -39,10 +39,11 @@ def _track_known(key: tuple, pdfs: Iterator[pd.DataFrame],
     before = set(known)
     batch_max = None
     for pdf in pdfs:
-        for num in pdf["num"]:
-            n = int(num)
-            batch_max = n if batch_max is None else max(batch_max, n)
-            known.append(n)
+        if not len(pdf):
+            continue
+        m = int(pdf["num"].max())  # vectorized over the Arrow batch
+        batch_max = m if batch_max is None else max(batch_max, m)
+        known.extend(pdf["num"].astype("int64").tolist())
     # the reference's fold: union -> sort desc -> truncate (Program.fs:143-151)
     known = sorted(set(known), reverse=True)[:MAX_KNOWN]
     state.update((known,))
