@@ -1050,14 +1050,14 @@ def oracle_sql() -> dict[str, str]:
       ) seed
     ),
     assigned AS (
-      SELECT vec_id AS neighbor_id, v AS cv,
-             arg_max(centroid_id, c_sim) AS centroid_id
-      FROM (
+      SELECT vec_id AS neighbor_id, v AS cv, centroid_id FROM (
         SELECT e.vec_id, e.v, c.centroid_id,
-               {_cos_sql("e.v", "c.cvec")} AS c_sim
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cos_sql("e.v", "c.cvec")} DESC, c.centroid_id ASC
+               ) AS rn
         FROM emb e CROSS JOIN cents c
-      ) s
-      GROUP BY vec_id, v
+      ) s WHERE rn = 1
     ),
     qprobes AS (
       SELECT query_id, qv, centroid_id FROM (

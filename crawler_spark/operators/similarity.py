@@ -132,8 +132,14 @@ def assign_centroids(df: DataFrame, centroids: DataFrame,
         cosine_expr(F.col(vec_col), F.col("cvec")).alias("c_sim"),
     )
     return scored.groupBy(id_col).agg(
+        # ordering key = (cosine desc, centroid_id asc): exact-cosine ties
+        # must break deterministically or assignment differs run-to-run
         F.min_by(
-            F.struct("centroid_id", vec_col, "c_sim"), (-F.col("c_sim"))
+            F.struct("centroid_id", vec_col, "c_sim"),
+            F.struct(
+                (-F.col("c_sim")).alias("neg_sim"),
+                F.col("centroid_id").alias("cid"),
+            ),
         ).alias("best")
     ).select(
         F.col(id_col),
