@@ -584,6 +584,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["union_top50_known"] = union_top50_known
 
+    def catalog_page_assign(spark, sf_dir):
+        # D1/S4 single-cycle projection (NewCards.fs:10-47 + the catalog
+        # pagination structure ParserPet911.fs:125-136 consumes): rank items
+        # num-desc within each catalog, 20 per page, return page 1 of every
+        # catalog plus each page-1 rank.  Catalog ≙ o_orderpriority;
+        # crawl-path twin: sources/pages.synthetic_catalog_pages +
+        # plans/discovery.fetch_catalog_page.
+        orders = _t(spark, sf_dir, "orders")
+        w = Window.partitionBy("o_orderpriority").orderBy(
+            F.col("o_orderkey").desc()
+        )
+        return (
+            orders.withColumn("rn", F.row_number().over(w))
+            .withColumn(
+                "page", ((F.col("rn") - 1) / 20 + 1).cast("int")
+            )
+            .where(F.col("page") == 1)
+            .select("o_orderpriority", "o_orderkey", "rn")
+        )
+
+    q["catalog_page_assign"] = catalog_page_assign
+
     def discovery_probe_window(spark, sf_dir):
         # D3 single-cycle projection (NewCards.fs:102-151): from the largest
         # verified known id L, probe every tens-prefix in
@@ -903,6 +925,15 @@ def oracle_sql() -> dict[str, str]:
       UNION
       SELECT l_orderkey AS id FROM lineitem
     ) t ORDER BY id DESC LIMIT 50
+    """
+
+    o["catalog_page_assign"] = """
+    SELECT o_orderpriority, o_orderkey, rn FROM (
+      SELECT o_orderpriority, o_orderkey,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_orderkey DESC) AS rn
+      FROM orders) t
+    WHERE ((rn - 1) // 20 + 1) = 1
     """
 
     o["discovery_probe_window"] = """
