@@ -753,7 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_near_dup"] = emb_near_dup
 
-    # ---------------- multimodal plumbing (no SQL equivalent) ---------------
+    # ------- multimodal kernels (byte-arithmetic DuckDB oracle twins) -------
 
     def media_image_features(spark, sf_dir):
         media = synthesize_media(_docs_text_double(spark, sf_dir))

@@ -4,19 +4,27 @@ Runs the headline workloads at ``$SPARK_GRAFT_SF_DIR`` (default
 ``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]``:
 
 * ``crawl_waves``      — the flagship: a full CrawlJob (frontier → seen/missing
-  anti-joins → politeness wave select → fetch-as-join vs a synthetic pages
-  corpus → parse UDF → photo fan-out/fan-in → snapshot commits) over
+  anti-joins → salted politeness wave select → fetch-as-join vs a synthetic
+  pages corpus → parse UDF → photo fan-out/fan-in → snapshot commits) over
   ``BENCH_CARDS`` card ids.  Reported as pages/sec.
 * ``frontier_select``  — frontier generation + seen anti-join + salted
   politeness selection over 1M urls (no fetch).  frontier-URLs/sec.
 * a representative slice of ``__spark_entry__.queries()`` at the same sf.
 
-Output: {"metric": "bench_total", "value": <total sec>, "unit": "sec",
-         "queries": {name: sec, ...}, "sf": <sf>, "pages_per_sec": ...,
+Methodology: the host is a shared VM with multi-fold steal bursts (identical
+runs measured 0.7 s ↔ 8.7 s), so the two heavy sections run INTERLEAVED
+``BENCH_REPEATS`` times (crawl, frontier, crawl, frontier, …); the JSON
+reports median + min + every raw run, and each run carries the system
+CPU-busy-cores figure (/proc/stat) so throttled windows are visible in the
+record itself rather than silently biasing a single-shot number.
+
+Output: {"metric": "bench_total", "value": <total sec, medians>,
+         "unit": "sec", "queries": {name: median sec, ...}, "sf": <sf>,
+         "runs": {...raw per-run detail...}, "pages_per_sec": ...,
          "frontier_urls_per_sec": ..., "cpus": N}
 
-Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_CARDS (default 20000),
-BENCH_FRONTIER_URLS (default 1000000).
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_CARDS (default 60000),
+BENCH_FRONTIER_URLS (default 1000000), BENCH_REPEATS (default 3).
 """
 
 from __future__ import annotations
@@ -24,6 +32,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -35,6 +44,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_CARDS = int(os.environ.get("BENCH_CARDS", "60000"))
 BENCH_FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))
+BENCH_REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 
 QUERY_SLICE = (
     "seen_anti_join",
@@ -56,60 +66,81 @@ def _sf_from_dir(d: str) -> float:
         return -1.0
 
 
-def bench_crawl(spark, timings: dict) -> dict:
-    """Full crawl over a synthetic corpus; returns pages/sec stats."""
-    from pyspark.sql import functions as F
+def _cpu_counters() -> tuple[int, int]:
+    parts = open("/proc/stat").readline().split()[1:]
+    vals = list(map(int, parts))
+    return sum(vals), vals[3] + vals[4]  # total, idle+iowait
 
-    from crawler_spark.plans.crawl_job import CrawlJob
-    from crawler_spark.sources.pages import NUM_BASE, synthetic_docs_from_range, build_pages
 
-    docs = synthetic_docs_from_range(spark, BENCH_CARDS)
-    pages = build_pages(spark, SF_DIR, include_fixtures=False, docs_df=docs)
-    pages = pages.repartition(CPUS, "url").persist()
-    n_pages = pages.count()  # materialize corpus OUTSIDE the timed section
+class CrawlBench:
+    """One full CrawlJob run per call; corpus built once, outside timing."""
 
-    robots = spark.createDataFrame(
-        [("pet911.ru", "/admin", 1), ("cdn.pet911.ru", "/admin", 1)],
-        "host string, disallow_prefix string, crawl_delay_ms int",
-    )
-    store_dir = tempfile.mkdtemp(prefix="bench_crawl_")
-    try:
-        job = CrawlJob(
-            spark, store_dir, pages,
-            wave_seconds=3600 * 1000,  # budget >> corpus: throughput mode
-            robots_df=robots, use_bloom=True, salted=False,
+    def __init__(self, spark):
+        from crawler_spark.sources.pages import (
+            NUM_BASE, build_pages, synthetic_docs_from_range,
         )
-        t0 = time.perf_counter()
-        # synthetic ids are rf/rl{NUM_BASE+doc_id}: seed that exact range
-        job.seed_range(NUM_BASE, NUM_BASE + BENCH_CARDS - 1)
-        stats = job.crawl(max_waves=4)
-        fetched = sum(s["fetched"] for s in stats)
-        dt = time.perf_counter() - t0
-        timings["crawl_waves"] = round(dt, 3)
-        return {
-            "pages_in_corpus": n_pages,
-            "pages_fetch_attempts": fetched,
-            "pages_per_sec": round(fetched / dt, 1),
-            "waves": len(stats),
-            "parsed_ok": sum(s["parsed_ok"] for s in stats),
-        }
-    finally:
-        shutil.rmtree(store_dir, ignore_errors=True)
-        pages.unpersist()
+
+        self.spark = spark
+        self.num_base = NUM_BASE
+        docs = synthetic_docs_from_range(spark, BENCH_CARDS)
+        self.pages = build_pages(
+            spark, SF_DIR, include_fixtures=False, docs_df=docs
+        ).repartition(CPUS, "url").persist()
+        self.n_pages = self.pages.count()  # materialize outside timing
+        self.robots = spark.createDataFrame(
+            [("pet911.ru", "/admin", 1), ("cdn.pet911.ru", "/admin", 1)],
+            "host string, disallow_prefix string, crawl_delay_ms int",
+        )
+
+    def run(self) -> dict:
+        from crawler_spark.plans.crawl_job import CrawlJob
+
+        store_dir = tempfile.mkdtemp(prefix="bench_crawl_")
+        try:
+            job = CrawlJob(
+                self.spark, store_dir, self.pages,
+                wave_seconds=3600 * 1000,  # budget >> corpus: throughput mode
+                robots_df=self.robots, use_bloom=True, salted=True,
+            )
+            a0, i0 = _cpu_counters()
+            t0 = time.perf_counter()
+            job.seed_range(self.num_base, self.num_base + BENCH_CARDS - 1)
+            stats = job.crawl(max_waves=4)
+            dt = time.perf_counter() - t0
+            a1, i1 = _cpu_counters()
+            fetched = sum(s["fetched"] for s in stats)
+            return {
+                "seconds": round(dt, 3),
+                "fetched": fetched,
+                "waves": len(stats),
+                "parsed_ok": sum(s["parsed_ok"] for s in stats),
+                "cpu_busy_cores": round(
+                    (1 - (i1 - i0) / max(a1 - a0, 1)) * os.cpu_count(), 1
+                ),
+            }
+        finally:
+            shutil.rmtree(store_dir, ignore_errors=True)
+
+    def close(self) -> None:
+        self.pages.unpersist()
 
 
-def bench_frontier(spark, timings: dict) -> dict:
-    """Frontier gen + anti-join + salted politeness select over N urls."""
-    from pyspark.sql import functions as F
+class FrontierBench:
+    """Frontier gen + seen anti-join + salted politeness select, N urls."""
 
-    from crawler_spark.operators.politeness import select_wave_salted
-    from crawler_spark.operators.seen import filter_unseen
-    from crawler_spark.sources.frontier import frontier_from_range
+    def __init__(self, spark):
+        self.spark = spark
+        self.n_ids = BENCH_FRONTIER_URLS // 2  # two urls (rf/rl) per id
+        self._pipeline(max(self.n_ids // 20, 1))  # untimed warmup: codegen
 
-    n_ids = BENCH_FRONTIER_URLS // 2  # two urls (rf/rl) per id
+    def _pipeline(self, n: int) -> int:
+        from pyspark.sql import functions as F
 
-    def run(n):
-        frontier = frontier_from_range(spark, 1, n)
+        from crawler_spark.operators.politeness import select_wave_salted
+        from crawler_spark.operators.seen import filter_unseen
+        from crawler_spark.sources.frontier import frontier_from_range
+
+        frontier = frontier_from_range(self.spark, 1, n)
         # seen = every 3rd id, as a realistic warm-crawl anti-join
         seen = frontier.where(F.col("num") % 3 == 0).select("url_hash")
         pending = filter_unseen(frontier, seen)
@@ -118,17 +149,19 @@ def bench_frontier(spark, timings: dict) -> dict:
         )
         return picked.where(F.col("selected")).count()
 
-    run(max(n_ids // 20, 1))  # untimed warmup: codegen + exchange setup
-    t0 = time.perf_counter()
-    n_sel = run(n_ids)
-    n_total = BENCH_FRONTIER_URLS
-    dt = time.perf_counter() - t0
-    timings["frontier_select"] = round(dt, 3)
-    return {
-        "frontier_urls": n_total,
-        "frontier_selected": n_sel,
-        "frontier_urls_per_sec": round(n_total / dt, 1),
-    }
+    def run(self) -> dict:
+        a0, i0 = _cpu_counters()
+        t0 = time.perf_counter()
+        n_sel = self._pipeline(self.n_ids)
+        dt = time.perf_counter() - t0
+        a1, i1 = _cpu_counters()
+        return {
+            "seconds": round(dt, 3),
+            "selected": n_sel,
+            "cpu_busy_cores": round(
+                (1 - (i1 - i0) / max(a1 - a0, 1)) * os.cpu_count(), 1
+            ),
+        }
 
 
 def main() -> None:
@@ -142,9 +175,22 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    crawl_stats = bench_crawl(spark, timings)
-    frontier_stats = bench_frontier(spark, timings)
+    # ---- interleaved heavy sections ------------------------------------
+    crawl = CrawlBench(spark)
+    frontier = FrontierBench(spark)
+    crawl_runs: list[dict] = []
+    frontier_runs: list[dict] = []
+    for _ in range(BENCH_REPEATS):
+        crawl_runs.append(crawl.run())
+        frontier_runs.append(frontier.run())
+    crawl.close()
 
+    crawl_secs = [r["seconds"] for r in crawl_runs]
+    frontier_secs = [r["seconds"] for r in frontier_runs]
+    timings["crawl_waves"] = round(statistics.median(crawl_secs), 3)
+    timings["frontier_select"] = round(statistics.median(frontier_secs), 3)
+
+    # ---- query slice ----------------------------------------------------
     qs = entrymod.queries()
     for name in QUERY_SLICE:
         fn = qs[name]
@@ -153,6 +199,7 @@ def main() -> None:
         fn(spark, SF_DIR).count()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    fetched = crawl_runs[0]["fetched"]
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "bench_total",
@@ -161,8 +208,25 @@ def main() -> None:
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
         "cpus": CPUS,
-        **crawl_stats,
-        **frontier_stats,
+        "repeats": BENCH_REPEATS,
+        "pages_in_corpus": crawl.n_pages,
+        "pages_fetch_attempts": fetched,
+        "pages_per_sec": round(fetched / statistics.median(crawl_secs), 1),
+        "pages_per_sec_best": round(fetched / min(crawl_secs), 1),
+        "waves": crawl_runs[0]["waves"],
+        "parsed_ok": crawl_runs[0]["parsed_ok"],
+        "frontier_urls": BENCH_FRONTIER_URLS,
+        "frontier_selected": frontier_runs[0]["selected"],
+        "frontier_urls_per_sec": round(
+            BENCH_FRONTIER_URLS / statistics.median(frontier_secs), 1
+        ),
+        "frontier_urls_per_sec_best": round(
+            BENCH_FRONTIER_URLS / min(frontier_secs), 1
+        ),
+        "runs": {
+            "crawl_waves": crawl_runs,
+            "frontier_select": frontier_runs,
+        },
     }
     spark.stop()
     print(json.dumps(out))

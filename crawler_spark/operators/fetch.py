@@ -75,6 +75,17 @@ def _fault_active(frontier_df: DataFrame):
     return F.col("fail_attempts").isNotNull() & (F.col("fail_attempts") > attempt)
 
 
+def pages_cols_of(pages_df: DataFrame) -> DataFrame:
+    """Payload projection of the fetch universe for the url-keyed joins."""
+    return pages_df.select(
+        "url",
+        F.col("warc_ts"),
+        F.col("html"),
+        F.col("text").alias("page_text"),
+        _mime_col(pages_df).alias("page_mime"),
+    )
+
+
 def fetch_wave(frontier_df: DataFrame, pages_df: DataFrame,
                payload: bool = True,
                faults_df: DataFrame | None = None) -> DataFrame:
@@ -145,7 +156,8 @@ BROADCAST_MAX_WAVE_ROWS = 2_000_000
 def fetch_downloaded(frontier_df: DataFrame, pages_df: DataFrame,
                      wave_rows: int | None = None,
                      broadcast_max_rows: int = BROADCAST_MAX_WAVE_ROWS,
-                     faults_df: DataFrame | None = None) -> DataFrame:
+                     faults_df: DataFrame | None = None,
+                     bucketed: bool = False) -> DataFrame:
     """Payload fetch of the PRESENT urls only (inner join, frontier build side).
 
     This is the hot path feeding the parser/validator (absent rows come from
@@ -157,11 +169,17 @@ def fetch_downloaded(frontier_df: DataFrame, pages_df: DataFrame,
       payloads stream map-side and are **never shuffled**.
     * larger waves: hash-partitioned join on ``url`` with a shuffled-hash
       build of the frontier side — no broadcast of a multi-GB wave, and no
-      sort of the payload rows (SHJ, not SMJ).  At 10^10 urls with `pages`
-      written Iceberg-bucketed by url_hash this exchange on the pages side
-      disappears entirely (storage-partitioned join); only the wave shuffles.
+      sort of the payload rows (SHJ, not SMJ).
+    * ``bucketed=True``: `pages_df` is a catalog table written by
+      ``sources.pages.write_pages_bucketed`` (bucketed by ``url_hash``) —
+      the storage-partitioned join: the join runs on ``url_hash`` (plus an
+      exact ``url`` equality filter, so hash collisions cannot pair wrong
+      rows) and the pages side carries NO Exchange at any wave size; only
+      the frontier shuffles to the bucket layout.  This is the 10^10-url
+      layout (Iceberg ``bucket(N, url_hash)`` transform) made concrete and
+      plan-asserted (tests/test_plans.py).
 
-    Both paths are semantically identical (asserted in tests/test_plans.py).
+    All paths are semantically identical (asserted in tests/test_plans.py).
     """
     frontier_cols = frontier_df.columns
     if faults_df is not None:
@@ -172,17 +190,42 @@ def fetch_downloaded(frontier_df: DataFrame, pages_df: DataFrame,
             .where(~_fault_active(frontier_df))
             .drop("fail_attempts")
         )
-    pages_cols = pages_df.select(
-        "url",
-        F.col("warc_ts"),
-        F.col("html"),
-        F.col("text").alias("page_text"),
-        _mime_col(pages_df).alias("page_mime"),
-    )
-    if wave_rows is not None and wave_rows > broadcast_max_rows:
-        joined = pages_cols.join(frontier_df.hint("shuffle_hash"), "url", "inner")
+    if bucketed:
+        assert "url_hash" in pages_df.columns, "bucketed pages need url_hash"
+        assert "url_hash" in frontier_cols, "frontier carries url_hash (S1)"
+        pages_cols = pages_df.select(
+            "url_hash",
+            F.col("url").alias("__page_url"),
+            F.col("warc_ts"),
+            F.col("html"),
+            F.col("text").alias("page_text"),
+            _mime_col(pages_df).alias("page_mime"),
+        )
+        joined = (
+            pages_cols.join(
+                frontier_df.hint("shuffle_hash"), "url_hash", "inner"
+            )
+            # exact-url backstop: xxhash64 collisions only ever cost this
+            # filter a row, never a wrong pairing.  Expressed as a pair of
+            # inequalities, NOT `==`: Catalyst would extract an equality as
+            # a second equi-join key, widening the join's required
+            # distribution to (url, url_hash) — which the bucket layout
+            # (url_hash only) cannot satisfy, re-introducing the big-side
+            # Exchange the bucketing exists to remove.
+            .where(
+                (F.col("__page_url") >= F.col("url"))
+                & (F.col("__page_url") <= F.col("url"))
+            )
+            .drop("__page_url")
+        )
+    elif wave_rows is not None and wave_rows > broadcast_max_rows:
+        joined = pages_cols_of(pages_df).join(
+            frontier_df.hint("shuffle_hash"), "url", "inner"
+        )
     else:
-        joined = pages_cols.join(F.broadcast(frontier_df), "url", "inner")
+        joined = pages_cols_of(pages_df).join(
+            F.broadcast(frontier_df), "url", "inner"
+        )
     out = joined.withColumn("fetch_status", F.lit(STATUS_DOWNLOADED)).withColumn(
         "text",
         F.coalesce(F.col("page_text"), F.decode(F.col("html"), "UTF-8")),

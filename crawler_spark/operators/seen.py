@@ -49,6 +49,10 @@ class BloomFilter:
         self.n_bits = n_bits
         self.n_hashes = n_hashes
         self.bits = bits if bits is not None else np.zeros(n_bits // 8 + 1, dtype=np.uint8)
+        # running count of keys folded in (upper bound on distinct keys) —
+        # the cost gate that decides prefilter-vs-exact reads this, so it is
+        # carried through merge() and the serialized blob header
+        self.n_items = 0
 
     @classmethod
     def sized(cls, expected_items: int, fpp: float = 0.01) -> "BloomFilter":
@@ -68,6 +72,7 @@ class BloomFilter:
     def add_many(self, keys: np.ndarray) -> None:
         pos = self._positions(keys).ravel()
         np.bitwise_or.at(self.bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        self.n_items += len(keys)
 
     def might_contain(self, keys: np.ndarray) -> np.ndarray:
         if len(keys) == 0:
@@ -78,7 +83,9 @@ class BloomFilter:
 
     def merge(self, other: "BloomFilter") -> "BloomFilter":
         assert self.n_bits == other.n_bits and self.n_hashes == other.n_hashes
-        return BloomFilter(self.n_bits, self.n_hashes, self.bits | other.bits)
+        out = BloomFilter(self.n_bits, self.n_hashes, self.bits | other.bits)
+        out.n_items = self.n_items + other.n_items
+        return out
 
 
 class ShardedBloom(BloomFilter):
@@ -114,6 +121,9 @@ class ShardedBloom(BloomFilter):
               n_shards: int = 32) -> "ShardedBloom":
         base = BloomFilter.sized(max(expected_items, 1), fpp)
         shard_bits = -(-base.n_bits // n_shards)  # ceil
+        shard_bits += (-shard_bits) % 8  # byte-align each shard so a shard's
+        # bitmap is a clean byte slice — lets the executor-routed variant
+        # ship ONE shard per partition instead of the whole filter
         return cls(n_shards, shard_bits, base.n_hashes)
 
     def empty_like(self) -> "ShardedBloom":
@@ -131,20 +141,47 @@ class ShardedBloom(BloomFilter):
 
     def to_bytes(self) -> bytes:
         header = np.array(
-            [self._MAGIC, self.n_shards, self.shard_bits, self.n_hashes],
+            [self._MAGIC, self.n_shards, self.shard_bits, self.n_hashes,
+             self.n_items],
             dtype=np.int64,
         )
         return header.tobytes() + self.bits.tobytes()
 
     @classmethod
     def from_bytes(cls, raw: bytes) -> "ShardedBloom":
-        header = np.frombuffer(raw[:32], dtype=np.int64)
+        header = np.frombuffer(raw[:40], dtype=np.int64)
         assert header[0] == cls._MAGIC, "not a ShardedBloom blob"
         bf = cls(int(header[1]), int(header[2]), int(header[3]))
-        bits = np.frombuffer(raw[32:], dtype=np.uint8)
+        bits = np.frombuffer(raw[40:], dtype=np.uint8)
         assert len(bits) == len(bf.bits), "bitmap size mismatch"
         bf.bits = bits.copy()
+        bf.n_items = int(header[4])
         return bf
+
+    # -- per-shard access (executor-routed variant) -------------------------
+    def shard_blob(self, shard: int) -> bytes:
+        """The shard's bitmap as a standalone byte slice (requires the
+        byte-aligned layout that :meth:`sized` produces)."""
+        assert self.shard_bits % 8 == 0, "shard bitmaps must be byte-aligned"
+        b = self.shard_bits // 8
+        return self.bits[shard * b:(shard + 1) * b].tobytes()
+
+    @staticmethod
+    def shard_might_contain(blob: bytes, shard_bits: int, n_hashes: int,
+                            keys: np.ndarray) -> np.ndarray:
+        """Membership test against ONE shard's bitmap using shard-local bit
+        positions — exactly the positions :meth:`_positions` computes minus
+        the shard base, so routed and broadcast variants agree bit-for-bit."""
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        bits = np.frombuffer(blob, dtype=np.uint8)
+        k = keys.astype(np.uint64)
+        h1 = k * np.uint64(0x9E3779B97F4A7C15)
+        h2 = (k >> np.uint64(17)) | np.uint64(1)
+        i = np.arange(n_hashes, dtype=np.uint64)[:, None]
+        pos = ((h1 + i * h2) % np.uint64(shard_bits)).astype(np.int64)
+        hit = (bits[pos >> 3] >> (pos & 7)) & 1
+        return hit.all(axis=0).astype(bool)
 
 
 def build_bloom_into(df: DataFrame, proto: BloomFilter,
@@ -165,12 +202,16 @@ def build_bloom_into(df: DataFrame, proto: BloomFilter,
         bf = ShardedBloom(*params) if is_sharded else BloomFilter(*params)
         for pdf in batches:
             bf.add_many(pdf[key].to_numpy(dtype=np.int64, na_value=0))
-        yield pd.DataFrame({"bits": [bf.bits.tobytes()]})
+        yield pd.DataFrame({"bits": [bf.bits.tobytes()],
+                            "n_items": [bf.n_items]})
 
-    partials = df.select(key).mapInPandas(partial, "bits binary").collect()
+    partials = df.select(key).mapInPandas(
+        partial, "bits binary, n_items long"
+    ).collect()
     merged = ShardedBloom(*params) if is_sharded else BloomFilter(*params)
     for row in partials:
         merged.bits |= np.frombuffer(row["bits"], dtype=np.uint8)
+        merged.n_items += row["n_items"]
     return merged
 
 
@@ -205,6 +246,7 @@ class CuckooFilter:
             table if table is not None
             else np.zeros((n_buckets, slots), dtype=np.uint16)
         )
+        self.n_items = 0  # fingerprints currently stored (cost-gate input)
 
     @classmethod
     def sized(cls, expected_items: int, load: float = 0.84) -> "CuckooFilter":
@@ -232,35 +274,89 @@ class CuckooFilter:
         return (i1.astype(np.uint64) ^ h).astype(np.int64)
 
     # -- ops ----------------------------------------------------------------
+    def _present(self, buckets: np.ndarray, fps: np.ndarray) -> np.ndarray:
+        """Column-unrolled ``fp in table[bucket]`` for a key batch."""
+        rows = self.table[buckets]
+        out = np.zeros(len(fps), dtype=bool)
+        for j in range(self.slots):
+            out |= rows[:, j] == fps
+        return out
+
+    def _bulk_place(self, fps: np.ndarray, buckets: np.ndarray) -> np.ndarray:
+        """Scatter each fingerprint into an empty slot of its bucket, giving
+        colliding same-bucket keys distinct slots via within-bucket ranks.
+        Returns the boolean placed mask.  Pure numpy — no per-key Python."""
+        if len(fps) == 0:
+            return np.zeros(0, dtype=bool)
+        rows = self.table[buckets]                      # gather (copy)
+        # column-wise over the (tiny) slot axis: axis-1 reductions on
+        # millions of 4-wide rows pay per-row setup cost; column ops don't
+        empty_cols = [rows[:, j] == 0 for j in range(self.slots)]
+        n_empty = np.zeros(len(fps), dtype=np.int64)
+        for c in empty_cols:
+            n_empty += c
+        # rank of each key among the batch keys that share its bucket
+        order = np.argsort(buckets, kind="stable")
+        sb = buckets[order]
+        group_start = np.zeros(len(sb), dtype=np.int64)
+        new_group = np.flatnonzero(sb[1:] != sb[:-1]) + 1
+        group_start[new_group] = new_group
+        np.maximum.accumulate(group_start, out=group_start)
+        rank = np.empty(len(sb), dtype=np.int64)
+        rank[order] = np.arange(len(sb)) - group_start
+        placed = rank < n_empty
+        if placed.any():
+            # the (rank+1)-th empty slot of the bucket, column-unrolled
+            target = rank + 1
+            slot = np.full(len(fps), -1, dtype=np.int64)
+            cum = np.zeros(len(fps), dtype=np.int64)
+            for j, c in enumerate(empty_cols):
+                cum += c
+                hit = placed & (slot < 0) & c & (cum == target)
+                slot[hit] = j
+            self.table[buckets[placed], slot[placed]] = fps[placed]
+        return placed
+
     def insert_many(self, keys: np.ndarray) -> int:
         """Insert; returns the number of keys DROPPED (table too full —
         callers size the filter so this stays 0; a dropped key is a false
-        negative, so the caller must fall back to exact joins if nonzero)."""
+        negative, so the caller must fall back to exact joins if nonzero).
+
+        Bulk path: dedupe on (bucket₁, fingerprint) — the entry identity, so
+        re-inserting a key is idempotent — then vectorized presence check and
+        two rounds of first-empty-slot scatter (bucket₁ then bucket₂).  Only
+        keys whose both buckets are full fall through to the per-key
+        eviction loop, which is empty below the design load factor."""
         import random
 
-        rng = random.Random(0xC0FFEE)
+        keys = np.asarray(keys, dtype=np.int64)
+        if len(keys) == 0:
+            return 0
         fps, i1s = self._fp(keys), self._i1(keys)
         i2s = self._i2(i1s, fps)
+        # entry identity = (unordered {i1,i2}, fp): i2 = i1 ^ h(fp), so the
+        # same entry has exactly two ordered representations — canonicalize
+        # with min(i1,i2) and keep the first occurrence only (idempotence)
+        _, first = np.unique(
+            np.minimum(i1s, i2s).astype(np.uint64) * np.uint64(1 << 16) + fps,
+            return_index=True,
+        )
+        first = np.sort(first)
+        fps, i1s, i2s = fps[first], i1s[first], i2s[first]
+        # presence first (idempotence — no duplicate fingerprints)
+        todo = ~(self._present(i1s, fps) | self._present(i2s, fps))
+        placed1 = np.zeros(len(fps), dtype=bool)
+        placed1[todo] = self._bulk_place(fps[todo], i1s[todo])
+        todo &= ~placed1
+        placed2 = np.zeros(len(fps), dtype=bool)
+        placed2[todo] = self._bulk_place(fps[todo], i2s[todo])
+        todo &= ~placed2
+        self.n_items += int(placed1.sum() + placed2.sum())
+
+        # eviction path (rare: both buckets full)
+        rng = random.Random(0xC0FFEE)
         dropped = 0
-        for fp, i1, i2 in zip(fps.tolist(), i1s.tolist(), i2s.tolist()):
-            placed = False
-            # presence FIRST so re-inserting a key is idempotent (no
-            # duplicate fingerprints — keeps delete_many exact-ish and
-            # capacity honest on snapshot-overwrite top-ups)
-            for b in (i1, i2):
-                if (self.table[b] == fp).any():
-                    placed = True
-                    break
-            if not placed:
-                for b in (i1, i2):
-                    row = self.table[b]
-                    empty = np.nonzero(row == 0)[0]
-                    if len(empty):
-                        row[empty[0]] = fp
-                        placed = True
-                        break
-            if placed:
-                continue
+        for fp, i1 in zip(fps[todo].tolist(), i1s[todo].tolist()):
             b, cur = i1, fp
             for _ in range(self.max_kicks):
                 s = rng.randrange(self.slots)
@@ -276,52 +372,79 @@ class CuckooFilter:
                     break
             if cur is not None:
                 dropped += 1
+            else:
+                self.n_items += 1
         return dropped
 
+    def _bulk_remove(self, fps: np.ndarray, buckets: np.ndarray) -> np.ndarray:
+        """Zero the slot holding each fingerprint in its bucket (if any);
+        returns the boolean removed mask.  Distinct (bucket, fp) pairs can
+        never target the same slot, so the scatter is collision-free."""
+        if len(fps) == 0:
+            return np.zeros(0, dtype=bool)
+        rows = self.table[buckets]
+        found = np.zeros(len(fps), dtype=bool)
+        slot = np.full(len(fps), -1, dtype=np.int64)
+        for j in range(self.slots):
+            hit = ~found & (rows[:, j] == fps)
+            slot[hit] = j
+            found |= hit
+        if found.any():
+            self.table[buckets[found], slot[found]] = 0
+        return found
+
     def delete_many(self, keys: np.ndarray) -> int:
-        """Remove one fingerprint copy per key; returns keys not found."""
+        """Remove one fingerprint copy per key; returns keys not found.
+        Vectorized two-phase zeroing (bucket₁ then bucket₂); duplicate keys
+        in one batch collapse to one removal, the rest count as missing."""
+        keys = np.asarray(keys, dtype=np.int64)
+        if len(keys) == 0:
+            return 0
         fps, i1s = self._fp(keys), self._i1(keys)
         i2s = self._i2(i1s, fps)
-        missing = 0
-        for fp, i1, i2 in zip(fps.tolist(), i1s.tolist(), i2s.tolist()):
-            for b in (i1, i2):
-                row = self.table[b]
-                hit = np.nonzero(row == fp)[0]
-                if len(hit):
-                    row[hit[0]] = 0
-                    break
-            else:
-                missing += 1
-        return missing
+        uniq, first = np.unique(
+            np.minimum(i1s, i2s).astype(np.uint64) * np.uint64(1 << 16) + fps,
+            return_index=True,
+        )
+        dup_extra = int(len(keys) - len(uniq))  # extra copies always miss
+        first = np.sort(first)
+        fps, i1s, i2s = fps[first], i1s[first], i2s[first]
+        removed1 = self._bulk_remove(fps, i1s)
+        rest = ~removed1
+        removed2 = np.zeros(len(fps), dtype=bool)
+        if rest.any():
+            removed2[rest] = self._bulk_remove(fps[rest], i2s[rest])
+        n_removed = int(removed1.sum() + removed2.sum())
+        self.n_items = max(0, self.n_items - n_removed)
+        return int(len(fps) - n_removed) + dup_extra
 
     def might_contain(self, keys: np.ndarray) -> np.ndarray:
         if len(keys) == 0:
             return np.zeros(0, dtype=bool)
         fps, i1s = self._fp(keys), self._i1(keys)
         i2s = self._i2(i1s, fps)
-        return (
-            (self.table[i1s] == fps[:, None]).any(axis=1)
-            | (self.table[i2s] == fps[:, None]).any(axis=1)
-        )
+        return self._present(i1s, fps) | self._present(i2s, fps)
 
     # -- serialization ------------------------------------------------------
     def to_bytes(self) -> bytes:
         header = np.array(
-            [self._MAGIC, self.n_buckets, self.slots, self.max_kicks],
+            [self._MAGIC, self.n_buckets, self.slots, self.max_kicks,
+             self.n_items],
             dtype=np.int64,
         )
         return header.tobytes() + self.table.tobytes()
 
     @classmethod
     def from_bytes(cls, raw: bytes) -> "CuckooFilter":
-        header = np.frombuffer(raw[:32], dtype=np.int64)
+        header = np.frombuffer(raw[:40], dtype=np.int64)
         assert header[0] == cls._MAGIC, "not a CuckooFilter blob"
         cf = cls(int(header[1]), int(header[2]), int(header[3]))
         cf.table = (
-            np.frombuffer(raw[32:], dtype=np.uint16)
+            np.frombuffer(raw[40:], dtype=np.uint16)
             .reshape(cf.n_buckets, cf.slots)
             .copy()
         )
+        cf.n_items = int(header[4])
         return cf
 
 
@@ -365,6 +488,25 @@ def filter_from_bytes(raw: bytes):
     raise ValueError(f"unknown seen-filter blob magic {magic:#x}")
 
 
+# per-Python-worker memo of deserialized seen-filters keyed by a broadcast
+# token: the serialized bitmap is MBs and a pandas UDF is invoked once per
+# Arrow batch — without the memo every batch pays a full bitmap copy.
+# Workers are reused across tasks (spark.python.worker.reuse), so the memo
+# amortizes to one deserialization per worker per filter version.
+_FILTER_MEMO: dict = {}
+_FILTER_MEMO_MAX = 4
+
+
+def _memoized_filter(token: str, payload: tuple):
+    flt = _FILTER_MEMO.get(token)
+    if flt is None:
+        flt = deserialize_filter(payload)
+        if len(_FILTER_MEMO) >= _FILTER_MEMO_MAX:
+            _FILTER_MEMO.pop(next(iter(_FILTER_MEMO)))
+        _FILTER_MEMO[token] = flt
+    return flt
+
+
 def bloom_prefilter_unseen(frontier_df: DataFrame, bloom,
                            key: str = "url_hash") -> DataFrame:
     """Drop rows the filter proves unseen... inverted: KEEP rows that are
@@ -375,27 +517,100 @@ def bloom_prefilter_unseen(frontier_df: DataFrame, bloom,
     route: ``maybe_seen = false`` → fetch directly (the filter guarantees
     unseen); ``maybe_seen = true`` → exact anti-join backstop.
     """
+    import uuid
+
     spark = frontier_df.sparkSession
     bc = spark.sparkContext.broadcast(serialize_filter(bloom))
+    token = uuid.uuid4().hex  # one filter version per broadcast
 
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("boolean")
     def might_contain_udf(keys: pd.Series) -> pd.Series:
-        flt = deserialize_filter(bc.value)
+        flt = _memoized_filter(token, bc.value)
         return pd.Series(flt.might_contain(keys.to_numpy(dtype=np.int64, na_value=0)))
 
     return frontier_df.withColumn("maybe_seen", might_contain_udf(F.col(key)))
 
 
 def filter_unseen_with_bloom(frontier_df: DataFrame, seen_df: DataFrame,
-                             bloom: BloomFilter, key: str = "url_hash") -> DataFrame:
+                             bloom: BloomFilter, key: str = "url_hash",
+                             persisted_out: list | None = None) -> DataFrame:
     """Scale path: bloom prefilter + exact anti-join only on the maybe band.
 
     Semantically identical to :func:`filter_unseen` (verified in tests); at
     scale the anti-join input shrinks from |wave| to ~|wave ∩ seen| + fpp.
+
+    The flagged frontier is PERSISTED before the definitely-new/maybe split:
+    both branches of the union read it, and without the cache each branch
+    re-evaluates the prefilter UDF and its whole upstream lineage (measured
+    as the dominant per-wave cost in round 2).  The rows are slim frontier
+    descriptors, so the cache is bytes/row, never payloads.  Callers that
+    run waves in a loop pass ``persisted_out`` and unpersist after the
+    wave's actions complete; one-shot callers may rely on LRU eviction.
     """
-    flagged = bloom_prefilter_unseen(frontier_df, bloom, key)
+    flagged = bloom_prefilter_unseen(frontier_df, bloom, key).persist()
+    if persisted_out is not None:
+        persisted_out.append(flagged)
+    definitely_new = flagged.where(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = flagged.where(F.col("maybe_seen")).drop("maybe_seen")
+    confirmed_new = maybe.join(seen_df.select(key).distinct(), key, "left_anti")
+    return definitely_new.unionByName(confirmed_new)
+
+
+def filter_unseen_with_bloom_sharded(frontier_df: DataFrame, seen_df: DataFrame,
+                                     bloom: ShardedBloom, key: str = "url_hash",
+                                     persisted_out: list | None = None) -> DataFrame:
+    """Executor-ROUTED variant of :func:`filter_unseen_with_bloom`: instead
+    of broadcasting the whole merged filter to every executor, each bitmap
+    shard travels only to the tasks holding its key range.
+
+    ``shard(key) = key mod n_shards`` is a pure key function, so the
+    frontier and a tiny (shard, blob) table cogroup on the shard id — a
+    co-partitioned join where each task receives exactly ONE shard blob plus
+    the frontier rows that can only ever probe that shard.  At 10^10 keys
+    this is the difference between every executor holding a ~12 GB filter
+    and each holding its ~47 MB slice (ShardedBloom doc).  Bit positions are
+    identical to the broadcast path (``ShardedBloom.shard_might_contain``),
+    so the two variants agree exactly — equivalence-tested alongside the
+    plain/sharded/cuckoo paths.
+    """
+    assert isinstance(bloom, ShardedBloom) and bloom.shard_bits % 8 == 0
+    # shard routing must equal the filter's own uint64 modulo for NEGATIVE
+    # int64 keys too — true for the low-bit mask iff n_shards is 2^m
+    assert bloom.n_shards & (bloom.n_shards - 1) == 0, "n_shards must be 2^m"
+    spark = frontier_df.sparkSession
+    shards = spark.createDataFrame(
+        [(s, bytearray(bloom.shard_blob(s))) for s in range(bloom.n_shards)],
+        "__shard int, bits binary",
+    )
+    shard_bits, n_hashes = bloom.shard_bits, bloom.n_hashes
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in frontier_df.schema.fields
+    ) + ", maybe_seen boolean"
+
+    def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.drop(columns=["__shard"])
+        if len(left) == 0:
+            return left.assign(maybe_seen=pd.Series([], dtype=bool))
+        if len(right) == 0:  # no blob for this shard ⇒ nothing seen there
+            return left.assign(maybe_seen=False)
+        hit = ShardedBloom.shard_might_contain(
+            bytes(right["bits"].iloc[0]), shard_bits, n_hashes,
+            left[key].to_numpy(dtype=np.int64, na_value=0),
+        )
+        return left.assign(maybe_seen=hit)
+
+    shard_col = F.col(key).bitwiseAND(F.lit(bloom.n_shards - 1)).cast("int")
+    flagged = (
+        frontier_df.withColumn("__shard", shard_col)
+        .groupBy("__shard")
+        .cogroup(shards.groupBy("__shard"))
+        .applyInPandas(probe, out_schema)
+        .persist()
+    )
+    if persisted_out is not None:
+        persisted_out.append(flagged)
     definitely_new = flagged.where(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = flagged.where(F.col("maybe_seen")).drop("maybe_seen")
     confirmed_new = maybe.join(seen_df.select(key).distinct(), key, "left_anti")

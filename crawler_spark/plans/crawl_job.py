@@ -65,13 +65,14 @@ PHOTO_SEQ_SLOT = 64
 class CrawlJob:
     def __init__(self, spark: SparkSession, store_dir: str, pages_df: DataFrame,
                  wave_seconds: int = 3600, robots_df: DataFrame | None = None,
-                 use_bloom: bool = False, salted: bool = False,
+                 use_bloom: bool = False, salted: bool = True,
                  prewarm: bool = True, bloom_capacity: int = 2_000_000,
                  bloom_fpp: float = 0.01, bloom_shards: int = 32,
                  faults_df: DataFrame | None = None,
                  retry_delay_unit_ms: int | None = None,
                  retry_max_delay_ms: int | None = None,
-                 seen_filter: str = "bloom"):
+                 seen_filter: str = "bloom",
+                 prefilter_min_seen: int = 2_000_000):
         self.spark = spark
         self.store = SnapshotStore(store_dir)
         self.pages = pages_df
@@ -93,6 +94,12 @@ class CrawlJob:
         assert seen_filter in ("bloom", "cuckoo")
         self.seen_filter = seen_filter
         self._filter_degraded = False  # cuckoo overflow -> exact path only
+        # cost gate: while |seen| is below this, the exact anti-join is
+        # cheaper than paying the prefilter UDF over the whole frontier
+        # (measured: at sandbox scale the anti-join won every round), so the
+        # filter is MAINTAINED each wave (cheap driver-side fold) but only
+        # APPLIED once the seen side is big enough to dominate the anti-join
+        self.prefilter_min_seen = prefilter_min_seen
         self.bloom_capacity = bloom_capacity
         self.bloom_fpp = bloom_fpp
         self.bloom_shards = bloom_shards
@@ -179,30 +186,44 @@ class CrawlJob:
             self.bloom_capacity, self.bloom_fpp, self.bloom_shards
         )
 
-    def _filter_add(self, keys_df: DataFrame) -> None:
+    # a wave's keys below this come to the driver as one Arrow batch and
+    # fold in-process (milliseconds); above it, the distributed mapInPandas
+    # partial build runs.  Round 2 ran the 32-task partial job for EVERY
+    # wave — ~10 s of fixed cost per wave that a politeness-bounded wave
+    # (tens of thousands of keys) never needed.
+    DRIVER_FOLD_MAX_ROWS = 2_000_000
+
+    def _filter_add(self, keys_df: DataFrame, n_rows: int | None = None) -> None:
         """Fold a key DataFrame into the in-memory filter.
 
-        Bloom: distributed mapInPandas partial, OR-merged (bytes move, not
-        rows).  Cuckoo: the keys come to the driver (Arrow) and insert
-        sequentially — bounded because only politeness-bounded waves are
-        ever added; a cuckoo overflow (capacity undersized) would mean
-        false negatives, so it DEGRADES the job to the exact anti-join
-        path instead (correctness is never at stake).
+        Bloom, small/known wave: one driver-side Arrow fetch + vectorized
+        ``add_many``.  Bloom, unknown or huge input (legacy full rebuild):
+        distributed mapInPandas partials, OR-merged (bytes move, not rows).
+        Cuckoo: driver-side vectorized insert — bounded because only
+        politeness-bounded waves are ever added; a cuckoo overflow
+        (capacity undersized) would mean false negatives, so it DEGRADES
+        the job to the exact anti-join path instead (correctness is never
+        at stake).
         """
-        if isinstance(self._bloom, CuckooFilter):
-            import numpy as _np
+        import numpy as _np
 
+        if isinstance(self._bloom, CuckooFilter):
             keys = keys_df.toPandas()["url_hash"].to_numpy(_np.int64)
             if self._bloom.insert_many(keys):
                 self._filter_degraded = True
+        elif n_rows is not None and n_rows <= self.DRIVER_FOLD_MAX_ROWS:
+            keys = keys_df.toPandas()["url_hash"].to_numpy(_np.int64)
+            self._bloom.add_many(keys)
         else:
             partial = build_bloom_into(keys_df, self._bloom.empty_like())
             self._bloom.bits |= partial.bits
+            self._bloom.n_items += partial.n_items
 
-    def _bloom_add_wave(self, wave_keys_df: DataFrame, seen_snap: int) -> None:
+    def _bloom_add_wave(self, wave_keys_df: DataFrame, seen_snap: int,
+                        n_rows: int | None = None) -> None:
         """Fold the freshly committed wave's keys into the merged filter and
         persist — the only per-wave filter work (the wave, never the table)."""
-        self._filter_add(wave_keys_df)
+        self._filter_add(wave_keys_df, n_rows)
         self._bloom_snap = seen_snap
         if not self._filter_degraded:
             self._persist_bloom()
@@ -272,15 +293,24 @@ class CrawlJob:
         # C1-C3: negative cache first (reference checks missing before local
         # presence, CrawlerPet911.fs:79-92), then the positive seen set
         frontier = filter_not_missing(frontier, missing)
+        wave_persisted: list = []  # prefilter caches to release at wave end
         if self.use_bloom:
             # incremental filter: covers all committed seen snapshots without
             # rescanning the seen table (per-wave folds; the exact anti-join
             # backstop guarantees correctness).  None ⇒ seen empty or the
             # cuckoo overflowed (degraded) — either way the exact anti-join
-            # is the safe path (a no-op against an empty seen table).
+            # is the safe path (a no-op against an empty seen table).  The
+            # cost gate keeps the exact path while |seen| is small enough
+            # that the anti-join beats a prefilter pass over the frontier.
             bloom = self._bloom_sync()
+            use_prefilter = (
+                bloom is not None and bloom.n_items >= self.prefilter_min_seen
+            )
             frontier = (
-                filter_unseen_with_bloom(frontier, seen, bloom) if bloom
+                filter_unseen_with_bloom(
+                    frontier, seen, bloom, persisted_out=wave_persisted
+                )
+                if use_prefilter
                 else filter_unseen(frontier, seen)
             )
         else:
@@ -457,12 +487,15 @@ class CrawlJob:
                 fut.result()
         if self.use_bloom:
             # fold ONLY this wave's keys into the persisted merged filter —
-            # the seen table itself is never rescanned after wave 0
+            # the seen table itself is never rescanned after wave 0.  The
+            # wave size is already known (frow), so small waves fold
+            # driver-side in milliseconds instead of a 32-task partial job.
             self._bloom_add_wave(
                 fetched.where(F.col("fetch_status") == "downloaded").select(
                     "url_hash"
                 ),
                 futures[3].result(),
+                n_rows=int(frow["downloaded"] or 0),
             )
         t0 = _mark("parallel_commits", t0)
 
@@ -547,6 +580,8 @@ class CrawlJob:
         picked.unpersist()
         fetched.unpersist()
         parsed.unpersist()
+        for df in wave_persisted:
+            df.unpersist()
         return stats
 
     def crawl(self, max_waves: int | None = None) -> list[dict]:

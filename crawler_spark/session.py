@@ -11,6 +11,7 @@ value.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -46,5 +47,14 @@ def get_spark(app_name: str = "crawler-spark", cores: int | None = None,
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # catalog home for bucketed tables (write_pages_bucketed) — session
+        # catalog metadata is in-memory; only table data lands here
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                os.path.join(tempfile.gettempdir(), "crawler_spark_warehouse"),
+            ),
+        )
     )
     return builder.getOrCreate()

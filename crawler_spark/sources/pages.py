@@ -477,3 +477,36 @@ def build_pages(spark: SparkSession, sf_dir: str, include_fixtures: bool = True,
     if include_fixtures:
         pages = pages.unionByName(fixture_pages(spark))
     return pages
+
+
+def write_pages_bucketed(pages_df: DataFrame, path: str,
+                         table_name: str = "pages_bucketed",
+                         n_buckets: int = 32) -> DataFrame:
+    """Persist the fetch universe BUCKETED by ``url_hash`` — the
+    storage-partitioned-join layout the fetch path is designed around.
+
+    This is the plain-parquet analog of an Iceberg ``bucket(N, url_hash)``
+    partition transform: each file belongs to ``murmur3(url_hash) % N``, and
+    Spark's catalog records the spec, so a subsequent join on ``url_hash``
+    reads the big side WITHOUT any Exchange — only the (politeness-bounded)
+    wave shuffles.  At 10^10 urls that is the difference between re-shuffling
+    ~100 TB of page payloads every wave and shuffling a few GB of frontier
+    descriptors (fetch.py:9-13).
+
+    Returns the catalog-backed DataFrame whose scan carries the bucket spec
+    (reading the parquet path directly would lose it).
+    """
+    from ..functions.url import url_hash as url_hash_fn
+
+    spark = pages_df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    with_hash = pages_df.withColumn("url_hash", url_hash_fn(F.col("url")))
+    (
+        with_hash.write.format("parquet")
+        .bucketBy(n_buckets, "url_hash")
+        .sortBy("url_hash")
+        .option("path", str(path))
+        .mode("overwrite")
+        .saveAsTable(table_name)
+    )
+    return spark.table(table_name)

@@ -78,18 +78,21 @@ def test_bloom_no_false_negatives():
     assert fp < 0.05  # fpp in the configured ballpark
 
 
-@pytest.mark.parametrize("kind", ["plain", "sharded", "cuckoo"])
+@pytest.mark.parametrize("kind", ["plain", "sharded", "cuckoo", "routed"])
 def test_filter_path_equals_exact_antijoin(spark, kind):
     """Every filter variant is a prefilter, never a semantics change — the
     'sharded' case is the regression guard for type-preserving broadcast
     (a ShardedBloom bitmap reinterpreted as a plain BloomFilter computes
-    different bit positions → silent false negatives)."""
+    different bit positions → silent false negatives); the 'routed' case
+    runs the executor-routed shard-cogroup variant (each task sees only its
+    shard's bitmap slice) against the same exact baseline."""
     import numpy as np
 
     from crawler_spark.operators.seen import (
         CuckooFilter,
         ShardedBloom,
         build_bloom_into,
+        filter_unseen_with_bloom_sharded,
     )
 
     frontier = frontier_from_range(spark, 0, 499)
@@ -99,7 +102,7 @@ def test_filter_path_equals_exact_antijoin(spark, kind):
     exact = {r["id"] for r in filter_unseen(frontier, seen).collect()}
     if kind == "plain":
         flt = build_bloom(seen)
-    elif kind == "sharded":
+    elif kind in ("sharded", "routed"):
         flt = build_bloom_into(
             seen.select("url_hash"), ShardedBloom.sized(2_000, n_shards=8)
         )
@@ -110,9 +113,11 @@ def test_filter_path_equals_exact_antijoin(spark, kind):
             dtype=np.int64,
         )
         assert flt.insert_many(keys) == 0
-    with_flt = {
-        r["id"] for r in filter_unseen_with_bloom(frontier, seen, flt).collect()
-    }
+    variant = (
+        filter_unseen_with_bloom_sharded if kind == "routed"
+        else filter_unseen_with_bloom
+    )
+    with_flt = {r["id"] for r in variant(frontier, seen, flt).collect()}
     assert with_flt == exact
 
 
@@ -430,34 +435,39 @@ def test_e2e_retry_fib_budget(spark, sf_dir, tmp_path_factory):
 
 def test_e2e_incremental_bloom(crawl_result, spark, sf_dir, tmp_path_factory,
                                monkeypatch):
-    """C1-scale: the seen-bloom is maintained incrementally — one partial
-    per wave over that wave's keys only, never a rescan of the seen table —
-    persisted per snapshot, reloadable after a restart, and semantically
-    identical to the exact-anti-join run."""
+    """C1-scale: the seen-bloom is maintained incrementally — one per-wave
+    fold over that wave's keys only (driver-side Arrow fold for bounded
+    waves, distributed partials for rebuilds), never a rescan of the seen
+    table — persisted per snapshot, reloadable after a restart, and
+    semantically identical to the exact-anti-join run.  prefilter_min_seen=0
+    keeps the bloom-routed wave path itself exercised end-to-end."""
     import crawler_spark.plans.crawl_job as cj
 
     calls: list[int] = []
-    real = cj.build_bloom_into
+    real = cj.CrawlJob._filter_add
 
-    def spy(df, proto, key="url_hash"):
-        calls.append(df.count())
-        return real(df, proto, key)
+    def spy(self, keys_df, n_rows=None):
+        calls.append(keys_df.count())
+        return real(self, keys_df, n_rows)
 
-    monkeypatch.setattr(cj, "build_bloom_into", spy)
+    monkeypatch.setattr(cj.CrawlJob, "_filter_add", spy)
 
     ref_job, _, n_docs = crawl_result
     pages = ref_job.pages
     store = str(tmp_path_factory.mktemp("bloomstore"))
     job = CrawlJob(spark, store, pages, wave_seconds=10**9, use_bloom=True,
-                   prewarm=False)
+                   prewarm=False, prefilter_min_seen=0)
     job.seed_frontier(ref_job.store.read(spark, "frontier", as_of=0))
     job.crawl(max_waves=10)
 
     n_waves = job.store.latest_snapshot_id("seen") + 1
-    # exactly one partial build per wave, each over that wave's rows only;
-    # summed they cover the seen table once — no wave rescanned history
+    # exactly one fold per wave, each over that wave's rows only; summed
+    # they cover the seen table once — no wave rescanned history
     assert len(calls) == n_waves
     assert sum(calls) == job.seen_set().count()
+    # the filter's item count tracks the folds (the cost-gate input) and
+    # survives the per-snapshot blob round-trip
+    assert job._bloom.n_items == job.seen_set().count()
     # one persisted blob per wave (crash-safe incremental state)
     blobs = sorted((job.store.root / "seen_bloom").glob("merged-*.bin"))
     assert len(blobs) == n_waves
@@ -465,16 +475,17 @@ def test_e2e_incremental_bloom(crawl_result, spark, sf_dir, tmp_path_factory,
     # restart: a fresh job loads the blob — no partial build, no table read
     calls.clear()
     job2 = CrawlJob(spark, store, pages, wave_seconds=10**9, use_bloom=True,
-                    prewarm=False)
+                    prewarm=False, prefilter_min_seen=0)
     bloom = job2._bloom_sync()
     assert calls == [] and job2._bloom_snap == n_waves - 1
     assert bloom is not None
+    assert bloom.n_items == job.seen_set().count()
 
     # blobs lost (legacy store): one top-up build from the snapshot dirs
     for b in blobs:
         b.unlink()
     job3 = CrawlJob(spark, store, pages, wave_seconds=10**9, use_bloom=True,
-                    prewarm=False)
+                    prewarm=False, prefilter_min_seen=0)
     job3._bloom_sync()
     assert len(calls) == 1 and sum(calls) == job.seen_set().count()
 

@@ -117,6 +117,66 @@ def test_ivf_plan_has_no_global_window(spark, sf_dir):
         assert "query_id" in head, f"unpartitioned window found: {frag[:80]}"
 
 
+def test_bucketed_pages_join_has_no_big_side_exchange(spark, sf_dir, tmp_path):
+    """Storage-partitioned fetch join (the 10^10-url layout): with `pages`
+    written bucketed by url_hash, the payload side must scan Bucketed with
+    NO Exchange anywhere in the plan except the frontier side — and agree
+    exactly with the broadcast path."""
+    from crawler_spark.operators.fetch import fetch_downloaded
+    from crawler_spark.sources.frontier import frontier_from_range
+    from crawler_spark.sources.pages import (
+        build_pages, synthetic_docs_from_range, write_pages_bucketed,
+    )
+
+    docs = synthetic_docs_from_range(spark, 100)
+    pages = build_pages(spark, sf_dir, include_fixtures=False, docs_df=docs)
+    bucketed = write_pages_bucketed(
+        pages, str(tmp_path / "pages_bucketed"), "pages_bucketed_test",
+        n_buckets=8,
+    )
+    frontier = frontier_from_range(spark, 100_000, 100_050)
+
+    q = fetch_downloaded(frontier, bucketed, bucketed=True)
+    plan = plan_of(q)
+    assert "Bucketed: true" in plan, plan[:1500]
+    assert "SelectedBucketsCount: 8 out of 8" in plan
+    # exactly one exchange: the (politeness-bounded) frontier side; the
+    # payload side's bucket layout satisfies the join distribution
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastHashJoin" not in plan
+
+    base = fetch_downloaded(frontier, pages).select("id", "url").collect()
+    buck = q.select("id", "url").collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, buck))
+    assert len(base) > 0
+    spark.sql("DROP TABLE IF EXISTS pages_bucketed_test")
+
+
+def test_default_wave_selection_salts_hot_hosts(spark):
+    """The default CrawlJob wave path must never rank a hot host's whole
+    frontier in one task: select_wave_salted is the default selector, and
+    on a frontier dominated by one hot host its plan windows on
+    (host, __salt) — the skew-safe shape — not on host alone."""
+    import inspect
+
+    from crawler_spark.operators.politeness import select_wave_salted
+    from crawler_spark.plans.crawl_job import CrawlJob
+    from crawler_spark.sources.frontier import frontier_from_range
+
+    # the constructor default routes waves through the salted selector
+    assert inspect.signature(CrawlJob.__init__).parameters["salted"].default is True
+
+    frontier = frontier_from_range(spark, 0, 5_000)  # one host, 10k urls
+    picked = select_wave_salted(frontier, 3600, hot_host_threshold=1_000)
+    plan = plan_of(picked)
+    specs = plan.split("windowspecdefinition(")[1:]
+    assert specs, "expected a window for the per-host rank"
+    salted_specs = [s for s in specs if "__salt" in s.split("specifiedwindowframe")[0]]
+    assert salted_specs, f"no (host, __salt) window in plan:\n{plan[:2000]}"
+    # and the hot branch result still honors the budget semantics
+    assert picked.where("selected").count() > 0
+
+
 def test_doc_token_stats_prunes_text_dependencies_only(spark, sf_dir):
     """Aggregation query reads only the columns it needs from parquet."""
     import __spark_entry__ as entrymod

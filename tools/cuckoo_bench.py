@@ -1,0 +1,153 @@
+"""Micro-bench: vectorized CuckooFilter insert/delete vs the round-2
+per-key Python loop, at 10^6 keys.
+
+The round-2 implementation (reproduced below as ``loop_insert`` /
+``loop_delete``) walked every key through Python-level presence checks and
+slot scans — fine for one politeness-bounded wave, minutes of serial driver
+time at a 100×-scale wave.  The vectorized path dedupes on the entry
+identity (bucket1, fingerprint), does one column-unrolled presence check,
+and scatters first-empty-slot placements in two bulk rounds; only
+keys whose both buckets are full fall through to the eviction loop.
+
+Usage: python tools/cuckoo_bench.py [n_keys]
+Prints one JSON line: {"n_keys": ..., "loop_insert_s": ..., ...,
+"insert_speedup": ..., "delete_speedup": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from crawler_spark.operators.seen import CuckooFilter  # noqa: E402
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+
+
+def loop_insert(cf: CuckooFilter, keys: np.ndarray) -> int:
+    """Round-2 per-key insert loop, verbatim semantics."""
+    rng = random.Random(0xC0FFEE)
+    fps, i1s = cf._fp(keys), cf._i1(keys)
+    i2s = cf._i2(i1s, fps)
+    dropped = 0
+    for fp, i1, i2 in zip(fps.tolist(), i1s.tolist(), i2s.tolist()):
+        placed = False
+        for b in (i1, i2):
+            if (cf.table[b] == fp).any():
+                placed = True
+                break
+        if not placed:
+            for b in (i1, i2):
+                row = cf.table[b]
+                empty = np.nonzero(row == 0)[0]
+                if len(empty):
+                    row[empty[0]] = fp
+                    placed = True
+                    break
+        if placed:
+            continue
+        b, cur = i1, fp
+        for _ in range(cf.max_kicks):
+            s = rng.randrange(cf.slots)
+            cur, cf.table[b][s] = int(cf.table[b][s]), cur
+            b = int(cf._i2(np.array([b]), np.array([cur], dtype=np.uint16))[0])
+            row = cf.table[b]
+            empty = np.nonzero(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = cur
+                cur = None
+                break
+        if cur is not None:
+            dropped += 1
+    return dropped
+
+
+def loop_delete(cf: CuckooFilter, keys: np.ndarray) -> int:
+    """Round-2 per-key delete loop, verbatim semantics."""
+    fps, i1s = cf._fp(keys), cf._i1(keys)
+    i2s = cf._i2(i1s, fps)
+    missing = 0
+    for fp, i1, i2 in zip(fps.tolist(), i1s.tolist(), i2s.tolist()):
+        for b in (i1, i2):
+            row = cf.table[b]
+            hit = np.nonzero(row == fp)[0]
+            if len(hit):
+                row[hit[0]] = 0
+                break
+        else:
+            missing += 1
+    return missing
+
+
+def timed(fn, *args):
+    import gc
+
+    gc.collect()  # the loop baseline leaves ~3M temp ints; don't let its
+    # collection land inside the next measured section
+    t0 = time.perf_counter()
+    out = fn(*args)
+    return time.perf_counter() - t0, out
+
+
+def main() -> None:
+    import statistics
+
+    keys = np.random.default_rng(0).integers(-2**62, 2**62, N, dtype=np.int64)
+    _ = keys * 2  # touch pages (cold-alloc noise otherwise dominates)
+
+    # warm both paths on a small slice first (first-touch allocation)
+    warm = CuckooFilter.sized(N)
+    warm.insert_many(keys[:1000])
+    loop_insert(CuckooFilter.sized(1000), keys[:1000])
+
+    # the host is a shared VM with heavy steal: interleave loop/vec repeats
+    # and report medians so a throttled window can't bias the ratio
+    REPEATS = 3
+    t_loop_ins, t_loop_del, t_vec_ins, t_vec_del = [], [], [], []
+    for _rep in range(REPEATS):
+        a = CuckooFilter.sized(N)
+        ti, d1 = timed(loop_insert, a, keys)
+        td, m1 = timed(loop_delete, a, keys)
+        t_loop_ins.append(ti)
+        t_loop_del.append(td)
+
+        b = CuckooFilter.sized(N)
+        ti, d2 = timed(b.insert_many, keys)
+        td, m2 = timed(b.delete_many, keys)
+        t_vec_ins.append(ti)
+        t_vec_del.append(td)
+
+        assert d1 == d2 == 0, (d1, d2)
+        # both end empty; the vectorized dedupe on (unordered bucket pair,
+        # fingerprint) reproduces the loop's presence semantics exactly
+        assert m1 == m2, (m1, m2)
+        assert not a.table.any() and not b.table.any()
+
+    med = statistics.median
+    # identical work varies several-fold under this host's steal bursts, so
+    # the min (noise-floor) ratio is the honest CPU-cost comparison; medians
+    # and raw runs are reported alongside so throttled windows are visible
+    print(json.dumps({
+        "n_keys": N,
+        "repeats": REPEATS,
+        "loop_insert_s": [round(t, 2) for t in t_loop_ins],
+        "vec_insert_s": [round(t, 2) for t in t_vec_ins],
+        "insert_speedup_median": round(med(t_loop_ins) / med(t_vec_ins), 1),
+        "insert_speedup_min": round(min(t_loop_ins) / min(t_vec_ins), 1),
+        "vec_insert_keys_per_s_best": round(N / min(t_vec_ins)),
+        "loop_delete_s": [round(t, 2) for t in t_loop_del],
+        "vec_delete_s": [round(t, 2) for t in t_vec_del],
+        "delete_speedup_median": round(med(t_loop_del) / med(t_vec_del), 1),
+        "delete_speedup_min": round(min(t_loop_del) / min(t_vec_del), 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
