@@ -72,10 +72,20 @@ class CrawlJob:
                  retry_delay_unit_ms: int | None = None,
                  retry_max_delay_ms: int | None = None,
                  seen_filter: str = "bloom",
-                 prefilter_min_seen: int = 2_000_000):
+                 prefilter_min_seen: int = 2_000_000,
+                 pages_bucketed: bool = False):
         self.spark = spark
         self.store = SnapshotStore(store_dir)
         self.pages = pages_df
+        # pages_bucketed: pages_df is a catalog table written by
+        # sources.pages.write_pages_bucketed (bucketed by url_hash) — the
+        # payload joins then run storage-partitioned with NO Exchange on the
+        # pages side at any wave size (the 10^10-url layout, operators/fetch)
+        self.pages_bucketed = pages_bucketed
+        if pages_bucketed:
+            assert "url_hash" in pages_df.columns, (
+                "bucketed pages must carry url_hash (write_pages_bucketed)"
+            )
         self.wave_seconds = wave_seconds
         self.robots = robots_df
         self.use_bloom = use_bloom
@@ -378,6 +388,7 @@ class CrawlJob:
             parsed_src = fetch_downloaded(
                 batch.where(F.col("resource_type") == "card"), self.pages,
                 wave_rows=n_cards_wave, faults_df=self.faults,
+                bucketed=self.pages_bucketed,
             )
         else:
             parsed_src = self.spark.createDataFrame(
@@ -424,6 +435,7 @@ class CrawlJob:
             photos_src = fetch_downloaded(
                 batch.where(F.col("resource_type") == "photo"), self.pages,
                 wave_rows=n_photos_wave, faults_df=self.faults,
+                bucketed=self.pages_bucketed,
             )
         else:
             photos_src = self.spark.createDataFrame(

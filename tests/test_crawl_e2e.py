@@ -499,6 +499,35 @@ def test_e2e_incremental_bloom(crawl_result, spark, sf_dir, tmp_path_factory,
         ), f"{getter} differs between bloom and exact runs"
 
 
+def test_e2e_bucketed_pages_crawl_matches(crawl_result, spark, tmp_path_factory):
+    """Storage-partitioned fetch end-to-end: a crawl over `pages` written
+    bucketed by url_hash (payload joins carry no pages-side Exchange) must
+    produce exactly the reference run's cards/seen/missing tables."""
+    from crawler_spark.sources.pages import write_pages_bucketed
+
+    ref_job, _, _ = crawl_result
+    bucketed = write_pages_bucketed(
+        ref_job.pages,
+        str(tmp_path_factory.mktemp("bucketed") / "pages"),
+        "pages_bucketed_e2e", n_buckets=8,
+    )
+    job = CrawlJob(
+        spark, str(tmp_path_factory.mktemp("bstore")), bucketed,
+        wave_seconds=10**9, prewarm=False, pages_bucketed=True,
+    )
+    job.seed_frontier(ref_job.store.read(spark, "frontier", as_of=0))
+    job.crawl(max_waves=10)
+
+    for getter in ("cards", "seen_set", "missing_set"):
+        da, db = getattr(ref_job, getter)(), getattr(job, getter)()
+        cols = [c for c in da.columns if c != "wave"]
+        assert (
+            da.select(cols).exceptAll(db.select(cols)).count() == 0
+            and db.select(cols).exceptAll(da.select(cols)).count() == 0
+        ), f"{getter} differs between bucketed and broadcast runs"
+    spark.sql("DROP TABLE IF EXISTS pages_bucketed_e2e")
+
+
 def test_e2e_resume_exactness(spark, sf_dir, tmp_path_factory):
     """North_rule: exact resume from snapshots — run A: all waves in one
     process; run B: one wave, new CrawlJob over the same store, finish.
