@@ -181,16 +181,19 @@ def _serialize(n: Node) -> str:
     return f"<{n.tag}{attrs}>{inner}</{n.tag}>"
 
 
-class _TreeBuilder(HTMLParser):
+class _DomBuilder:
+    """Tokenizer-independent tree construction: void elements, implied end
+    tags, subtree spans, text-node coalescing.  Both the stdlib-HTMLParser
+    builder and the fast scanner feed tokens through these methods, so the
+    two engines produce IDENTICAL trees by construction wherever their
+    tokenizations agree (equivalence-tested over every reference fixture)."""
+
     def __init__(self):
-        # convert_charrefs=False: keep entity/char refs raw in text nodes so
-        # inner_text matches HAP InnerText byte-for-byte.
-        super().__init__(convert_charrefs=False)
         self.root = Node("#document")
         self.stack = [self.root]
         self._counter = 0  # element doc-order counter for subtree spans
 
-    # attribute values arrive entity-DECODED from HTMLParser (matches HAP).
+    # attribute values arrive entity-DECODED (matches HAP).
     def handle_starttag(self, tag, attrs):
         self._implied_end(tag)
         node = Node(tag, dict(attrs), parent=self.stack[-1])
@@ -243,6 +246,19 @@ class _TreeBuilder(HTMLParser):
         if data:
             self._append_text(data)
 
+    def finish(self) -> Node:
+        for n in self.stack:  # unclosed-at-EOF elements span to the end
+            n._end = self._counter
+        return self.root
+
+
+class _TreeBuilder(_DomBuilder, HTMLParser):
+    def __init__(self):
+        _DomBuilder.__init__(self)
+        # convert_charrefs=False: keep entity/char refs raw in text nodes so
+        # inner_text matches HAP InnerText byte-for-byte.
+        HTMLParser.__init__(self, convert_charrefs=False)
+
     def handle_entityref(self, name):
         self._append_text(f"&{name};")
 
@@ -253,11 +269,27 @@ class _TreeBuilder(HTMLParser):
         pass
 
 
-def parse_html(text: str) -> Node:
-    """Parse an HTML string into a Node tree (document root)."""
+def parse_html_stdlib(text: str) -> Node:
+    """Reference engine: stdlib ``html.parser`` tokenizer."""
     builder = _TreeBuilder()
     builder.feed(text)
     builder.close()
-    for n in builder.stack:  # unclosed-at-EOF elements span to the end
-        n._end = builder._counter
-    return builder.root
+    return builder.finish()
+
+
+def parse_html(text: str) -> Node:
+    """Parse an HTML string into a Node tree (document root).
+
+    Uses the fast single-regex scanner (scanner.py) — ~3× the stdlib
+    tokenizer, which was >80% of parse-kernel time (BENCH.md §5.3) — and
+    falls back to the stdlib engine whenever the scanner reports markup
+    outside its verified subset, so hostile/degenerate input can never
+    produce a tree the stdlib engine wouldn't.  Equivalence of the two
+    engines is asserted over every reference fixture page and the golden
+    parse results (tests/test_parser_golden.py)."""
+    from .scanner import FallbackNeeded, parse_html_fast
+
+    try:
+        return parse_html_fast(text)
+    except FallbackNeeded:
+        return parse_html_stdlib(text)

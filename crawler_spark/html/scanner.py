@@ -1,0 +1,196 @@
+"""Fast HTML tokenizer feeding the same _DomBuilder as the stdlib engine.
+
+The stdlib ``html.parser`` tokenizer was >80% of parse-kernel time
+(BENCH.md §5.3): its ``goahead`` loop re-scans for "interesting" characters,
+dispatches one callback per text fragment / entity ref / tag, and pays
+buffered-input bookkeeping the batch engine never needs (documents arrive
+whole).  This scanner walks the document once with direct ``str.find`` /
+anchored-regex steps and emits the same token stream.
+
+Byte-identity strategy — this is the load-bearing design point:
+
+* **Same attribute/tag grammar by construction**: the scanner anchors with
+  the stdlib's OWN compiled module-level regexes (``tagfind_tolerant``,
+  ``attrfind_tolerant``, ``locatestarttagend_tolerant``, ``endtagfind``),
+  so any markup both engines accept tokenizes identically.
+* **Fallback, never divergence**: any construct outside the verified subset
+  (malformed end tags, marked sections, unterminated comments, junk between
+  attributes and ``>``) raises :class:`FallbackNeeded` and the caller
+  re-parses the WHOLE document with the stdlib engine.  The scanner is an
+  optimization with a proof obligation, not a second dialect.
+* Entity/char refs in text stay raw (HAP ``InnerText`` semantics) — the
+  scanner simply never splits text at ``&``, which coalesces to the same
+  text nodes the stdlib path builds via ``handle_entityref``.
+* script/style CDATA replicates ``parse_endtag``'s cdata_elem behavior
+  exactly: a ``</script...`` that is not a clean end tag becomes text and
+  scanning continues.
+
+Equivalence is asserted over every reference fixture page and hostile
+probes in tests/test_parser_golden.py (tree-serialization equality plus
+golden parse results through both engines).
+"""
+
+from __future__ import annotations
+
+import html.parser as _hp
+import re
+from html import unescape
+
+from .dom import Node, _DomBuilder
+
+_TAGFIND = _hp.tagfind_tolerant
+_ATTRFIND = _hp.attrfind_tolerant
+_LOCATESTART = _hp.locatestarttagend_tolerant
+_ENDTAGFIND = _hp.endtagfind
+
+_CDATA_ELEMENTS = ("script", "style")  # HTMLParser.CDATA_CONTENT_ELEMENTS
+_CDATA_OPEN = {
+    tag: re.compile(rf"</\s*{tag}", re.IGNORECASE) for tag in _CDATA_ELEMENTS
+}
+
+
+class FallbackNeeded(Exception):
+    """Markup outside the scanner's verified subset — reparse with stdlib."""
+
+
+# One-regex fast path for the overwhelmingly common start-tag shape:
+# whitespace-separated double-quoted entity-free attributes.  Anything it
+# accepts, the tolerant grammar tokenizes to the same (name, value) pairs
+# (quoted values stripped, no '&' so no unescape), so the two paths cannot
+# disagree; anything else falls into the tolerant path.
+_SIMPLE_START = re.compile(
+    r'<([a-zA-Z][a-zA-Z0-9-]*)'
+    r'((?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*="[^"&]*")*)'
+    r"\s*(/?)>"
+)
+_SIMPLE_ATTR = re.compile(r'([a-zA-Z_:][-a-zA-Z0-9_:.]*)="([^"&]*)"')
+
+
+def parse_html_fast(text: str) -> Node:
+    builder = _DomBuilder()
+    n = len(text)
+    i = 0
+    find = text.find
+    startswith = text.startswith
+    handle_data = builder.handle_data
+    while i < n:
+        lt = find("<", i)
+        if lt < 0:
+            handle_data(text[i:])
+            break
+        if lt > i:
+            handle_data(text[i:lt])
+        i = lt
+        c = text[lt + 1: lt + 2]
+        if c.isalpha() and c.isascii():
+            m = _SIMPLE_START.match(text, lt)
+            if m is not None:
+                tag = m.group(1).lower()
+                raw_attrs = m.group(2)
+                attrs = (
+                    [(k.lower(), v) for k, v in _SIMPLE_ATTR.findall(raw_attrs)]
+                    if raw_attrs else []
+                )
+                if m.group(3):
+                    builder.handle_startendtag(tag, attrs)
+                    i = m.end()
+                else:
+                    builder.handle_starttag(tag, attrs)
+                    i = (
+                        _cdata(builder, text, m.end(), tag)
+                        if tag in _CDATA_ELEMENTS else m.end()
+                    )
+            else:
+                i = _starttag(builder, text, lt)
+        elif c == "/":
+            m = _ENDTAGFIND.match(text, lt)
+            if m is None:
+                raise FallbackNeeded("malformed end tag")
+            builder.handle_endtag(m.group(1).lower())
+            i = m.end()
+        elif startswith("<!--", lt):
+            end = find("-->", lt + 4)
+            if end < 0:
+                raise FallbackNeeded("unterminated comment")
+            i = end + 3  # comments contribute nothing
+        elif c == "!":
+            if startswith("<![", lt):
+                raise FallbackNeeded("marked section")
+            end = find(">", lt + 2)
+            if end < 0:
+                raise FallbackNeeded("unterminated declaration")
+            i = end + 1  # doctype/decl ignored
+        elif c == "?":
+            end = find(">", lt + 2)
+            if end < 0:
+                raise FallbackNeeded("unterminated processing instruction")
+            i = end + 1  # PI ignored
+        else:
+            handle_data("<")  # stray '<' is text (stdlib behavior)
+            i = lt + 1
+    return builder.finish()
+
+
+def _starttag(builder: _DomBuilder, text: str, i: int) -> int:
+    """Tokenize one start tag at ``text[i] == '<'``; returns the next scan
+    position.  Mirrors HTMLParser.parse_starttag's tolerant control flow on
+    the stdlib's own regexes."""
+    m = _LOCATESTART.match(text, i)
+    if m is None:
+        raise FallbackNeeded("unparseable start tag")
+    end = m.end()
+    ch = text[end: end + 1]
+    if ch == ">":
+        endpos, selfclose = end + 1, False
+    elif ch == "/" and text[end: end + 2] == "/>":
+        endpos, selfclose = end + 2, True
+    else:
+        raise FallbackNeeded("junk before start-tag close")
+    tm = _TAGFIND.match(text, i + 1)
+    tag = tm.group(1).lower()
+    k = tm.end()
+    attrs = []
+    while k < end:
+        am = _ATTRFIND.match(text, k)
+        if am is None:
+            break
+        name, rest, value = am.group(1, 2, 3)
+        if not rest:
+            value = None
+        elif value[:1] == "'" == value[-1:] or value[:1] == '"' == value[-1:]:
+            value = value[1:-1]
+        if value and "&" in value:
+            value = unescape(value)  # attr values ARE entity-decoded (HAP)
+        attrs.append((name.lower(), value))
+        k = am.end()
+    if selfclose:
+        builder.handle_startendtag(tag, attrs)
+        return endpos
+    builder.handle_starttag(tag, attrs)
+    if tag in _CDATA_ELEMENTS:
+        return _cdata(builder, text, endpos, tag)
+    return endpos
+
+
+def _cdata(builder: _DomBuilder, text: str, pos: int, tag: str) -> int:
+    """Raw-text content of script/style: ends only at a clean matching end
+    tag; any other ``</tag…`` construct is data (parse_endtag's cdata_elem
+    semantics, replicated token for token)."""
+    n = len(text)
+    opener = _CDATA_OPEN[tag]
+    while True:
+        m = opener.search(text, pos)
+        if m is None:  # rawtext to EOF, element left open (stdlib behavior)
+            builder.handle_data(text[pos:])
+            return n
+        j = m.start()
+        builder.handle_data(text[pos:j])
+        gt = text.find(">", j + 1)
+        if gt < 0:
+            raise FallbackNeeded("unterminated cdata end tag")
+        em = _ENDTAGFIND.match(text, j)
+        if em is not None and em.group(1).lower() == tag:
+            builder.handle_endtag(tag)
+            return em.end()
+        builder.handle_data(text[j: gt + 1])  # not our end tag: still data
+        pos = gt + 1

@@ -219,3 +219,55 @@ def test_older_fixture_eras_parse_without_crash():
             text = f.read_text(encoding="utf-8", errors="replace")
             card = pet911.parse_card(text)  # may be an error result, must not raise
             assert "error" in card
+
+
+def test_fast_scanner_tree_identical_to_stdlib():
+    """The fast tokenizer (html/scanner.py) must build the EXACT tree the
+    stdlib engine builds — attrs, text, subtree spans — over every reference
+    fixture era and a set of hostile shapes (which may route through the
+    stdlib fallback; the public parse_html must agree either way)."""
+    from crawler_spark.html.dom import parse_html, parse_html_stdlib
+
+    def tree_sig(root):
+        out, stack = [], [(root, 0)]
+        while stack:
+            n, d = stack.pop()
+            out.append((
+                d, n.tag,
+                tuple(sorted(n.attrs.items())) if n.tag else n.text,
+                n._start, n._end,
+            ))
+            stack.extend((c, d + 1) for c in reversed(n.children))
+        return out
+
+    seen_pages = 0
+    for era_dir in ["20240114", "2021", "20220430", "20220628"]:
+        p = Path("/root/reference/data") / era_dir
+        if not p.exists():
+            continue
+        for f in sorted(p.glob("*.dump")):
+            text = f.read_text(encoding="utf-8", errors="replace")
+            assert tree_sig(parse_html(text)) == tree_sig(
+                parse_html_stdlib(text)
+            ), f.name
+            seen_pages += 1
+    assert seen_pages >= 11
+
+    probes = [
+        "", "<", "a<b", "<html><body><p>x",
+        "<script>if(a<b){}</script>done",
+        "<div class='x' data-a=1 b>t</div>",
+        "<!-- unterminated", "<![CDATA[x]]>", "</p junk>",
+        "<a href=/x/>y</a>",
+        "<style>.a{content:'</div>'}</style>ok",
+        "<br/><BR><input type=text>",
+        '<a href="x?b=1&amp;c=2">t</a>',
+        '<div a="1" a="2">d</div>',
+        '<div class="a"x="b">t</div>',
+        "<script></scriptx></script>s",
+        "<p>a<div>b</div><li>c<li>d",
+    ]
+    for probe in probes:
+        assert tree_sig(parse_html(probe)) == tree_sig(
+            parse_html_stdlib(probe)
+        ), repr(probe)
