@@ -323,6 +323,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bloom_prefilter_equiv"] = bloom_prefilter_equiv
 
+    def hash_join_backstop(spark, sf_dir):
+        # J3-scale key discipline of the bucketed fetch join
+        # (operators/fetch.py fetch_downloaded(bucketed=True)): join on a
+        # HASH of the key (the bucket layout's join column) with an exact
+        # key-equality backstop, so hash collisions can never pair wrong
+        # rows.  Expressed on the testdata tables with the md5-portable h32
+        # so DuckDB verifies the semantics end-to-end.
+        from crawler_spark.functions.text import h32
+
+        orders = _t(spark, sf_dir, "orders").select("o_orderkey")
+        li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        o_h = orders.withColumn(
+            "key_hash", h32(F.col("o_orderkey").cast("string"))
+        )
+        l_h = li.withColumn(
+            "key_hash", h32(F.col("l_orderkey").cast("string"))
+        )
+        joined = o_h.join(l_h, "key_hash").where(
+            # exact backstop as inequalities — an `==` would be extracted as
+            # a second equi-join key, changing the join's required
+            # distribution (the same trick the bucketed fetch join uses)
+            (F.col("l_orderkey") >= F.col("o_orderkey"))
+            & (F.col("l_orderkey") <= F.col("o_orderkey"))
+        )
+        return joined.groupBy("o_orderkey").agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+
+    q["hash_join_backstop"] = hash_join_backstop
+
     def missing_semi_join(spark, sf_dir):
         # C6: known-id intersection probe (orders WITH lineitems), per status
         orders = _t(spark, sf_dir, "orders")
@@ -797,6 +828,17 @@ def oracle_sql() -> dict[str, str]:
     SELECT o_orderkey, o_orderstatus
     FROM orders o
     WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    """
+
+    o["hash_join_backstop"] = f"""
+    SELECT o.o_orderkey,
+           count(*) AS n_items,
+           sum(l.l_quantity::bigint)::bigint AS sum_qty
+    FROM orders o
+    JOIN lineitem l
+      ON {_h32("o.o_orderkey::varchar")} = {_h32("l.l_orderkey::varchar")}
+     AND l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey
     """
 
     o["missing_semi_join"] = """
