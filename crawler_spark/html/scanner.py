@@ -65,6 +65,40 @@ _SIMPLE_START = re.compile(
 )
 _SIMPLE_ATTR = re.compile(r'([a-zA-Z_:][-a-zA-Z0-9_:.]*)="([^"&]*)"')
 
+# Entity handling must reproduce the stdlib builder's established behavior
+# (the pipeline's byte-identity baseline since round 1): a well-formed ref
+# passes through verbatim, an UNTERMINATED named/numeric ref gets a ';'
+# appended (HTMLParser reports it via handle_entityref/handle_charref and
+# the builder re-serializes with ';'), and an '&' that starts no ref is
+# plain text.  Incomplete refs at EOF hit HTMLParser buffer-boundary quirks
+# (drops) — those route to the stdlib fallback rather than being imitated.
+_ENTITY = re.compile(r"&([a-zA-Z][-.a-zA-Z0-9]*|#(?:[0-9]+|[xX][0-9a-fA-F]+))(;?)")
+_EOF_INCOMPLETE = re.compile(r"&[-.a-zA-Z0-9#]*\Z")
+
+
+def _emit_text(builder: _DomBuilder, s: str, at_eof: bool) -> None:
+    if "&" not in s:
+        builder.handle_data(s)
+        return
+    if at_eof and _EOF_INCOMPLETE.search(s):
+        raise FallbackNeeded("incomplete entity at EOF")
+    out = []
+    i, n = 0, len(s)
+    while True:
+        a = s.find("&", i)
+        if a < 0:
+            out.append(s[i:])
+            break
+        out.append(s[i:a])
+        m = _ENTITY.match(s, a)
+        if m is not None:
+            out.append(f"&{m.group(1)};")  # ';' normalized in if missing
+            i = m.end()
+        else:
+            out.append("&")
+            i = a + 1
+    builder.handle_data("".join(out))
+
 
 def parse_html_fast(text: str) -> Node:
     builder = _DomBuilder()
@@ -76,10 +110,10 @@ def parse_html_fast(text: str) -> Node:
     while i < n:
         lt = find("<", i)
         if lt < 0:
-            handle_data(text[i:])
+            _emit_text(builder, text[i:], at_eof=True)
             break
         if lt > i:
-            handle_data(text[i:lt])
+            _emit_text(builder, text[i:lt], at_eof=False)
         i = lt
         c = text[lt + 1: lt + 2]
         if c.isalpha() and c.isascii():
@@ -141,16 +175,16 @@ def _starttag(builder: _DomBuilder, text: str, i: int) -> int:
     end = m.end()
     ch = text[end: end + 1]
     if ch == ">":
-        endpos, selfclose = end + 1, False
+        endpos = end + 1
     elif ch == "/" and text[end: end + 2] == "/>":
-        endpos, selfclose = end + 2, True
+        endpos = end + 2
     else:
         raise FallbackNeeded("junk before start-tag close")
     tm = _TAGFIND.match(text, i + 1)
     tag = tm.group(1).lower()
     k = tm.end()
     attrs = []
-    while k < end:
+    while k < endpos:
         am = _ATTRFIND.match(text, k)
         if am is None:
             break
@@ -163,6 +197,18 @@ def _starttag(builder: _DomBuilder, text: str, i: int) -> int:
             value = unescape(value)  # attr values ARE entity-decoded (HAP)
         attrs.append((name.lower(), value))
         k = am.end()
+    # self-closing is decided from the UNCONSUMED tail after the attribute
+    # loop, exactly like parse_starttag: `<a<div/>` has tag name "a<div"
+    # (the tolerant name charset admits '<') and tail "/>", i.e. STARTEND —
+    # deriving it from the tag-end locator (which eats the '/') gets this
+    # wrong.
+    tail = text[k:endpos].strip()
+    if tail == "/>":
+        selfclose = True
+    elif tail == ">":
+        selfclose = False
+    else:
+        raise FallbackNeeded("junk between attributes and start-tag close")
     if selfclose:
         builder.handle_startendtag(tag, attrs)
         return endpos
@@ -180,9 +226,11 @@ def _cdata(builder: _DomBuilder, text: str, pos: int, tag: str) -> int:
     opener = _CDATA_OPEN[tag]
     while True:
         m = opener.search(text, pos)
-        if m is None:  # rawtext to EOF, element left open (stdlib behavior)
-            builder.handle_data(text[pos:])
-            return n
+        if m is None:
+            # unterminated rawtext at EOF: HTMLParser silently DROPS the
+            # remaining content (goahead breaks in cdata mode without
+            # emitting) — degenerate markup, let the stdlib engine own it
+            raise FallbackNeeded("unterminated rawtext element")
         j = m.start()
         builder.handle_data(text[pos:j])
         gt = text.find(">", j + 1)
