@@ -46,6 +46,7 @@ from crawler_spark.functions.text import (
     token_count,
 )
 from crawler_spark.operators.dedup import (
+    dup_clusters,
     exact_dedup,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
@@ -697,6 +698,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_ngram_jaccard"] = doc_ngram_jaccard
 
+    def doc_dup_clusters(spark, sf_dir):
+        # pairs → transitive clusters → canonical keeper per cluster: the
+        # step a corpus-dedup pass deletes by (iterative min-label
+        # propagation; oracle is a recursive-CTE transitive closure)
+        return dup_clusters(
+            _docs_text_double(spark, sf_dir),
+            num_perm=_NUM_PERM, bands=_BANDS, shingle_k=_SHINGLE_K,
+            threshold=0.3,
+        )
+
+    q["doc_dup_clusters"] = doc_dup_clusters
+
     def doc_simhash_groups(spark, sf_dir):
         return simhash_dedup(_docs_text_double(spark, sf_dir))
 
@@ -1021,6 +1034,45 @@ def oracle_sql() -> dict[str, str]:
     JOIN sizes sa ON sa.doc_id = c.id_a
     JOIN sizes sb ON sb.doc_id = c.id_b
     WHERE round(c.n_common::double / (sa.n + sb.n - c.n_common)::double, 6) >= 0.3
+    """
+
+    o["doc_dup_clusters"] = f"""
+    WITH RECURSIVE {_minhash_sig_sql()},
+    toks AS (
+      SELECT doc_id, unnest({_DTOKS}) AS tok FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+    common AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_common
+      FROM cand c
+      JOIN toks ta ON ta.doc_id = c.id_a
+      JOIN toks tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+      GROUP BY c.id_a, c.id_b
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b
+      FROM common c
+      JOIN sizes sa ON sa.doc_id = c.id_a
+      JOIN sizes sb ON sb.doc_id = c.id_b
+      WHERE round(c.n_common::double / (sa.n + sb.n - c.n_common)::double, 6) >= 0.3
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM verified
+      UNION
+      SELECT id_b AS s, id_a AS d FROM verified
+    ),
+    reach(src, node) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT r.src, e.d FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    labels AS (
+      SELECT node AS doc_id, min(src) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT l.doc_id, l.cluster_id, c.cluster_size
+    FROM labels l
+    JOIN (SELECT cluster_id, count(*) AS cluster_size FROM labels
+          GROUP BY cluster_id) c USING (cluster_id)
     """
 
     o["doc_simhash_groups"] = f"""

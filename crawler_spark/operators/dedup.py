@@ -376,3 +376,94 @@ def embedding_near_dup(emb: DataFrame, vec_col: str = "embedding",
         .where(F.col("cosine") >= threshold)
         .distinct()
     )
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iter: int = 20) -> DataFrame:
+    """Connected components over an undirected pair list — the step that
+    turns verified duplicate PAIRS into duplicate CLUSTERS (one canonical
+    keeper per transitive group), which is what a corpus-dedup pipeline
+    actually deletes by.
+
+    Algorithm: iterative min-label propagation.  Each round every node
+    offers its current label (initially its own id) to its neighbours and
+    keeps the minimum it hears; the fixpoint labels every node with the
+    smallest node id in its component.  Rounds converge in O(component
+    diameter) — near-dup graphs are locally dense (LSH candidates arrive a
+    whole bucket at a time, so components are unions of near-cliques) and
+    diameters stay small; ``max_iter`` bounds the pathological chain case.
+    For adversarial long-chain graphs swap in alternating large-star /
+    small-star (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — same interface, O(log^2 n) rounds.
+
+    Scale: each round is ONE hash-shuffle of (edges ⋈ labels) on the node
+    key plus a map-side-combined min — no global structure, no driver
+    state.  Lineage is truncated every round (``localCheckpoint``), or the
+    plan would double each iteration.  Convergence is detected with a
+    1-row aggregate on a monotone potential (labels only ever decrease, so
+    an unchanged SUM(label) means a fixpoint) — no second join.
+
+    Returns (node, cluster_id): every node that appears in ``pairs``,
+    labelled with the min node id reachable from it.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    edges = fwd.unionByName(rev).distinct().persist()
+
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    # decimal(38,0) potential: SUM over bigint labels must not overflow
+    potential = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("p")
+    ).collect()[0]["p"]
+
+    for _ in range(max_iter):
+        offers = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), F.col("label"))
+        )
+        new_labels = (
+            labels.unionByName(offers)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        new_potential = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("p")
+        ).collect()[0]["p"]
+        labels = new_labels
+        if new_potential == potential:
+            break
+        potential = new_potential
+
+    edges.unpersist()
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def dup_clusters(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", num_perm: int = 16, bands: int = 4,
+                 shingle_k: int = 3, threshold: float = 0.3) -> DataFrame:
+    """End-to-end duplicate-cluster resolution: MinHash-LSH candidates →
+    exact n-gram-Jaccard verification → connected components → per-cluster
+    size.  Returns (doc_id, cluster_id, cluster_size) for every document
+    in a verified duplicate cluster; ``cluster_id`` is the smallest doc_id
+    in the cluster (the canonical keeper a dedup pass retains)."""
+    cand = minhash_lsh_candidates(
+        docs, text_col, id_col, num_perm=num_perm, bands=bands,
+        shingle_k=shingle_k,
+    )
+    verified = ngram_jaccard_pairs(
+        docs, cand, text_col, id_col, threshold=threshold
+    ).select("id_a", "id_b")
+    cc = connected_components(verified)
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return cc.join(sizes, "cluster_id").select(
+        F.col("node").alias(id_col), "cluster_id", "cluster_size"
+    )

@@ -92,6 +92,31 @@ def test_ngram_jaccard_exact_values(docs):
     assert (0, 3) not in out
 
 
+def test_connected_components_chain_triangle_pair(spark):
+    from crawler_spark.operators.dedup import connected_components
+
+    # 4-node chain (needs multi-round propagation), triangle, isolated pair
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    out = {r["node"]: r["cluster_id"]
+           for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dup_clusters_groups_exact_and_near_dups(docs):
+    from crawler_spark.operators.dedup import dup_clusters
+
+    rows = dup_clusters(docs, threshold=0.3).collect()
+    by_doc = {r["doc_id"]: (r["cluster_id"], r["cluster_size"]) for r in rows}
+    # 0, 1 (exact dup) and 2 (near dup) form one cluster, keeper = 0
+    assert by_doc[0] == (0, 3) and by_doc[1] == (0, 3) and by_doc[2] == (0, 3)
+    # unrelated docs never appear in any cluster
+    assert 3 not in by_doc and 4 not in by_doc
+
+
 def test_simhash_relational_equals_columnar(docs):
     rel = {r["doc_id"]: r["simhash"]
            for r in simhash_signatures(docs).collect()}
