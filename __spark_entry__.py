@@ -53,6 +53,13 @@ from crawler_spark.operators.dedup import (
     simhash_dedup,
     simhash_near_pairs,
 )
+from crawler_spark.operators.corpus import (
+    boilerplate_shingle_stats,
+    hash_sample,
+    pii_match_counts,
+    redact_pii,
+    remove_frequent_lines,
+)
 from crawler_spark.operators.fetch import fib_delays_ms
 from crawler_spark.operators.multimodal import (
     extract_image_features,
@@ -710,6 +717,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_dup_clusters"] = doc_dup_clusters
 
+    def doc_boilerplate(spark, sf_dir):
+        # corpus-frequency shingle boilerplate score per document
+        return boilerplate_shingle_stats(
+            _docs_text_double(spark, sf_dir), shingle_k=_SHINGLE_K, min_df=2
+        )
+
+    q["doc_boilerplate"] = doc_boilerplate
+
+    def doc_line_dedup(spark, sf_dir):
+        # C4-style frequent-line removal (exact-dup texts collapse to '')
+        return remove_frequent_lines(_docs_text_double(spark, sf_dir), min_df=2)
+
+    q["doc_line_dedup"] = doc_line_dedup
+
+    def doc_hash_sample(spark, sf_dir):
+        # deterministic, engine-portable 10% sample keyed on salted h32
+        return hash_sample(
+            _docs_text_double(spark, sf_dir), "doc_id", rate_bp=1000, salt="s1"
+        ).select("doc_id", "source")
+
+    q["doc_hash_sample"] = doc_hash_sample
+
+    def doc_pii_redact(spark, sf_dir):
+        # deterministic PII injection (the synthetic corpus carries none) →
+        # audit counts on the raw text → typed-placeholder rewrite
+        docs = _docs_text_double(spark, sf_dir)
+        pii_text = F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact u"), F.col("doc_id").cast("string"),
+                    F.lit("@ex-mail.org now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" call +1 555-0123 99 ok"))
+            .otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" from 10.1.2."), (F.col("doc_id") % 256).cast("string")),
+            ).otherwise(F.lit("")),
+        )
+        with_pii = docs.select("doc_id", pii_text.alias("pii_text"))
+        n_emails, n_phones, n_ips = pii_match_counts(F.col("pii_text"))
+        return with_pii.select(
+            "doc_id",
+            redact_pii(F.col("pii_text")).alias("clean_text"),
+            n_emails.alias("n_emails"),
+            n_phones.alias("n_phones"),
+            n_ips.alias("n_ips"),
+        )
+
+    q["doc_pii_redact"] = doc_pii_redact
+
     def doc_simhash_groups(spark, sf_dir):
         return simhash_dedup(_docs_text_double(spark, sf_dir))
 
@@ -1073,6 +1134,83 @@ def oracle_sql() -> dict[str, str]:
     FROM labels l
     JOIN (SELECT cluster_id, count(*) AS cluster_size FROM labels
           GROUP BY cluster_id) c USING (cluster_id)
+    """
+
+    o["doc_boilerplate"] = f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(shingles) AS shingle
+      FROM (SELECT doc_id, list_distinct(list_transform(
+              range(1, greatest(len(toks) - {_SHINGLE_K - 1}, 1) + 1),
+              i -> array_to_string(toks[i:i+{_SHINGLE_K - 1}], ' '))) AS shingles
+            FROM (SELECT doc_id, {_TOKS} AS toks FROM documents))
+    ),
+    freq AS (
+      SELECT shingle FROM (
+        SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
+      ) WHERE df >= 2
+    )
+    SELECT s.doc_id, count(*) AS n_shingles,
+           count(f.shingle) AS n_boiler,
+           round(count(f.shingle)::double / count(*)::double, 6) AS boiler_frac
+    FROM sh s LEFT JOIN freq f USING (shingle)
+    GROUP BY s.doc_id
+    """
+
+    o["doc_line_dedup"] = """
+    WITH lines AS (
+      SELECT doc_id, unnest(arr) AS line, unnest(range(1, len(arr) + 1)) AS pos
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS arr FROM documents)
+    ),
+    freq AS (
+      SELECT line FROM (
+        SELECT line, count(*) AS df
+        FROM (SELECT DISTINCT doc_id, line FROM lines) GROUP BY line
+      ) WHERE df >= 2
+    ),
+    kept AS (SELECT l.* FROM lines l ANTI JOIN freq f USING (line)),
+    rebuilt AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
+           len(string_split(d.text, chr(10)))::bigint AS n_lines,
+           coalesce(r.n_kept, 0)::bigint AS n_kept
+    FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+    """
+
+    o["doc_hash_sample"] = f"""
+    SELECT doc_id, source FROM documents
+    WHERE {_h32("'s1' || doc_id::varchar")} % 10000 < 1000
+    """
+
+    o["doc_pii_redact"] = r"""
+    WITH injected AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' contact u' || doc_id::varchar || '@ex-mail.org now'
+                     ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' call +1 555-0123 99 ok' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' from 10.1.2.' || (doc_id % 256)::varchar
+                     ELSE '' END AS pii_text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(pii_text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean_text,
+           len(regexp_extract_all(pii_text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::bigint AS n_emails,
+           len(regexp_extract_all(pii_text, '\+?\d[\d\- ]{7,}\d'))::bigint AS n_phones,
+           len(regexp_extract_all(pii_text,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::bigint AS n_ips
+    FROM injected
     """
 
     o["doc_simhash_groups"] = f"""
