@@ -771,6 +771,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_pii_redact"] = doc_pii_redact
 
+    def event_type_pagerank(spark, sf_dir):
+        # iterative graph analytics: per-user event-type transition graph →
+        # 5-round weighted PageRank (fixed iteration count, identical
+        # arithmetic to the unrolled-CTE oracle)
+        from crawler_spark.operators.graph import pagerank, transition_edges
+
+        _utc(spark)
+        ev = _t(spark, sf_dir, "events")
+        return pagerank(transition_edges(ev), weight="w", iters=5).select(
+            F.col("node").alias("event_type"), "rank"
+        )
+
+    q["event_type_pagerank"] = event_type_pagerank
+
     def doc_simhash_groups(spark, sf_dir):
         return simhash_dedup(_docs_text_double(spark, sf_dir))
 
@@ -1211,6 +1225,45 @@ def oracle_sql() -> dict[str, str]:
            len(regexp_extract_all(pii_text,
                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::bigint AS n_ips
     FROM injected
+    """
+
+    # 5 unrolled PageRank rounds — same arithmetic as operators/graph.py
+    # (teleport numerator embedded via repr so both engines start from the
+    # bit-identical double; the single round(,6) happens at the end)
+    _pr_damp = 0.85
+    _pr_tele = repr(1.0 - _pr_damp)
+    _pr_iters = "".join(
+        f""",
+    r{i + 1} AS (
+      SELECT n.node,
+             ({_pr_tele}::double / (SELECT count(*) FROM nodes))
+             + {_pr_damp!r}::double * coalesce(s.s, 0.0::double) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT ep.dst AS node, sum(r.rank * ep.p) AS s
+        FROM ep JOIN r{i} r ON r.node = ep.src GROUP BY ep.dst
+      ) s USING (node)
+    )"""
+        for i in range(5)
+    )
+    o["event_type_pagerank"] = f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    edges AS (
+      SELECT event_type AS src, next_type AS dst, count(*)::double AS w
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ),
+    outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+    ep AS (SELECT e.src, e.dst, e.w / o.ow AS p
+           FROM edges e JOIN outw o USING (src)),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    r0 AS (SELECT node, 1.0::double / (SELECT count(*) FROM nodes) AS rank
+           FROM nodes){_pr_iters}
+    SELECT node AS event_type, round(rank, 6) AS rank FROM r5
     """
 
     o["doc_simhash_groups"] = f"""

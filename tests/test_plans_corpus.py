@@ -1,0 +1,51 @@
+"""Physical-plan audits for the corpus-hygiene and cluster operators:
+native-only execution, map-side partial aggregation, and shuffle-free
+sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.test_plans import plan_of
+
+
+def test_hash_sample_is_shuffle_free_and_native(spark, sf_dir):
+    from crawler_spark.operators.corpus import hash_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(hash_sample(docs, "doc_id", 1000, salt="s1"))
+    assert "Exchange" not in plan          # pure per-row filter
+    assert "EvalPython" not in plan        # codegen'd md5 gate
+    assert "*(1) Filter" in plan           # whole-stage-codegen'd stage
+
+
+def test_boilerplate_stats_partial_agg_no_python(spark, sf_dir):
+    from crawler_spark.operators.corpus import boilerplate_shingle_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(boilerplate_shingle_stats(docs))
+    assert "EvalPython" not in plan
+    # doc-frequency count and the per-doc rollup both combine map-side
+    assert "partial_count" in plan
+    assert plan.count("HashAggregate") >= 4   # partial+final for both aggs
+
+
+def test_remove_frequent_lines_native_anti_join(spark, sf_dir):
+    from crawler_spark.operators.corpus import remove_frequent_lines
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(remove_frequent_lines(docs))
+    assert "EvalPython" not in plan
+    assert "LeftAnti" in plan              # frequent-line drop is an anti-join
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_pii_redaction_stays_in_codegen(spark, sf_dir):
+    from crawler_spark.operators.corpus import pii_match_counts, redact_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    e, p, i = pii_match_counts(F.col("text"))
+    q = docs.select(redact_pii(F.col("text")).alias("t"), e, p, i)
+    plan = plan_of(q)
+    assert "EvalPython" not in plan
+    assert "*(1) Project" in plan          # whole-stage-codegen'd stage
