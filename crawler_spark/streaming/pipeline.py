@@ -114,3 +114,24 @@ def streaming_crawl_log_rates(log_stream: DataFrame,
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("window_start"), "status", "n")
     )
+
+
+def dedup_pages_stream(pages_stream: DataFrame,
+                       watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of :func:`crawler_spark.operators.dedup.exact_dedup`:
+    drop re-fetches of byte-identical page content within the watermark
+    horizon (`dropDuplicatesWithinWatermark`, so the dedup state is
+    bounded and expires — the unbounded-state `dropDuplicates` would OOM a
+    perpetual crawl).  Keyed on md5(text), the same content key the batch
+    operator groups on; event time is the fetch timestamp ``warc_ts``.
+
+    At scale the dedup state is hash-partitioned on the content key by the
+    streaming aggregation itself; watermark length trades re-fetch
+    suppression horizon against state size.
+    """
+    return (
+        pages_stream.withColumn("ts", F.col("warc_ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .withColumn("content_hash", F.md5(F.col("text")))
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )

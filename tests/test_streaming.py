@@ -127,3 +127,38 @@ def test_stateful_known_set_tracker(spark, tmp_path):
     assert min(second["known_nums"]) == 140   # 10 oldest evicted
     rl = [r for r in rows if r["kind"] == "rl"]
     assert len(rl) == 1 and rl[0]["known_nums"] == [7]
+
+
+def test_dedup_pages_stream_drops_cross_batch_dups(spark, tmp_path):
+    """Exact-dedup within watermark across micro-batches: the second
+    arrival of byte-identical content is suppressed."""
+    from crawler_spark.streaming.pipeline import dedup_pages_stream
+
+    src = str(tmp_path / "pages_src")
+    _land = lambda lo, hi: build_pages(
+        spark, "", include_fixtures=False,
+        docs_df=synthetic_docs_from_range(spark, hi).where(
+            F.col("doc_id") >= lo
+        ),
+    ).coalesce(1).write.mode("append").parquet(src)
+    _land(0, 20)          # batch 1
+    _land(0, 20)          # batch 2: exact re-fetch of the same 20 docs
+    _land(20, 30)         # batch 3: 10 genuinely new docs
+
+    pages = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(pages.schema).format("parquet")
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    q = (
+        dedup_pages_stream(stream)
+        .select("url", "content_hash")
+        .writeStream.format("memory").queryName("dedup_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select content_hash from dedup_out").collect()
+    hashes = [r["content_hash"] for r in got]
+    assert len(hashes) == len(set(hashes))            # no dup content emitted
+    n_unique = pages.select(F.md5("text")).distinct().count()
+    assert len(hashes) == n_unique                    # every unique kept once
