@@ -55,6 +55,9 @@ QUERY_SLICE = (
     "doc_simhash_near_pairs",
     "emb_cosine_topk",
     "media_image_features",
+    # round-3 iterative operators (multi-job: connected components / PR)
+    "doc_dup_clusters",
+    "event_type_pagerank",
 )
 
 
