@@ -55,10 +55,12 @@ from crawler_spark.operators.dedup import (
 )
 from crawler_spark.operators.corpus import (
     boilerplate_shingle_stats,
+    gopher_quality_flags,
     hash_sample,
     pii_match_counts,
     redact_pii,
     remove_frequent_lines,
+    substring_dup_spans,
 )
 from crawler_spark.operators.fetch import fib_delays_ms
 from crawler_spark.operators.multimodal import (
@@ -771,6 +773,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_pii_redact"] = doc_pii_redact
 
+    def doc_substr_dup(spark, sf_dir):
+        # ExactSubstr-style duplicated-span coverage per document
+        return substring_dup_spans(
+            _docs_text_double(spark, sf_dir), window_k=8, min_df=2
+        )
+
+    q["doc_substr_dup"] = doc_substr_dup
+
+    def doc_gopher_quality(spark, sf_dir):
+        # Gopher repetition/quality rule flags per document
+        return gopher_quality_flags(_docs_text_double(spark, sf_dir))
+
+    q["doc_gopher_quality"] = doc_gopher_quality
+
     def event_type_pagerank(spark, sf_dir):
         # iterative graph analytics: per-user event-type transition graph →
         # 5-round weighted PageRank (fixed iteration count, identical
@@ -1225,6 +1241,81 @@ def oracle_sql() -> dict[str, str]:
            len(regexp_extract_all(pii_text,
                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::bigint AS n_ips
     FROM injected
+    """
+
+    o["doc_substr_dup"] = f"""
+    WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    w AS (
+      SELECT doc_id, len(toks) AS n_toks,
+             unnest(list_transform(range(1, greatest(len(toks) - 7, 1) + 1),
+                    i -> struct_pack(pos := i,
+                         win := array_to_string(toks[i:i+7], ' ')))) AS s
+      FROM base
+    ),
+    wf AS (SELECT doc_id, n_toks, s.pos AS pos, s.win AS win FROM w),
+    freq AS (
+      SELECT win FROM (
+        SELECT win, count(DISTINCT doc_id) AS df FROM wf GROUP BY win
+      ) WHERE df >= 2
+    ),
+    cov AS (
+      SELECT doc_id, count(*) AS n_dup_tokens FROM (
+        SELECT DISTINCT doc_id, tpos FROM (
+          SELECT wf.doc_id,
+                 unnest(range(pos, least(pos + 7, n_toks) + 1)) AS tpos
+          FROM wf SEMI JOIN freq USING (win)
+        )
+      ) GROUP BY doc_id
+    )
+    SELECT b.doc_id, len(b.toks)::bigint AS n_tokens,
+           coalesce(c.n_dup_tokens, 0)::bigint AS n_dup_tokens,
+           round(coalesce(c.n_dup_tokens, 0)::double
+                 / len(b.toks)::double, 6) AS dup_frac
+    FROM base b LEFT JOIN cov c USING (doc_id)
+    """
+
+    o["doc_gopher_quality"] = f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS} AS toks,
+             string_split(text, chr(10)) AS lines, text
+      FROM documents
+    ),
+    b2 AS (
+      SELECT doc_id,
+        len(toks)::bigint AS n_words,
+        round(list_sum(list_transform(toks, t -> len(t)))::double
+              / len(toks)::double, 6) AS mean_word_len,
+        round(len(regexp_extract_all(text, '[#…]'))::double
+              / len(toks)::double, 6) AS symbol_frac,
+        round(len(list_filter(lines,
+                  l -> regexp_matches(l, '^\\s*[-*•]')))::double
+              / len(lines)::double, 6) AS bullet_frac,
+        round(len(list_filter(lines,
+                  l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))::double
+              / len(lines)::double, 6) AS ellipsis_frac,
+        round((len(lines) - len(list_distinct(lines)))::double
+              / len(lines)::double, 6) AS dup_line_frac
+      FROM base
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+                    i -> array_to_string(toks[i:i+1], ' '))) AS g
+      FROM base
+    ),
+    t2 AS (
+      SELECT doc_id, round(max(c)::double / sum(c)::double, 6) AS top2_frac
+      FROM (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g)
+      GROUP BY doc_id
+    )
+    SELECT b2.doc_id, n_words, mean_word_len, symbol_frac, bullet_frac,
+           ellipsis_frac, dup_line_frac, top2_frac,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_frac < 0.1 AND bullet_frac < 0.9
+            AND ellipsis_frac < 0.3 AND dup_line_frac < 0.3
+            AND top2_frac < 0.2) AS keep
+    FROM b2 JOIN t2 USING (doc_id)
     """
 
     # 5 unrolled PageRank rounds — same arithmetic as operators/graph.py

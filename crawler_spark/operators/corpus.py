@@ -162,3 +162,174 @@ def pii_match_counts(text):
         F.size(F.regexp_extract_all(text, F.lit(PII_PHONE), 0)).cast("long"),
         F.size(F.regexp_extract_all(text, F.lit(PII_IPV4), 0)).cast("long"),
     )
+
+
+def substring_dup_spans(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", window_k: int = 8,
+                        min_df: int = 2) -> DataFrame:
+    """Duplicated-substring coverage per document (ExactSubstr-style dedup
+    signal, after Lee et al. 2021 "Deduplicating Training Data Makes
+    Language Models Better", re-expressed relationally): the fraction of a
+    document's token positions covered by at least one rolling
+    ``window_k``-token window whose exact text occurs in >= ``min_df``
+    distinct documents.
+
+    Unlike :func:`boilerplate_shingle_stats` (which scores *distinct*
+    shingle frequency), this measures positional *coverage* — the metric a
+    substring-dedup pass thresholds to trim or drop documents whose body is
+    mostly copied spans.  The suffix-array of the original paper collapses
+    to three hash-partitioned shuffles here: (1) window doc-frequency,
+    keyed on the uniform window string with map-side partial counts;
+    (2) a semi-join marking each document's duplicated windows (the
+    frequent-window side is a small fraction of the window universe at any
+    corpus size and is typically broadcastable); (3) a distinct over
+    covered (doc, token-position) pairs — bounded by ``n_tokens * window_k``
+    per document, never by corpus size.  No all-pairs stage anywhere.
+
+    Documents shorter than ``window_k`` tokens contribute their whole text
+    as one window (same clipping rule as ``shingles``), so exact short
+    duplicates still register with coverage 1.0.
+
+    Returns (id_col, n_tokens, n_dup_tokens, dup_frac).
+    """
+    from ..functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n - (window_k - 1), F.lit(1)))
+    wins = docs.select(
+        F.col(id_col),
+        n.alias("n_toks"),
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.array_join(F.slice(toks, i, window_k), " ").alias("win"),
+                ),
+            )
+        ).alias("s"),
+    ).select(id_col, "n_toks", F.col("s.pos").alias("pos"), F.col("s.win").alias("win"))
+    frequent = (
+        wins.groupBy("win")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("win")
+    )
+    covered = (
+        wins.join(frequent, "win", "left_semi")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(
+                    F.col("pos"),
+                    F.least(F.col("pos") + (window_k - 1), F.col("n_toks")),
+                )
+            ).alias("tpos"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup_tokens"))
+    )
+    return (
+        docs.select(F.col(id_col), n.cast("long").alias("n_tokens"))
+        .join(covered, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce(F.col("n_dup_tokens"), F.lit(0)).cast("long")
+            .alias("n_dup_tokens"),
+            F.round(
+                F.coalesce(F.col("n_dup_tokens"), F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def gopher_quality_flags(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         min_words: int = 50, max_words: int = 100_000,
+                         min_mean_wl: float = 3.0, max_mean_wl: float = 10.0,
+                         max_symbol_frac: float = 0.1,
+                         max_bullet_frac: float = 0.9,
+                         max_ellipsis_frac: float = 0.3,
+                         max_dup_line_frac: float = 0.3,
+                         max_top2_frac: float = 0.2) -> DataFrame:
+    """Gopher-style repetition/quality rules (Rae et al. 2021, table A1),
+    the standard web-text pre-filter: word-count bounds, mean word length
+    bounds, symbol-to-word ratio ('#'/'…'), bullet-line and ellipsis-line
+    fractions, within-document duplicate-line fraction, and the fraction of
+    occurrences taken by the most frequent word 2-gram.
+
+    Everything except the top-2-gram rule is per-row array arithmetic —
+    zero shuffles, whole-stage codegen.  The top-2-gram mode needs a
+    per-document count: one explode + two aggregates, both keyed on
+    ``id_col`` (uniform, no skew).  All fractions rounded to 6 so the
+    DuckDB oracle hash-matches.
+
+    Returns (id_col, n_words, mean_word_len, symbol_frac, bullet_frac,
+    ellipsis_frac, dup_line_frac, top2_frac, keep).
+    """
+    from ..functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    lines = F.split(F.col(text_col), "\n", -1)
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+    n_ellipsis = F.size(
+        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+    )
+    n_symbol = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[#…]"), 0))
+    base = docs.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        F.round(sum_len.cast("double") / n.cast("double"), 6).alias("mean_word_len"),
+        F.round(n_symbol.cast("double") / n.cast("double"), 6).alias("symbol_frac"),
+        F.round(n_bullet.cast("double") / n_lines.cast("double"), 6)
+        .alias("bullet_frac"),
+        F.round(n_ellipsis.cast("double") / n_lines.cast("double"), 6)
+        .alias("ellipsis_frac"),
+        F.round(
+            (n_lines - F.size(F.array_distinct(lines))).cast("double")
+            / n_lines.cast("double"),
+            6,
+        ).alias("dup_line_frac"),
+    )
+    starts2 = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1)))
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(starts2, lambda i: F.array_join(F.slice(toks, i, 2), " "))
+        ).alias("g"),
+    )
+    top2 = (
+        grams.groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.max("c").cast("double") / F.sum("c").cast("double"), 6
+            ).alias("top2_frac")
+        )
+    )
+    out = base.join(top2, id_col)
+    keep = (
+        (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_wl)
+        & (F.col("mean_word_len") <= max_mean_wl)
+        & (F.col("symbol_frac") < max_symbol_frac)
+        & (F.col("bullet_frac") < max_bullet_frac)
+        & (F.col("ellipsis_frac") < max_ellipsis_frac)
+        & (F.col("dup_line_frac") < max_dup_line_frac)
+        & (F.col("top2_frac") < max_top2_frac)
+    )
+    return out.select(
+        id_col, "n_words", "mean_word_len", "symbol_frac", "bullet_frac",
+        "ellipsis_frac", "dup_line_frac", "top2_frac", keep.alias("keep"),
+    )

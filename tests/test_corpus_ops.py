@@ -8,10 +8,12 @@ from pyspark.sql import functions as F
 
 from crawler_spark.operators.corpus import (
     boilerplate_shingle_stats,
+    gopher_quality_flags,
     hash_sample,
     pii_match_counts,
     redact_pii,
     remove_frequent_lines,
+    substring_dup_spans,
 )
 
 
@@ -94,3 +96,54 @@ def test_redact_pii_and_counts(spark):
     assert (out[0]["e"], out[0]["p"], out[0]["i"]) == (1, 1, 1)
     assert out[1]["clean"] == "no pii in this row at all"
     assert (out[1]["e"], out[1]["p"], out[1]["i"]) == (0, 0, 0)
+
+
+def test_substring_dup_spans_coverage(spark):
+    shared = "a b c d e f g h"                    # one shared 8-token window
+    docs = spark.createDataFrame(
+        [(0, f"{shared} unique tail zero"),       # 11 tokens, dup covers 1-8
+         (1, f"prefix one two {shared}"),         # 11 tokens, dup covers 4-11
+         (2, "entirely fresh words with no overlap anywhere in them at all"),
+         (3, "tiny doc"),                         # exact short dup pair:
+         (4, "tiny doc")],                        # whole text = the window
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r
+           for r in substring_dup_spans(docs, window_k=8).collect()}
+    assert (out[0]["n_tokens"], out[0]["n_dup_tokens"]) == (11, 8)
+    assert out[0]["dup_frac"] == round(8 / 11, 6)
+    assert (out[1]["n_tokens"], out[1]["n_dup_tokens"]) == (11, 8)
+    assert out[2]["n_dup_tokens"] == 0 and out[2]["dup_frac"] == 0.0
+    # sub-window_k exact duplicates still register at full coverage
+    assert out[3]["dup_frac"] == 1.0 and out[4]["dup_frac"] == 1.0
+
+
+def test_substring_dup_spans_within_doc_repeat_is_not_dup(spark):
+    # the SAME window repeated inside ONE doc is df=1 — not cross-doc dup
+    docs = spark.createDataFrame(
+        [(0, "x y z w x y z w"), (1, "other words completely")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_dup_tokens"]
+           for r in substring_dup_spans(docs, window_k=4).collect()}
+    assert out[0] == 0
+
+
+def test_gopher_quality_flags_fields(spark):
+    body = " ".join(f"word{i:03d}" for i in range(60))   # 60 words, len 7 each
+    docs = spark.createDataFrame(
+        [(0, body),
+         (1, "one two one two one two"),                 # top2 'one two' 3/5
+         (2, "x\nx\ny"),                                 # dup lines 1/3
+         (3, "- item\n- second\nplain body line here")], # bullets 2/3
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_quality_flags(docs).collect()}
+    assert out[0]["n_words"] == 60 and out[0]["mean_word_len"] == 7.0
+    assert out[0]["dup_line_frac"] == 0.0
+    assert out[1]["top2_frac"] == 0.6 and out[1]["mean_word_len"] == 3.0
+    assert out[2]["dup_line_frac"] == round(1 / 3, 6)
+    assert out[3]["bullet_frac"] == round(2 / 3, 6)
+    # the 60-word doc passes every rule except none → keep unless top2 high
+    assert out[0]["keep"] is True
+    assert out[1]["keep"] is False                       # too short + repetitive
