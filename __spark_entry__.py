@@ -55,6 +55,7 @@ from crawler_spark.operators.dedup import (
 )
 from crawler_spark.operators.corpus import (
     boilerplate_shingle_stats,
+    clean_corpus,
     gopher_quality_flags,
     hash_sample,
     pii_match_counts,
@@ -153,8 +154,13 @@ _ROWS_PER_BAND = _NUM_PERM // _BANDS
 _SHINGLE_K = 3
 
 
-def _minhash_sig_sql() -> str:
-    """[min over shingles of (A[p]*h32(s)+B[p]) mod prime for p in 0..15]."""
+def _minhash_sig_sql(source: str = "documents") -> str:
+    """[min over shingles of (A[p]*h32(s)+B[p]) mod prime for p in 0..15].
+
+    ``source`` is any relation exposing (doc_id, text) — the raw table by
+    default, or an upstream CTE (the clean-corpus oracle signs the
+    line-deduped, exact-deduped text, not the raw column).
+    """
     from crawler_spark.functions.text import HASH_PRIME, MINHASH_A, MINHASH_B
 
     mins = ",\n      ".join(
@@ -167,7 +173,7 @@ def _minhash_sig_sql() -> str:
            list_distinct(list_transform(
              range(1, greatest(len(toks) - {_SHINGLE_K - 1}, 1) + 1),
              i -> array_to_string(toks[i:i+{_SHINGLE_K - 1}], ' '))) AS shingles
-    FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    FROM (SELECT doc_id, {_TOKS} AS toks FROM {source})
   ),
   sig AS (
     SELECT doc_id, [
@@ -787,6 +793,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_gopher_quality"] = doc_gopher_quality
 
+    def corpus_clean_pipeline(spark, sf_dir):
+        # the flagship composition: quality+lang gate → C4 line dedup →
+        # exact dedup → MinHash+LSH near-dup removal, one declarative plan
+        return clean_corpus(
+            _docs_text_double(spark, sf_dir),
+            quality_min=0.65, lang="en", line_min_df=2,
+            num_perm=_NUM_PERM, bands=_BANDS, shingle_k=_SHINGLE_K,
+            jaccard_min=0.3,
+        )
+
+    q["corpus_clean_pipeline"] = corpus_clean_pipeline
+
     def event_type_pagerank(spark, sf_dir):
         # iterative graph analytics: per-user event-type transition graph →
         # 5-round weighted PageRank (fixed iteration count, identical
@@ -1316,6 +1334,61 @@ def oracle_sql() -> dict[str, str]:
             AND ellipsis_frac < 0.3 AND dup_line_frac < 0.3
             AND top2_frac < 0.2) AS keep
     FROM b2 JOIN t2 USING (doc_id)
+    """
+
+    # full clean_corpus composition: quality+lang gate → C4 line dedup →
+    # exact dedup (keep-min per md5) → MinHash+LSH candidates verified by
+    # token-set Jaccard >= 0.3, greater id dropped.  The minhash CTE chain
+    # is re-targeted at the cleaned/deduped text via its `source` param.
+    o["corpus_clean_pipeline"] = f"""
+    WITH gated AS (
+      SELECT doc_id, text FROM documents
+      WHERE {_QUALITY_SQL} >= 0.65 AND ({_LANG_SQL}) = 'en'
+    ),
+    glines AS (
+      SELECT doc_id, unnest(arr) AS line, unnest(range(1, len(arr) + 1)) AS pos
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS arr FROM gated)
+    ),
+    lfreq AS (
+      SELECT line FROM (
+        SELECT line, count(*) AS df
+        FROM (SELECT DISTINCT doc_id, line FROM glines) GROUP BY line
+      ) WHERE df >= 2
+    ),
+    gkept AS (SELECT l.* FROM glines l ANTI JOIN lfreq f USING (line)),
+    cleaned AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+      FROM gkept GROUP BY doc_id
+    ),
+    keepers AS (
+      SELECT md5(text) AS ch, min(doc_id) AS doc_id
+      FROM cleaned GROUP BY md5(text)
+    ),
+    exact_kept AS (
+      SELECT c.doc_id, c.text FROM cleaned c
+      JOIN keepers k ON k.ch = md5(c.text) AND k.doc_id = c.doc_id
+    ),
+    {_minhash_sig_sql(source="exact_kept")},
+    toks AS (SELECT doc_id, unnest({_DTOKS}) AS tok FROM exact_kept),
+    sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+    common AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_common
+      FROM cand c
+      JOIN toks ta ON ta.doc_id = c.id_a
+      JOIN toks tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+      GROUP BY c.id_a, c.id_b
+    ),
+    dropped AS (
+      SELECT DISTINCT c.id_b AS doc_id
+      FROM common c
+      JOIN sizes sa ON sa.doc_id = c.id_a
+      JOIN sizes sb ON sb.doc_id = c.id_b
+      WHERE round(c.n_common::double / (sa.n + sb.n - c.n_common)::double, 6)
+            >= 0.3
+    )
+    SELECT e.doc_id, {_TOKCNT_SQL}::bigint AS n_tokens,
+           {_h32('text')} AS clean_h32
+    FROM exact_kept e ANTI JOIN dropped d USING (doc_id)
     """
 
     # 5 unrolled PageRank rounds — same arithmetic as operators/graph.py

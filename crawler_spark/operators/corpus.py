@@ -248,6 +248,68 @@ def substring_dup_spans(docs: DataFrame, text_col: str = "text",
     )
 
 
+def clean_corpus(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", quality_min: float = 0.65,
+                 lang: str = "en", line_min_df: int = 2,
+                 num_perm: int = 16, bands: int = 4, shingle_k: int = 3,
+                 jaccard_min: float = 0.3) -> DataFrame:
+    """End-to-end corpus-cleaning pipeline — the composition a training-data
+    build actually runs, as one declarative plan:
+
+    1. quality + language gate (`quality_score` >= quality_min, `lang_id`
+       == lang) — pure codegen row filter, pushed to the scan;
+    2. C4-style frequent-line removal (:func:`remove_frequent_lines`),
+       dropping documents whose every line was boilerplate;
+    3. exact dedup on the cleaned text (keep the smallest id per md5);
+    4. MinHash+LSH near-dup candidates on the cleaned text, verified by
+       exact token-set Jaccard >= jaccard_min; for each verified pair the
+       *greater* id is dropped (greedy, deterministic — the
+       connected-components keep-min variant is `dup_clusters`).
+
+    Each stage consumes the previous stage's DataFrame, so Catalyst fuses
+    the filters and prunes columns across the whole chain; the only
+    shuffles are the per-stage aggregations, every one keyed on a uniform
+    hash (line, md5, band key, token).  Returns the surviving corpus as
+    (id_col, n_tokens, clean_h32) — id, cleaned-token count, and a
+    portable 32-bit content hash for downstream manifesting.
+    """
+    from ..functions.text import lang_id, quality_score, token_count
+    from .dedup import minhash_lsh_candidates, ngram_jaccard_pairs
+
+    gated = docs.where(
+        (quality_score(F.col(text_col)) >= quality_min)
+        & (lang_id(F.col(text_col)) == lang)
+    )
+    cleaned = (
+        remove_frequent_lines(gated, text_col, id_col, min_df=line_min_df)
+        .where(F.col("n_kept") > 0)
+        .select(F.col(id_col), F.col("clean_text").alias(text_col))
+    )
+    hashed = cleaned.select(
+        F.col(id_col), F.col(text_col), F.md5(F.col(text_col)).alias("content_hash")
+    )
+    keepers = hashed.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
+    exact_kept = hashed.join(keepers, ["content_hash", id_col], "left_semi").select(
+        id_col, text_col
+    )
+    cand = minhash_lsh_candidates(
+        exact_kept, text_col, id_col, num_perm=num_perm, bands=bands,
+        shingle_k=shingle_k,
+    )
+    verified = ngram_jaccard_pairs(
+        exact_kept, cand, text_col, id_col, threshold=jaccard_min
+    )
+    dropped = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return (
+        exact_kept.join(dropped, id_col, "left_anti")
+        .select(
+            id_col,
+            token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+            h32(F.col(text_col)).alias("clean_h32"),
+        )
+    )
+
+
 def gopher_quality_flags(docs: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id",
                          min_words: int = 50, max_words: int = 100_000,
