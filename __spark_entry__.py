@@ -58,10 +58,13 @@ from crawler_spark.operators.corpus import (
     clean_corpus,
     gopher_quality_flags,
     hash_sample,
+    ngram_vocab_topk,
+    pack_token_shards,
     pii_match_counts,
     redact_pii,
     remove_frequent_lines,
     substring_dup_spans,
+    unigram_logprob,
 )
 from crawler_spark.operators.fetch import fib_delays_ms
 from crawler_spark.operators.multimodal import (
@@ -805,6 +808,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_clean_pipeline"] = corpus_clean_pipeline
 
+    def corpus_pack_shards(spark, sf_dir):
+        # training-shard assignment: hash-bucketed writers, per-bucket
+        # greedy token packing (window cumsum — per-bucket sort, never
+        # global); summarised per shard for a compact oracle surface
+        docs = _docs_text_double(spark, sf_dir).select(
+            "doc_id", token_count(F.col("text")).alias("n_tokens")
+        )
+        return (
+            pack_token_shards(docs, target_tokens=2_000, n_buckets=8)
+            .groupBy("bucket", "shard_seq")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.min("start_offset").alias("first_offset"),
+            )
+        )
+
+    q["corpus_pack_shards"] = corpus_pack_shards
+
+    def doc_unigram_nll(spark, sf_dir):
+        # self-trained unigram LM quality proxy (CCNet-style bucketing
+        # input): mean -ln p(token) per document under the corpus itself
+        return unigram_logprob(_docs_text_double(spark, sf_dir))
+
+    q["doc_unigram_nll"] = doc_unigram_nll
+
+    def corpus_vocab_top100(spark, sf_dir):
+        # vocab-induction counting pass: corpus-wide top-100 bigrams,
+        # TakeOrderedAndProject (per-partition heaps, no global sort)
+        return ngram_vocab_topk(_docs_text_double(spark, sf_dir), n=2, k=100)
+
+    q["corpus_vocab_top100"] = corpus_vocab_top100
+
     def event_type_pagerank(spark, sf_dir):
         # iterative graph analytics: per-user event-type transition graph →
         # 5-round weighted PageRank (fixed iteration count, identical
@@ -1389,6 +1424,57 @@ def oracle_sql() -> dict[str, str]:
     SELECT e.doc_id, {_TOKCNT_SQL}::bigint AS n_tokens,
            {_h32('text')} AS clean_h32
     FROM exact_kept e ANTI JOIN dropped d USING (doc_id)
+    """
+
+    # shard packing: bucket by h32(doc_id) mod 8, cumulative token sum in
+    # doc_id order within the bucket, shard = floor(start_offset / 2000);
+    # summarised per shard exactly like the Spark query
+    o["corpus_pack_shards"] = f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKCNT_SQL}::bigint AS n_tok,
+             {_h32("doc_id::varchar")} % 8 AS bucket
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, bucket,
+             sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok
+               AS start_offset
+      FROM toks
+    )
+    SELECT bucket, floor(start_offset / 2000)::bigint AS shard_seq,
+           count(*)::bigint AS n_docs, min(start_offset) AS first_offset
+    FROM packed GROUP BY bucket, floor(start_offset / 2000)
+    """
+
+    # self-trained unigram NLL: avg(-ln(count)) per doc + ln(corpus total),
+    # identical factoring to operators/corpus.py so the doubles agree
+    o["doc_unigram_nll"] = f"""
+    WITH inst AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    model AS (SELECT tok, count(*)::bigint AS c FROM inst GROUP BY tok),
+    per_doc AS (
+      SELECT i.doc_id, count(*)::bigint AS n_tokens,
+             avg(-ln(m.c::double)) AS mean_neg_ln_c
+      FROM inst i JOIN model m USING (tok) GROUP BY i.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           round(mean_neg_ln_c + ln((SELECT sum(c)::double FROM model)), 6)
+             AS nll
+    FROM per_doc
+    """
+
+    # top-100 bigrams, (count desc, gram asc) deterministic order; short
+    # docs contribute their full token string as one "gram" (same
+    # greatest(n-1, 1) start-sequence as the Spark side)
+    o["corpus_vocab_top100"] = f"""
+    WITH grams AS (
+      SELECT unnest(list_transform(
+               range(1, greatest(len(toks) - 1, 1) + 1),
+               i -> array_to_string(toks[i:i+1], ' '))) AS gram
+      FROM (SELECT {_TOKS} AS toks FROM documents)
+    )
+    SELECT gram, count(*)::bigint AS c FROM grams
+    GROUP BY gram ORDER BY c DESC, gram LIMIT 100
     """
 
     # 5 unrolled PageRank rounds — same arithmetic as operators/graph.py

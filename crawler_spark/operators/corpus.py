@@ -395,3 +395,122 @@ def gopher_quality_flags(docs: DataFrame, text_col: str = "text",
         id_col, "n_words", "mean_word_len", "symbol_frac", "bullet_frac",
         "ellipsis_frac", "dup_line_frac", "top2_frac", keep.alias("keep"),
     )
+
+
+def pack_token_shards(docs: DataFrame, id_col: str = "doc_id",
+                      n_tokens_col: str = "n_tokens",
+                      target_tokens: int = 100_000,
+                      n_buckets: int = 32) -> DataFrame:
+    """Assign documents to ~``target_tokens``-sized training shards.
+
+    The writer-friendly layout a pretraining run consumes: documents are
+    first routed to one of ``n_buckets`` independent writer buckets by the
+    portable ``h32`` of their id (uniform — no skew, no coordination), then
+    packed greedily *within* the bucket in deterministic ``id_col`` order:
+    a running token total splits the bucket stream every ``target_tokens``
+    tokens.  A document lands in the shard its *starting* offset falls in,
+    so shard sizes overshoot by at most one document.
+
+    Scale: the only shuffle is the hash partition + within-bucket sort for
+    the window — the sort is per-bucket, never global, so 1000 executors
+    sort 1000+ buckets in parallel and no single task ever sees more than
+    ~1/n_buckets of the corpus.  Raise ``n_buckets`` with the cluster, not
+    with the data.
+
+    Returns (id_col, bucket, shard_seq, start_offset) — ``(bucket,
+    shard_seq)`` is the shard key; ``start_offset`` is the document's token
+    offset within its bucket stream (useful for exact resume/audit).
+    """
+    from pyspark.sql import Window
+
+    bucket = (h32(F.col(id_col).cast("string")) % n_buckets).alias("bucket")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select(F.col(id_col), F.col(n_tokens_col).cast("long").alias("n_tok"), bucket)
+        .select(
+            id_col,
+            "bucket",
+            (F.sum("n_tok").over(w) - F.col("n_tok")).alias("start_offset"),
+        )
+        .select(
+            id_col,
+            "bucket",
+            F.floor(F.col("start_offset") / target_tokens).cast("long").alias("shard_seq"),
+            "start_offset",
+        )
+    )
+
+
+def unigram_logprob(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style quality proxy without an external LM: score every
+    document by the mean negative log-probability of its tokens under the
+    corpus's own unigram distribution (lower = more typical text; the
+    head/tail bucketing a CCNet pipeline derives from a KenLM score works
+    the same way on this self-trained proxy).
+
+    Relational end to end: explode tokens, one groupBy(token) for the
+    model (map-side combined, uniform key), one shuffle join of token
+    instances back to their counts, one groupBy(doc).  The per-document
+    mean uses ``avg(-ln(count)) + ln(total)`` — algebraically equal to
+    ``avg(-ln(count/total))`` but the corpus total stays a scalar join
+    applied after aggregation, so the big token stream never carries it.
+
+    Returns (id_col, n_tokens, nll) with nll rounded to 6 (ln differs by
+    <1 ulp across engines; the round makes the oracle hash-stable).
+    """
+    from ..functions.text import tokens
+
+    inst = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    model = inst.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = model.agg(F.sum("c").alias("n_total"))
+    per_doc = (
+        inst.join(model, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.avg(-F.log(F.col("c").cast("double"))).alias("mean_neg_ln_c"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        id_col,
+        "n_tokens",
+        F.round(
+            F.col("mean_neg_ln_c") + F.log(F.col("n_total").cast("double")), 6
+        ).alias("nll"),
+    )
+
+
+def ngram_vocab_topk(docs: DataFrame, text_col: str = "text",
+                     n: int = 2, k: int = 100) -> DataFrame:
+    """Corpus-wide top-``k`` word ``n``-grams by occurrence count — the
+    counting pass a tokenizer-training / vocab-induction job runs first.
+
+    One explode + one groupBy(gram) with map-side partial counts, then a
+    global top-k which Catalyst executes as TakeOrderedAndProject (per-
+    partition heaps + a k-row driver merge — never a global sort).  Ties
+    broken by gram text ascending so the result is deterministic.
+
+    Returns (gram, c) ordered by (c desc, gram).
+    """
+    from ..functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    grams = docs.select(
+        F.explode(
+            F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " "))
+        ).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("gram"))
+        .limit(k)
+    )

@@ -147,3 +147,75 @@ def test_gopher_quality_flags_fields(spark):
     # the 60-word doc passes every rule except none → keep unless top2 high
     assert out[0]["keep"] is True
     assert out[1]["keep"] is False                       # too short + repetitive
+
+
+def test_pack_token_shards_greedy_within_bucket(spark):
+    from crawler_spark.operators.corpus import pack_token_shards
+
+    # one bucket so packing order is fully deterministic by doc_id
+    docs = spark.createDataFrame(
+        [(i, 40) for i in range(10)], "doc_id long, n_tokens long"
+    )
+    out = pack_token_shards(docs, target_tokens=100, n_buckets=1).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # starting offsets 0,40,80,... -> shard flips when start crosses 100
+    assert [by_id[i]["start_offset"] for i in range(10)] == [
+        40 * i for i in range(10)
+    ]
+    assert [by_id[i]["shard_seq"] for i in range(10)] == [
+        (40 * i) // 100 for i in range(10)
+    ]
+    assert all(r["bucket"] == 0 for r in out)
+
+
+def test_pack_token_shards_no_global_sort(spark):
+    from crawler_spark.operators.corpus import pack_token_shards
+
+    docs = spark.createDataFrame(
+        [(i, 10) for i in range(100)], "doc_id long, n_tokens long"
+    )
+    plan = pack_token_shards(docs, n_buckets=8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # the window must partition by bucket (hashpartitioning), never collapse
+    # to a single partition (the scale-killer this op is designed to avoid)
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(bucket" in plan
+
+
+def test_unigram_logprob_scores_rare_docs_higher(spark):
+    import math
+
+    from crawler_spark.operators.corpus import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(0, "common common common"), (1, "rare")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    # corpus: common x3, rare x1, total 4
+    assert out[0]["n_tokens"] == 3 and out[1]["n_tokens"] == 1
+    assert out[0]["nll"] == round(-math.log(3 / 4), 6)
+    assert out[1]["nll"] == round(-math.log(1 / 4), 6)
+    assert out[1]["nll"] > out[0]["nll"]
+
+
+def test_ngram_vocab_topk_order_and_ties(spark):
+    from crawler_spark.operators.corpus import ngram_vocab_topk
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c"), (2, "z")],  # 1-token doc -> gram "z"
+        "doc_id long, text string",
+    )
+    rows = [(r["gram"], r["c"]) for r in ngram_vocab_topk(docs, n=2, k=4).collect()]
+    # "a b" occurs 3x; ties at c=1 break by gram text ascending
+    assert rows[0] == ("a b", 3)
+    assert rows[1:] == sorted(rows[1:], key=lambda t: t[0])
+    assert ("z", 1) in rows or len(rows) == 4
+
+
+def test_ngram_vocab_topk_uses_take_ordered(spark):
+    from crawler_spark.operators.corpus import ngram_vocab_topk
+
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    plan = ngram_vocab_topk(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
