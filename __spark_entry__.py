@@ -931,6 +931,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_ivf_topk"] = emb_ivf_topk
 
+    def emb_kmeans_assign(spark, sf_dir):
+        # fixed-iteration Lloyd's k-means (3 unrolled rounds, means rounded
+        # to 12 d.p. on both engines so assignment is bit-stable)
+        from crawler_spark.operators.similarity import kmeans_assign
+
+        return kmeans_assign(_emb_double(spark, sf_dir), n_centroids=8, iters=3)
+
+    q["emb_kmeans_assign"] = emb_kmeans_assign
+
+    def emb_semdedup(spark, sf_dir):
+        # SemDeDup: k-means bucketing + within-cluster pairwise cosine.
+        # The synthetic embeddings are near-orthogonal (max pairwise cosine
+        # ~0.51), so the demo threshold sits in the tail of their cosine
+        # distribution to genuinely exercise the drop path.
+        from crawler_spark.operators.similarity import semdedup
+
+        return semdedup(
+            _emb_double(spark, sf_dir), n_centroids=8, iters=3, threshold=0.42
+        )
+
+    q["emb_semdedup"] = emb_semdedup
+
     def emb_near_dup(spark, sf_dir):
         # 12 planes = 4096 buckets: ~N²/2^(p+1) ≈ 30 expected co-bucket
         # pairs at N=500 — a demo-sized candidate set; the operator default
@@ -1649,6 +1671,70 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT query_id, neighbor_id, round(cos9, 6) AS cosine, rank::int AS rank
     FROM fin WHERE rank <= 5
+    """
+
+    # ---- k-means: 3 unrolled Lloyd rounds.  Seed = IVF's h32 pick; each
+    # round re-assigns by (cosine desc, centroid_id asc) and recomputes
+    # centroids as per-dimension means rounded to 12 d.p. — the same
+    # quantization the Spark side applies, so the two engines' assignment
+    # comparisons run on bit-identical centroid doubles.
+    def _kmeans_cte(iters: int, k: int) -> str:
+        parts = [f"""cents0 AS (
+      SELECT (row_number() OVER (ORDER BY hk, vec_id) - 1)::int AS centroid_id,
+             v AS cvec
+      FROM (SELECT vec_id, v, {_h32("vec_id::varchar")} AS hk
+            FROM emb ORDER BY hk, vec_id LIMIT {k}) seed
+    )"""]
+        for i in range(1, iters + 1):
+            parts.append(f"""a{i} AS (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT e.vec_id, e.v, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cos_sql("e.v", "c.cvec")} DESC, c.centroid_id ASC
+               ) AS rn
+        FROM emb e CROSS JOIN cents{i - 1} c
+      ) s WHERE rn = 1
+    )""")
+            parts.append(f"""cents{i} AS (
+      SELECT centroid_id, list(m ORDER BY pos) AS cvec FROM (
+        SELECT centroid_id, pos, round(avg(val), 12) AS m
+        FROM (SELECT centroid_id, unnest(v) AS val,
+                     unnest(range(1, len(v) + 1)) AS pos
+              FROM a{i})
+        GROUP BY centroid_id, pos
+      ) GROUP BY centroid_id
+    )""")
+        parts.append(f"""fin AS (
+      SELECT vec_id, v, centroid_id, c_sim FROM (
+        SELECT e.vec_id, e.v, c.centroid_id,
+               {_cos_sql("e.v", "c.cvec")} AS c_sim,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cos_sql("e.v", "c.cvec")} DESC, c.centroid_id ASC
+               ) AS rn
+        FROM emb e CROSS JOIN cents{iters} c
+      ) s WHERE rn = 1
+    )""")
+        return ",\n    ".join(parts)
+
+    o["emb_kmeans_assign"] = f"""
+    WITH {_EMB_CTE},
+    {_kmeans_cte(3, 8)}
+    SELECT vec_id, centroid_id, round(c_sim, 6) AS cosine FROM fin
+    """
+
+    o["emb_semdedup"] = f"""
+    WITH {_EMB_CTE},
+    {_kmeans_cte(3, 8)},
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM fin a JOIN fin b USING (centroid_id)
+      WHERE a.vec_id < b.vec_id
+        AND round({_cos_sql("a.v", "b.v")}, 6) >= 0.42
+    )
+    SELECT f.vec_id, f.centroid_id
+    FROM fin f ANTI JOIN dropped d USING (vec_id)
     """
 
     # ---- multimodal: exact byte-arithmetic twins of the fake decode kernel.

@@ -297,3 +297,121 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             "rank",
         )
     )
+
+
+def kmeans_refine(corpus: DataFrame, n_centroids: int = 8, iters: int = 3,
+                  vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Lloyd's k-means with a FIXED iteration count (the deterministic,
+    oracle-checkable variant — convergence-test loops are not reproducible
+    across engines, a fixed unroll is).
+
+    Per round: broadcast the k centroids, assign by (cosine desc,
+    centroid_id asc) exactly like :func:`assign_centroids`, then recompute
+    each centroid as the element-wise mean of its members via ``posexplode``
+    — the aggregation keys on (centroid_id, dim), uniform and skew-free, and
+    only k x dim averaged doubles ever reach the driver (constant, never
+    corpus-sized).  Collecting the means per round keeps every round's plan
+    one scan + one aggregate instead of an exponentially nesting lineage;
+    cache ``corpus`` when calling with iters > 1 on a real cluster.
+
+    Means are rounded to 12 d.p. on both engines: the quantization is far
+    above summation-order ulp noise and far below any real signal, so the
+    next round's cosine comparisons are bit-identical in Spark and DuckDB.
+
+    A cluster that loses all members simply drops out of the next round
+    (both engines aggregate only non-empty groups).  Returns the refined
+    (centroid_id, cvec) — broadcastable, k rows.
+    """
+    cents = pick_centroids(corpus, n_centroids, vec_col, id_col)
+    spark = corpus.sparkSession
+    for _ in range(iters):
+        assigned = assign_centroids(corpus, cents, vec_col, id_col)
+        means = (
+            assigned.select(
+                "centroid_id", F.posexplode(F.col(vec_col)).alias("pos", "val")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.round(F.avg("val"), 12).alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "centroid_id",
+                F.transform("pm", lambda s: s["m"]).alias("cvec"),
+            )
+            .collect()
+        )
+        cents = spark.createDataFrame(
+            [(r["centroid_id"], r["cvec"]) for r in means],
+            "centroid_id int, cvec array<double>",
+        )
+    return cents
+
+
+def kmeans_assign(corpus: DataFrame, n_centroids: int = 8, iters: int = 3,
+                  vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Final per-vector cluster assignment after :func:`kmeans_refine`.
+
+    Returns (id_col, centroid_id, cosine) — cosine to the winning centroid,
+    rounded to 6.  One broadcast cross join + min_by; the corpus is never
+    shuffled or self-joined.
+    """
+    cents = kmeans_refine(corpus, n_centroids, iters, vec_col, id_col)
+    scored = corpus.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.col("centroid_id"),
+        cosine_expr(F.col(vec_col), F.col("cvec")).alias("c_sim"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.min_by(
+                F.struct("centroid_id", "c_sim"),
+                F.struct(
+                    (-F.col("c_sim")).alias("neg_sim"),
+                    F.col("centroid_id").alias("cid"),
+                ),
+            ).alias("best")
+        )
+        .select(
+            id_col,
+            F.col("best.centroid_id").alias("centroid_id"),
+            F.round(F.col("best.c_sim"), 6).alias("cosine"),
+        )
+    )
+
+
+def semdedup(corpus: DataFrame, n_centroids: int = 8, iters: int = 3,
+             threshold: float = 0.85,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup by k-means bucketing +
+    within-cluster pairwise cosine — pairs above ``threshold`` drop the
+    greater id, survivors keep their cluster label.
+
+    The all-pairs comparison happens ONLY inside a cluster: with k
+    clusters the work is k * (N/k)^2 — at 100 TB you raise k with the
+    corpus (exactly like the IVF/LSH bucket sizing) so in-cluster
+    candidate sets stay bounded; the cluster id is a uniform join key.
+    Cosine is rounded to 6 before the threshold so the boundary gates
+    identically in both engines.
+
+    Returns (id_col, centroid_id) for surviving vectors.
+    """
+    cents = kmeans_refine(corpus, n_centroids, iters, vec_col, id_col)
+    assigned = assign_centroids(corpus, cents, vec_col, id_col)
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "centroid_id"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "centroid_id"
+    )
+    dropped = (
+        a.join(b, "centroid_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(cosine_expr(F.col("va"), F.col("vb")), 6) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped, id_col, "left_anti")
+        .select(id_col, "centroid_id")
+    )

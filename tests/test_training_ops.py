@@ -324,3 +324,39 @@ def test_ivf_topk_recall_and_shape(emb):
              for r in cosine_topk(emb, queries, k=5).collect()}
     for r in approx.collect():
         assert r["cosine"] == exact[(r["query_id"], r["neighbor_id"])]
+
+
+def test_kmeans_assign_separable_clusters(spark):
+    import numpy as np
+
+    from crawler_spark.operators.similarity import kmeans_assign
+
+    # two tight, well-separated direction bundles -> 3 Lloyd rounds must
+    # put each bundle in a single cluster
+    rng = np.random.RandomState(11)
+    c1, c2 = rng.randn(64), rng.randn(64)
+    rows = []
+    for i in range(30):
+        base = c1 if i % 2 == 0 else c2
+        v = base + rng.randn(64) * 0.05
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_assign(emb, n_centroids=2, iters=3).collect()
+    evens = {r["centroid_id"] for r in out if r["vec_id"] % 2 == 0}
+    odds = {r["centroid_id"] for r in out if r["vec_id"] % 2 == 1}
+    assert len(evens) == 1 and len(odds) == 1 and evens != odds
+    # every member sits close to its refined centroid
+    assert all(r["cosine"] > 0.9 for r in out)
+
+
+def test_semdedup_drops_planted_dups(emb):
+    from crawler_spark.operators.similarity import semdedup
+
+    kept = {r["vec_id"] for r in
+            semdedup(emb, n_centroids=4, iters=2, threshold=0.95).collect()}
+    # exact dup 41 (of 1) and near-dup 40 (of 0, cosine ~0.999) must drop;
+    # the keep side is always the smaller id
+    assert 1 in kept and 0 in kept
+    assert 41 not in kept and 40 not in kept
+    # near-orthogonal randoms survive
+    assert len(kept) == 40
