@@ -840,6 +840,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_vocab_top100"] = corpus_vocab_top100
 
+    def doc_decontaminate(spark, sf_dir):
+        # GPT-3/Pile-style benchmark decontamination: flag training docs
+        # sharing any word 8-gram with the (deterministic) eval slice
+        from crawler_spark.operators.corpus import decontaminate
+
+        docs = _docs_text_double(spark, sf_dir)
+        return decontaminate(
+            docs.where(F.col("doc_id") % 37 != 0),
+            docs.where(F.col("doc_id") % 37 == 0),
+            n=8,
+        )
+
+    q["doc_decontaminate"] = doc_decontaminate
+
+    def doc_tfidf_top3(spark, sf_dir):
+        # per-document top-3 terms by tf-idf (keyword extraction)
+        from crawler_spark.operators.corpus import tfidf_top_terms
+
+        return tfidf_top_terms(_docs_text_double(spark, sf_dir), k=3)
+
+    q["doc_tfidf_top3"] = doc_tfidf_top3
+
     def event_type_pagerank(spark, sf_dir):
         # iterative graph analytics: per-user event-type transition graph →
         # 5-round weighted PageRank (fixed iteration count, identical
@@ -1497,6 +1519,55 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT gram, count(*)::bigint AS c FROM grams
     GROUP BY gram ORDER BY c DESC, gram LIMIT 100
+    """
+
+    # decontamination: distinct word 8-grams per training doc, semi-join
+    # against the eval slice's gram set (same shingle idiom as minhash,
+    # short docs collapse to their full token string)
+    _G8 = ("list_distinct(list_transform("
+           "range(1, greatest(len(toks) - 7, 1) + 1), "
+           "i -> array_to_string(toks[i:i+7], ' ')))")
+    o["doc_decontaminate"] = f"""
+    WITH trg AS (
+      SELECT doc_id, {_G8} AS gs
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id % 37 <> 0)
+    ),
+    evg AS (
+      SELECT DISTINCT unnest({_G8}) AS gram
+      FROM (SELECT {_TOKS} AS toks FROM documents WHERE doc_id % 37 = 0)
+    ),
+    hit AS (
+      SELECT DISTINCT doc_id
+      FROM (SELECT doc_id, unnest(gs) AS gram FROM trg) t
+      SEMI JOIN evg USING (gram)
+    )
+    SELECT t.doc_id, len(t.gs)::bigint AS n_grams,
+           (h.doc_id IS NOT NULL) AS contaminated
+    FROM trg t LEFT JOIN hit h USING (doc_id)
+    """
+
+    # per-document top-3 tf-idf terms; rank on 9-d.p. rounding (ln noise
+    # across engines is ~1 ulp), term-text tiebreak, output rounds to 6
+    o["doc_tfidf_top3"] = f"""
+    WITH inst AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*)::bigint AS tf
+           FROM inst GROUP BY doc_id, term),
+    idf AS (SELECT term, count(*)::bigint AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT t.doc_id, t.term,
+             round(t.tf::double * ln(
+               (SELECT count(DISTINCT doc_id) FROM documents)::double
+               / d.df::double), 9) AS s9
+      FROM tf t JOIN idf d USING (term)
+    ),
+    ranked AS (
+      SELECT doc_id, term, s9,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY s9 DESC, term ASC) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, round(s9, 6) AS tfidf, rank::int AS rank
+    FROM ranked WHERE rank <= 3
     """
 
     # 5 unrolled PageRank rounds — same arithmetic as operators/graph.py

@@ -58,6 +58,9 @@ QUERY_SLICE = (
     # round-3 iterative operators (multi-job: connected components / PR)
     "doc_dup_clusters",
     "event_type_pagerank",
+    # round-3 flagship compositions (full clean pipeline; k-means semantic dedup)
+    "corpus_clean_pipeline",
+    "emb_semdedup",
 )
 
 
@@ -78,14 +81,15 @@ def _cpu_counters() -> tuple[int, int]:
 class CrawlBench:
     """One full CrawlJob run per call; corpus built once, outside timing."""
 
-    def __init__(self, spark):
+    def __init__(self, spark, n_cards: int = 0):
         from crawler_spark.sources.pages import (
             NUM_BASE, build_pages, synthetic_docs_from_range,
         )
 
         self.spark = spark
         self.num_base = NUM_BASE
-        docs = synthetic_docs_from_range(spark, BENCH_CARDS)
+        self.n_cards = n_cards or BENCH_CARDS
+        docs = synthetic_docs_from_range(spark, self.n_cards)
         self.pages = build_pages(
             spark, SF_DIR, include_fixtures=False, docs_df=docs
         ).repartition(CPUS, "url").persist()
@@ -107,7 +111,7 @@ class CrawlBench:
             )
             a0, i0 = _cpu_counters()
             t0 = time.perf_counter()
-            job.seed_range(self.num_base, self.num_base + BENCH_CARDS - 1)
+            job.seed_range(self.num_base, self.num_base + self.n_cards - 1)
             stats = job.crawl(max_waves=4)
             dt = time.perf_counter() - t0
             a1, i1 = _cpu_counters()
@@ -181,6 +185,12 @@ def main() -> None:
     # ---- interleaved heavy sections ------------------------------------
     crawl = CrawlBench(spark)
     frontier = FrontierBench(spark)
+    # untimed warm-up crawl at 1/20 scale: pays the one-time Python-worker
+    # spin-up / Arrow serializer / codegen cost outside the measured runs
+    # (without it the first measured run was 2-3x the steady state)
+    warm = CrawlBench(spark, n_cards=max(BENCH_CARDS // 20, 500))
+    warm.run()
+    warm.close()
     crawl_runs: list[dict] = []
     frontier_runs: list[dict] = []
     for _ in range(BENCH_REPEATS):
@@ -197,7 +207,12 @@ def main() -> None:
     qs = entrymod.queries()
     for name in QUERY_SLICE:
         fn = qs[name]
-        fn(spark, SF_DIR).count()  # untimed warmup (codegen, file listing)
+        # two untimed warmups: the iterative multi-job queries (connected
+        # components, PageRank, k-means) JIT dozens of codegen classes and
+        # only reach steady state on their third execution (measured
+        # 19.9 -> 5.1 -> 5.0 s for doc_dup_clusters)
+        fn(spark, SF_DIR).count()
+        fn(spark, SF_DIR).count()
         t0 = time.perf_counter()
         fn(spark, SF_DIR).count()
         timings[name] = round(time.perf_counter() - t0, 3)

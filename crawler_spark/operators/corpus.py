@@ -514,3 +514,84 @@ def ngram_vocab_topk(docs: DataFrame, text_col: str = "text",
         .orderBy(F.col("c").desc(), F.col("gram"))
         .limit(k)
     )
+
+
+def decontaminate(docs: DataFrame, eval_docs: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 8) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C / The Pile): flag every
+    training document sharing at least one word ``n``-gram with an
+    evaluation set, so eval leakage can be dropped before training.
+
+    Both sides explode to distinct n-grams; one hash join on the gram
+    string (uniform key) + a semi-join marks contaminated ids.  At 100 TB
+    the eval side is tiny (benchmarks are a few MB) — its distinct-gram set
+    broadcasts, so the training corpus is scanned once and never shuffled.
+
+    Returns (id_col, n_grams, contaminated) for every training document.
+    """
+    from ..functions.text import shingles
+
+    grams = docs.select(
+        F.col(id_col), shingles(F.col(text_col), n).alias("gs")
+    )
+    eval_grams = (
+        eval_docs.select(F.explode(shingles(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    hit = (
+        grams.select(F.col(id_col), F.explode("gs").alias("gram"))
+        .join(F.broadcast(eval_grams), "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        grams.select(F.col(id_col), F.size("gs").cast("long").alias("n_grams"))
+        .join(hit, id_col, "left")
+        .select(
+            id_col, "n_grams",
+            F.coalesce(F.col("contaminated"), F.lit(False)).alias("contaminated"),
+        )
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Per-document top-``k`` terms by tf-idf (idf = ln(N/df)) — the
+    keyword-extraction pass an indexing / topic-labeling job runs.
+
+    Term frequencies and document frequencies are two aggregations keyed on
+    the token (uniform); the final per-document top-k is a window over
+    ``id_col`` — partitioned by document, so no global sort and no skew
+    (every document contributes at most its distinct-token count).  Scores
+    rank on a 9-d.p. rounding (cross-engine ln noise is ~1 ulp) with the
+    term text as tiebreak, and round to 6 in the output.
+
+    Returns (id_col, term, tfidf, rank), rank 1..k.
+    """
+    from ..functions.text import tokens
+
+    inst = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = inst.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(id_col).distinct().count()
+    scored = tf.join(df, "term").select(
+        F.col(id_col),
+        "term",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+            9,
+        ).alias("s9"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("s9").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", F.round("s9", 6).alias("tfidf"), "rank")
+    )

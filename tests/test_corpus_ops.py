@@ -219,3 +219,42 @@ def test_ngram_vocab_topk_uses_take_ordered(spark):
     docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
     plan = ngram_vocab_topk(docs)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    from crawler_spark.operators.corpus import decontaminate
+
+    leak = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8 words
+    train = spark.createDataFrame(
+        [
+            (0, f"prefix words here {leak} suffix tail words"),
+            (1, "totally unrelated training document body text"),
+            (2, "short doc"),  # < 8 tokens -> collapses to one full-string gram
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, f"eval question mentions {leak} verbatim")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["contaminated"]
+           for r in decontaminate(train, ev, n=8).collect()}
+    assert out == {0: True, 1: False, 2: False}
+
+
+def test_tfidf_top_terms_ranks_distinctive_words(spark):
+    from crawler_spark.operators.corpus import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (0, "shared shared zebra zebra zebra"),
+            (1, "shared shared other other"),
+            (2, "shared common words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, k=1).collect()
+    top = {r["doc_id"]: r["term"] for r in out}
+    # 'shared' appears in all docs (idf=0) so the doc-unique term wins
+    assert top[0] == "zebra" and top[1] == "other"
+    assert all(r["rank"] == 1 for r in out)
