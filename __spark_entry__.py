@@ -862,6 +862,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_tfidf_top3"] = doc_tfidf_top3
 
+    def corpus_mix_sources(spark, sf_dir):
+        # data-mixture assembly: 10k-token budget, head sources (src0-9)
+        # weighted 4x the tail (src10-19); deterministic salted-h32 gate
+        from crawler_spark.operators.corpus import mix_sources
+
+        weights = {f"src{i}": (0.08 if i < 10 else 0.02) for i in range(20)}
+        return mix_sources(
+            _docs_text_double(spark, sf_dir), weights, token_budget=10_000
+        )
+
+    q["corpus_mix_sources"] = corpus_mix_sources
+
     def event_type_pagerank(spark, sf_dir):
         # iterative graph analytics: per-user event-type transition graph →
         # 5-round weighted PageRank (fixed iteration count, identical
@@ -1568,6 +1580,30 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT doc_id, term, round(s9, 6) AS tfidf, rank::int AS rank
     FROM ranked WHERE rank <= 3
+    """
+
+    # data-mixture sampling: per-source basis-point rates floor-quantized
+    # from (budget * weight * 10000 / tokens), same salted-h32 gate as
+    # doc_hash_sample; weights src0-9 = 0.08, src10-19 = 0.02
+    _MIX_W = ", ".join(
+        f"('src{i}', {0.08 if i < 10 else 0.02}::double)" for i in range(20)
+    )
+    o["corpus_mix_sources"] = f"""
+    WITH w(source, w) AS (VALUES {_MIX_W}),
+    toks AS (
+      SELECT doc_id, source, {_TOKCNT_SQL}::bigint AS n_tokens FROM documents
+    ),
+    rates AS (
+      SELECT t.source,
+             least(10000::bigint,
+                   floor({float(10_000)!r} * w.w * 10000.0
+                         / sum(t.n_tokens)::double)::bigint) AS bp
+      FROM toks t JOIN w ON w.source = t.source
+      GROUP BY t.source, w.w
+    )
+    SELECT t.doc_id, t.source, t.n_tokens, r.bp
+    FROM toks t JOIN rates r USING (source)
+    WHERE {_h32("'mix' || doc_id::varchar")} % 10000 < r.bp
     """
 
     # 5 unrolled PageRank rounds — same arithmetic as operators/graph.py

@@ -595,3 +595,59 @@ def tfidf_top_terms(docs: DataFrame, text_col: str = "text",
         .where(F.col("rank") <= k)
         .select(id_col, "term", F.round("s9", 6).alias("tfidf"), "rank")
     )
+
+
+def mix_sources(docs: DataFrame, weights: dict, token_budget: int,
+                text_col: str = "text", id_col: str = "doc_id",
+                source_col: str = "source", salt: str = "mix") -> DataFrame:
+    """Deterministic data-mixture sampling: assemble a training corpus of
+    ~``token_budget`` tokens where source ``s`` contributes fraction
+    ``weights[s]`` of the budget — the mixing step every pretraining run
+    performs after cleaning.
+
+    Per-source sampling rates are derived from the corpus itself (one
+    tiny groupBy — |sources| rows), quantized to basis points with a
+    ``floor`` so both engines gate identically, capped at 100%
+    (oversubscribed sources contribute everything they have), and applied
+    with the same salted-``h32`` gate as :func:`hash_sample` — so the
+    sample is reproducible across engines, runs, and partitionings, and
+    re-running with a higher budget yields a superset per source.  Sources
+    absent from ``weights`` are dropped (inner join).  The corpus is
+    scanned once; the rate table broadcasts.
+
+    Returns (id_col, source_col, n_tokens, bp) — surviving documents with
+    their source's basis-point rate (audit surface).
+    """
+    from ..functions.text import token_count
+
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(
+        [(s, float(w)) for s, w in sorted(weights.items())],
+        f"{source_col} string, w double",
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.col(source_col),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    rates = (
+        toks.groupBy(source_col)
+        .agg(F.sum("n_tokens").alias("tot"))
+        .join(wdf, source_col)
+        .select(
+            source_col,
+            F.least(
+                F.lit(10000).cast("long"),
+                F.floor(
+                    F.lit(float(token_budget)) * F.col("w") * 10000.0
+                    / F.col("tot").cast("double")
+                ).cast("long"),
+            ).alias("bp"),
+        )
+    )
+    gate = h32(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % 10000
+    return (
+        toks.join(F.broadcast(rates), source_col)
+        .where(gate < F.col("bp"))
+        .select(id_col, source_col, "n_tokens", "bp")
+    )

@@ -258,3 +258,37 @@ def test_tfidf_top_terms_ranks_distinctive_words(spark):
     # 'shared' appears in all docs (idf=0) so the doc-unique term wins
     assert top[0] == "zebra" and top[1] == "other"
     assert all(r["rank"] == 1 for r in out)
+
+
+def test_mix_sources_rates_and_determinism(spark):
+    from crawler_spark.operators.corpus import mix_sources
+
+    docs = spark.createDataFrame(
+        [(i, "srcA" if i < 40 else "srcB", "tok " * 10) for i in range(60)],
+        "doc_id long, source string, text string",
+    )
+    # srcA: 400 tokens total, weight 0.5 of a 200-token budget -> bp 2500
+    # srcB: 200 tokens, weight 0.5 -> bp 5000
+    out = mix_sources(docs, {"srcA": 0.5, "srcB": 0.5}, token_budget=200)
+    rows = out.collect()
+    bps = {r["source"]: r["bp"] for r in rows}
+    assert bps.get("srcA", 2500) == 2500 and bps.get("srcB", 5000) == 5000
+    # deterministic: identical result on re-run
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        r["doc_id"] for r in out.collect()
+    )
+    # oversubscribed source caps at 100%
+    rich = mix_sources(docs, {"srcA": 1.0, "srcB": 1.0}, token_budget=10_000)
+    assert {r["bp"] for r in rich.collect()} == {10000}
+    assert rich.count() == 60
+
+
+def test_mix_sources_unweighted_source_dropped(spark):
+    from crawler_spark.operators.corpus import mix_sources
+
+    docs = spark.createDataFrame(
+        [(0, "srcA", "a b c"), (1, "srcZ", "d e f")],
+        "doc_id long, source string, text string",
+    )
+    out = mix_sources(docs, {"srcA": 1.0}, token_budget=100).collect()
+    assert all(r["source"] == "srcA" for r in out)

@@ -49,3 +49,37 @@ def test_pii_redaction_stays_in_codegen(spark, sf_dir):
     plan = plan_of(q)
     assert "EvalPython" not in plan
     assert "*(1) Project" in plan          # whole-stage-codegen'd stage
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    from crawler_spark.operators.corpus import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(decontaminate(
+        docs.where(F.col("doc_id") % 37 != 0),
+        docs.where(F.col("doc_id") % 37 == 0),
+    ))
+    assert "EvalPython" not in plan
+    # the (tiny) eval-gram side must broadcast so the training corpus is
+    # scanned once and never shuffled for the semi-join
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_mix_sources_broadcasts_rates_no_python(spark, sf_dir):
+    from crawler_spark.operators.corpus import mix_sources
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    weights = {f"src{i}": 0.05 for i in range(20)}
+    plan = plan_of(mix_sources(docs, weights, token_budget=10_000))
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan     # |sources|-row rate table
+    assert "Cartesian" not in plan
+
+
+def test_unigram_logprob_partial_agg_no_python(spark, sf_dir):
+    from crawler_spark.operators.corpus import unigram_logprob
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(unigram_logprob(docs))
+    assert "EvalPython" not in plan
+    assert "partial_count" in plan         # vocab counts combine map-side
