@@ -81,3 +81,72 @@ def test_connected_components_matches_python_reference(spark, pairs):
     got = {r["node"]: r["cluster_id"]
            for r in connected_components(df).collect()}
     assert got == _py_components(pairs)
+
+
+def _py_pack(ids_tokens, target):
+    # single-bucket greedy packing reference
+    out = {}
+    cum = 0
+    for i, n in sorted(ids_tokens):
+        out[i] = (cum, cum // target)
+        cum += n
+    return out
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.integers(min_value=0, max_value=50),
+                min_size=1, max_size=12),
+       st.integers(min_value=1, max_value=80))
+def test_pack_token_shards_matches_python_reference(spark, tok_counts, target):
+    from crawler_spark.operators.corpus import pack_token_shards
+
+    docs = spark.createDataFrame(
+        list(enumerate(tok_counts)), "doc_id long, n_tokens long"
+    )
+    got = {r["doc_id"]: (r["start_offset"], r["shard_seq"])
+           for r in pack_token_shards(
+               docs, target_tokens=target, n_buckets=1).collect()}
+    assert got == _py_pack(list(enumerate(tok_counts)), target)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.sampled_from(["a", "b", "c", "dd", "eee"]),
+                min_size=1, max_size=10))
+def test_unigram_logprob_matches_python_reference(spark, token_lists):
+    import math
+
+    from crawler_spark.operators.corpus import unigram_logprob
+
+    texts = [" ".join([t]) for t in token_lists]  # one token per doc
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    counts = Counter(token_lists)
+    total = len(token_lists)
+    got = {r["doc_id"]: r["nll"] for r in unigram_logprob(docs).collect()}
+    want = {i: round(-math.log(counts[t] / total), 6)
+            for i, t in enumerate(token_lists)}
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.integers(min_value=0, max_value=10_000),
+                min_size=1, max_size=30, unique=True),
+       st.integers(min_value=1, max_value=5_000))
+def test_mix_sources_nests_across_budgets(spark, ids, budget):
+    """The salted-h32 gate must make a smaller budget's sample a SUBSET of
+    a larger budget's sample for the same source (nested samples)."""
+    from crawler_spark.operators.corpus import mix_sources
+
+    docs = spark.createDataFrame(
+        [(i, "s", "tok tok tok") for i in ids],
+        "doc_id long, source string, text string",
+    )
+    small = {r["doc_id"] for r in
+             mix_sources(docs, {"s": 1.0}, token_budget=budget).collect()}
+    large = {r["doc_id"] for r in
+             mix_sources(docs, {"s": 1.0}, token_budget=budget * 4).collect()}
+    assert small <= large
