@@ -135,3 +135,36 @@ def dedup_pages_stream(pages_stream: DataFrame,
         .withColumn("content_hash", F.md5(F.col("text")))
         .dropDuplicatesWithinWatermark(["content_hash"])
     )
+
+
+def clean_docs_stream(pages_stream: DataFrame, watermark: str = "1 hour",
+                      quality_min: float = 0.65,
+                      lang: str = "en") -> DataFrame:
+    """Streaming twin of the front half of
+    :func:`crawler_spark.operators.corpus.clean_corpus`: the incremental
+    ingest gate a perpetual crawl runs before the batch hygiene passes —
+    quality + language gate (stateless codegen row filters, evaluated
+    per micro-batch with zero state) followed by content-hash exact dedup
+    within the watermark horizon (bounded, expiring state).
+
+    The corpus-global stages (C4 frequent-line removal, MinHash near-dup)
+    need cross-document frequencies a stream cannot see incrementally
+    without unbounded state — they stay batch by design; this operator's
+    output is exactly what those batch passes consume.
+
+    Returns (url, ts, content_hash, n_tokens, text) for surviving pages.
+    """
+    from ..functions.text import lang_id, quality_score, token_count
+
+    return (
+        pages_stream.withColumn("ts", F.col("warc_ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .where(
+            (quality_score(F.col("text")) >= quality_min)
+            & (lang_id(F.col("text")) == lang)
+        )
+        .withColumn("content_hash", F.md5(F.col("text")))
+        .withColumn("n_tokens", token_count(F.col("text")).cast("long"))
+        .dropDuplicatesWithinWatermark(["content_hash"])
+        .select("url", "ts", "content_hash", "n_tokens", "text")
+    )

@@ -162,3 +162,46 @@ def test_dedup_pages_stream_drops_cross_batch_dups(spark, tmp_path):
     assert len(hashes) == len(set(hashes))            # no dup content emitted
     n_unique = pages.select(F.md5("text")).distinct().count()
     assert len(hashes) == n_unique                    # every unique kept once
+
+
+def test_clean_docs_stream_gates_and_dedups(spark, tmp_path):
+    """The streaming ingest gate suppresses re-fetched content AND applies
+    the same quality/lang gate as the batch clean_corpus front half."""
+    from crawler_spark.functions.text import lang_id, quality_score
+    from crawler_spark.streaming.pipeline import clean_docs_stream
+
+    src = str(tmp_path / "clean_src")
+    _land = lambda lo, hi: build_pages(
+        spark, "", include_fixtures=False,
+        docs_df=synthetic_docs_from_range(spark, hi).where(
+            F.col("doc_id") >= lo
+        ),
+    ).coalesce(1).write.mode("append").parquet(src)
+    _land(0, 25)
+    _land(0, 25)          # exact re-fetch
+    _land(25, 40)
+
+    pages = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(pages.schema).format("parquet")
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    q = (
+        clean_docs_stream(stream, quality_min=0.3, lang="en")
+        .writeStream.format("memory").queryName("clean_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select content_hash, n_tokens from clean_out").collect()
+    hashes = [r["content_hash"] for r in got]
+    assert len(hashes) == len(set(hashes))
+    # batch twin of the same gate+dedup = same surviving content set
+    batch = (
+        pages.where(
+            (quality_score(F.col("text")) >= 0.3)
+            & (lang_id(F.col("text")) == "en")
+        )
+        .select(F.md5("text").alias("h")).distinct()
+    )
+    assert sorted(hashes) == sorted(r["h"] for r in batch.collect())
+    assert all(r["n_tokens"] > 0 for r in got)
