@@ -322,10 +322,18 @@ def kmeans_refine(corpus: DataFrame, n_centroids: int = 8, iters: int = 3,
     (both engines aggregate only non-empty groups).  Returns the refined
     (centroid_id, cvec) — broadcastable, k rows.
     """
-    cents = pick_centroids(corpus, n_centroids, vec_col, id_col)
+    from pyspark import StorageLevel
+
+    # each Lloyd round re-scans the corpus; persist the slim projection for
+    # the duration of the refinement (unpersisted before returning — the
+    # final means are already collected, so nothing downstream re-reads it)
+    slim = corpus.select(F.col(id_col), F.col(vec_col)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cents = pick_centroids(slim, n_centroids, vec_col, id_col)
     spark = corpus.sparkSession
     for _ in range(iters):
-        assigned = assign_centroids(corpus, cents, vec_col, id_col)
+        assigned = assign_centroids(slim, cents, vec_col, id_col)
         means = (
             assigned.select(
                 "centroid_id", F.posexplode(F.col(vec_col)).alias("pos", "val")
@@ -344,6 +352,7 @@ def kmeans_refine(corpus: DataFrame, n_centroids: int = 8, iters: int = 3,
             [(r["centroid_id"], r["cvec"]) for r in means],
             "centroid_id int, cvec array<double>",
         )
+    slim.unpersist(False)
     return cents
 
 
@@ -396,8 +405,15 @@ def semdedup(corpus: DataFrame, n_centroids: int = 8, iters: int = 3,
 
     Returns (id_col, centroid_id) for surviving vectors.
     """
+    from pyspark import StorageLevel
+
     cents = kmeans_refine(corpus, n_centroids, iters, vec_col, id_col)
-    assigned = assign_centroids(corpus, cents, vec_col, id_col)
+    # the assignment feeds both sides of the in-cluster pair join AND the
+    # survivor anti-join — persist it (LRU-evicted) instead of recomputing
+    # the broadcast-assign three times
+    assigned = assign_centroids(corpus, cents, vec_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a = assigned.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "centroid_id"
     )
