@@ -67,6 +67,12 @@ from crawler_spark.operators.corpus import (
     unigram_logprob,
 )
 from crawler_spark.operators.fetch import fib_delays_ms
+from crawler_spark.operators.web import (
+    extract_sitemap_urls,
+    host_quality_rollup,
+    html_visible_text,
+    normalize_url,
+)
 from crawler_spark.operators.multimodal import (
     extract_image_features,
     sample_frames,
@@ -1011,6 +1017,110 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_frame_sample"] = media_frame_sample
 
+    # ------- web-scale crawl-tier extensions (operators/web.py) ------------
+
+    def url_normalize(spark, sf_dir):
+        # full frontier canonicalization over deterministically-messied URLs:
+        # scheme/host case, default ports, fragments, tracking params,
+        # param order — one codegen expression, no UDF
+        orders = _t(spark, sf_dir, "orders")
+        messy = F.concat(
+            F.when(F.col("o_orderkey") % 2 == 0, F.lit("HTTP://ExAmple.COM:80"))
+            .otherwise(F.lit("https://Sub.Example.org:443")),
+            F.lit("/Path/p"), (F.col("o_orderkey") % 7).cast("string"),
+            F.when(F.col("o_orderkey") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.lit("?utm_source=x&b="), (F.col("o_orderkey") % 5).cast("string"),
+            F.lit("&a=1&fbclid=zz&ref=home"),
+            F.when(F.col("o_orderkey") % 4 == 0, F.lit("#frag/ment"))
+            .otherwise(F.lit("")),
+        )
+        return orders.select(
+            F.col("o_orderkey").alias("k"), messy.alias("messy")
+        ).select("k", "messy", normalize_url(F.col("messy")).alias("canon"))
+
+    q["url_normalize"] = url_normalize
+
+    def page_text_extract(spark, sf_dir):
+        # bulk HTML→visible-text at scan speed (regexp chain, zero Python);
+        # HTML synthesized deterministically around the document text
+        docs = _docs_text_double(spark, sf_dir)
+        html = F.concat(
+            F.lit(
+                "<html><head><title>T</title><style>p{color:red}</style>"
+                "<script type='text/js'>var x=1;</script></head><body>"
+                "<!-- c --><p>"
+            ),
+            F.col("text"),
+            F.lit(" &amp; &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end"
+                  "</p></body></html>"),
+        )
+        return docs.select(F.col("doc_id"), html.alias("html")).select(
+            "doc_id",
+            html_visible_text(F.col("html")).alias("clean_text"),
+        ).select(
+            "doc_id", "clean_text",
+            F.length("clean_text").cast("long").alias("n_chars_clean"),
+        )
+
+    q["page_text_extract"] = page_text_extract
+
+    def sitemap_extract(spark, sf_dir):
+        # frontier seeding: per-source sitemap XML → ordered <loc> urls
+        docs = _docs_text_double(spark, sf_dir)
+        smap = docs.groupBy("source").agg(
+            F.concat(
+                F.lit('<?xml version="1.0"?><urlset>'),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.col("doc_id"))),
+                        lambda d: F.concat(
+                            F.lit("<url><loc> https://ex.org/d/"),
+                            d.cast("string"), F.lit(" </loc></url>"),
+                        ),
+                    ),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("sitemap_xml")
+        )
+        return extract_sitemap_urls(smap, "sitemap_xml", ("source",))
+
+    q["sitemap_extract"] = sitemap_extract
+
+    def host_quality(spark, sf_dir):
+        # per-host crawl-priority signal: doc count, mean quality, exact-dup
+        # ratio (dups injected on doc_id%5 so the path is exercised), and
+        # priority = mean_quality * (1 - dup_ratio)
+        docs = _docs_text_double(spark, sf_dir).select(
+            "doc_id", "source",
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit("dup seed text for "), F.col("source")),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        return host_quality_rollup(docs, quality_score(F.col("text")))
+
+    q["host_quality_rollup"] = host_quality
+
+    def doc_incremental_dedup(spark, sf_dir):
+        # cross-snapshot dedup: the existing corpus's band table is the
+        # persisted artifact; only the incoming batch (docs doc_id%7==0,
+        # re-keyed +1e6, text perturbed) is shingled and joined against it
+        from crawler_spark.operators.dedup import (
+            minhash_bands,
+            minhash_lsh_incremental,
+        )
+
+        docs = _docs_text_double(spark, sf_dir)
+        existing_bands = minhash_bands(docs)
+        incoming = docs.where(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" xtra")).alias("text"),
+        )
+        return minhash_lsh_incremental(incoming, existing_bands)
+
+    q["doc_incremental_dedup"] = doc_incremental_dedup
+
     return q
 
 
@@ -1903,6 +2013,142 @@ def oracle_sql() -> dict[str, str]:
     FROM sk a JOIN sk b USING (sketch)
     WHERE a.vec_id < b.vec_id
       AND round({_cos_sql("a.v", "b.v")}, 6) >= 0.3
+    """
+
+    # ------- web-scale crawl-tier extensions --------------------------------
+
+    o["url_normalize"] = """
+    WITH m AS (
+      SELECT o_orderkey AS k,
+             (CASE WHEN o_orderkey % 2 = 0 THEN 'HTTP://ExAmple.COM:80'
+                   ELSE 'https://Sub.Example.org:443' END)
+             || '/Path/p' || (o_orderkey % 7)::varchar
+             || (CASE WHEN o_orderkey % 3 = 0 THEN '/' ELSE '' END)
+             || '?utm_source=x&b=' || (o_orderkey % 5)::varchar
+             || '&a=1&fbclid=zz&ref=home'
+             || (CASE WHEN o_orderkey % 4 = 0 THEN '#frag/ment' ELSE '' END)
+             AS messy
+      FROM orders
+    ), comps AS (
+      SELECT k, messy,
+             lower(regexp_extract(regexp_replace(trim(messy), '#.*$', ''),
+                   '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+             regexp_replace(regexp_replace(trim(messy), '#.*$', ''),
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS rest
+      FROM m
+    ), comps2 AS (
+      SELECT k, messy, scheme,
+             lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS auth0,
+             regexp_extract(rest, '^[^/?#]*([^?#]*)', 1) AS path0,
+             regexp_extract(rest, '[?]([^#]*)', 1) AS query
+      FROM comps
+    ), comps3 AS (
+      SELECT k, messy, scheme,
+             CASE WHEN scheme = 'http' AND auth0 LIKE '%:80'
+                  THEN substr(auth0, 1, len(auth0) - 3)
+                  WHEN scheme = 'https' AND auth0 LIKE '%:443'
+                  THEN substr(auth0, 1, len(auth0) - 4)
+                  ELSE auth0 END AS auth,
+             CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path1,
+             query
+      FROM comps2
+    ), comps4 AS (
+      SELECT k, messy, scheme, auth,
+             CASE WHEN path1 <> '/' AND path1 LIKE '%/'
+                  THEN substr(path1, 1, len(path1) - 1) ELSE path1 END AS path,
+             array_to_string(list_sort(list_filter(string_split(query, '&'),
+                 p -> p <> '' AND NOT regexp_matches(p,
+                     '^(utm_[^=]*|fbclid|gclid|msclkid|ref)='))), '&') AS qsorted
+      FROM comps3
+    )
+    SELECT k, messy,
+           scheme || '://' || auth || path ||
+           (CASE WHEN qsorted = '' THEN '' ELSE '?' || qsorted END) AS canon
+    FROM comps4
+    """
+
+    o["page_text_extract"] = r"""
+    WITH h AS (
+      SELECT doc_id,
+        '<html><head><title>T</title><style>p{color:red}</style><script type=''text/js''>var x=1;</script></head><body><!-- c --><p>'
+        || text
+        || ' &amp; &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p></body></html>'
+        AS html
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g'),
+              '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+          '<[^>]*>', ' ', 'g') AS t
+      FROM h
+    ), c AS (
+      SELECT doc_id,
+        trim(regexp_replace(
+          replace(replace(replace(replace(replace(replace(t,
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+            '&nbsp;', ' '), '&amp;', '&'),
+          '\s+', ' ', 'g')) AS clean_text
+      FROM s
+    )
+    SELECT doc_id, clean_text, length(clean_text)::bigint AS n_chars_clean
+    FROM c
+    """
+
+    o["sitemap_extract"] = """
+    WITH smap AS (
+      SELECT source,
+        '<?xml version="1.0"?><urlset>'
+        || string_agg('<url><loc> https://ex.org/d/' || doc_id::varchar
+                      || ' </loc></url>', '' ORDER BY doc_id)
+        || '</urlset>' AS sitemap_xml
+      FROM documents GROUP BY source
+    ), ex AS (
+      SELECT source,
+             unnest(regexp_extract_all(sitemap_xml, '<loc>([^<]*)</loc>', 1))
+               AS raw_url,
+             generate_subscripts(
+               regexp_extract_all(sitemap_xml, '<loc>([^<]*)</loc>', 1), 1)
+               AS pos
+      FROM smap
+    )
+    SELECT source, pos::bigint AS pos, trim(raw_url) AS url FROM ex
+    """
+
+    o["host_quality_rollup"] = f"""
+    WITH injected AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 5 = 0 THEN 'dup seed text for ' || source
+                  ELSE text END AS text
+      FROM documents
+    ), per_text AS (
+      SELECT source, md5(text) AS th, count(*)::bigint AS n_copies,
+             sum({_QUALITY_SQL}) AS q_sum
+      FROM injected GROUP BY source, md5(text)
+    )
+    SELECT source, sum(n_copies)::bigint AS n_docs,
+           round(sum(q_sum) / sum(n_copies), 9) AS mean_quality,
+           round(sum(CASE WHEN n_copies > 1 THEN n_copies ELSE 0 END)::double
+                 / sum(n_copies), 9) AS dup_ratio,
+           round((sum(q_sum) / sum(n_copies))
+                 * (1 - sum(CASE WHEN n_copies > 1 THEN n_copies ELSE 0 END)::double
+                        / sum(n_copies)), 9) AS priority
+    FROM per_text GROUP BY source
+    """
+
+    o["doc_incremental_dedup"] = f"""
+    WITH docs_all AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text || ' xtra' AS text
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    {_minhash_sig_sql(source="docs_all")}
+    SELECT id_b AS new_id, id_a AS old_id FROM cand
+    WHERE id_b >= 1000000 AND id_a < 1000000
     """
 
     return o

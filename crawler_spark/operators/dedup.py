@@ -107,18 +107,16 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     )
 
 
-def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
-                           id_col: str = "doc_id", num_perm: int = 16,
-                           bands: int = 4, shingle_k: int = 3) -> DataFrame:
-    """MinHash + LSH banding near-dup candidate pairs.
+def minhash_bands(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", num_perm: int = 16,
+                  bands: int = 4, shingle_k: int = 3) -> DataFrame:
+    """(id_col, band_key) LSH band table for a corpus.
 
-    shingle → minhash signature (num_perm values) → `bands` band keys →
-    explode → self-join per (band, key) bucket → distinct pairs.
-
-    Returns (id_a, id_b) with id_a < id_b.  Scale: the shuffle key is the
-    band hash (uniform); bucket sizes are the banding knob — r=num_perm/bands
-    rows per band tunes the Jaccard threshold s ≈ (1/b)^(1/r).  No all-pairs
-    anywhere outside a bucket.
+    This is the *persistable* dedup artifact: at 100 TB the band table is
+    written once, bucketed by ``band_key``, and every later snapshot only
+    computes bands for ITS OWN documents and joins (see
+    ``minhash_lsh_incremental``) — the existing corpus text is never
+    re-shingled.
     """
     rows_per_band = num_perm // bands
     sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
@@ -137,10 +135,56 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
         )
         for b in range(bands)
     ]
-    banded = sig.select(
+    return sig.select(
         F.col(id_col),
         F.explode(F.array(*band_keys)).alias("band_key"),
     )
+
+
+def minhash_lsh_incremental(new_df: DataFrame, existing_bands: DataFrame,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            num_perm: int = 16, bands: int = 4,
+                            shingle_k: int = 3) -> DataFrame:
+    """Near-dup candidates of an INCOMING batch against an EXISTING corpus.
+
+    ``existing_bands`` is a precomputed ``minhash_bands`` table (in
+    production: persisted, bucketed by band_key).  Only the incoming batch
+    is shingled/signed; the join touches existing bands only in the buckets
+    the incoming batch actually hits.  This is the incremental-crawl dedup
+    shape: per-snapshot cost is O(|new|) + a bucketed join, independent of
+    corpus size per band bucket.
+
+    Returns (new_id, old_id) distinct pairs — incoming docs whose band
+    collided with an existing doc.  Self-collisions within the incoming
+    batch are NOT reported here (run ``minhash_lsh_candidates`` on the batch
+    for those).
+    """
+    new_bands = minhash_bands(new_df, text_col, id_col, num_perm, bands,
+                              shingle_k)
+    n = new_bands.select(F.col("band_key"), F.col(id_col).alias("new_id"))
+    e = existing_bands.select(F.col("band_key"), F.col(id_col).alias("old_id"))
+    return (
+        n.join(e, "band_key")
+        .where(F.col("new_id") != F.col("old_id"))
+        .select("new_id", "old_id")
+        .distinct()
+    )
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", num_perm: int = 16,
+                           bands: int = 4, shingle_k: int = 3) -> DataFrame:
+    """MinHash + LSH banding near-dup candidate pairs.
+
+    shingle → minhash signature (num_perm values) → `bands` band keys →
+    explode → self-join per (band, key) bucket → distinct pairs.
+
+    Returns (id_a, id_b) with id_a < id_b.  Scale: the shuffle key is the
+    band hash (uniform); bucket sizes are the banding knob — r=num_perm/bands
+    rows per band tunes the Jaccard threshold s ≈ (1/b)^(1/r).  No all-pairs
+    anywhere outside a bucket.
+    """
+    banded = minhash_bands(df, text_col, id_col, num_perm, bands, shingle_k)
     a = banded.select(F.col("band_key"), F.col(id_col).alias("id_a"))
     b = banded.select(F.col("band_key"), F.col(id_col).alias("id_b"))
     return (

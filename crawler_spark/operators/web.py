@@ -1,0 +1,156 @@
+"""Web-scale URL / HTML / sitemap column operators — all native Spark SQL
+expressions (JVM-side, whole-stage codegen; zero Python in the hot path).
+
+These extend the crawl tier beyond the reference's single-site assumptions
+(the reference hard-codes one host and disables URL normalization,
+``CrawlerLib/Downloader.fs:58-64``): a general crawler frontier needs full
+URL canonicalization (scheme/host case, default ports, tracking params,
+param order), visible-text extraction from fetched HTML, and sitemap
+ingestion.  Every operator here is a pure column expression or a narrow
+projection — no shuffle, no UDF — so at 100 TB they run entirely inside the
+scan stage and cost only CPU already paid for decompression.
+
+Regex note: every pattern used here sticks to the RE2 ∩ Java-regex common
+subset (no lookarounds, no backreferences) so the DuckDB oracle twins in
+``__spark_entry__.py`` can run the *identical* pattern strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tracking parameters dropped during canonicalization.  Kept as a single
+# RE2-safe alternation applied to the 'key=value' fragment.
+TRACKING_PARAM_RE = "^(utm_[^=]*|fbclid|gclid|msclkid|ref)="
+
+_SCHEME_RE = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+
+
+def normalize_url(url: Column) -> Column:
+    """Full crawl-frontier URL canonicalization, as one codegen expression.
+
+    Steps (each mirrored verbatim in the DuckDB oracle ``url_normalize``):
+
+    1. trim surrounding whitespace; drop the fragment (``#...``);
+    2. lowercase the scheme and the authority (host[:port]);
+    3. strip the scheme's default port (``:80`` http, ``:443`` https);
+    4. empty path → ``/``; strip one trailing slash on non-root paths;
+    5. drop tracking query params (``TRACKING_PARAM_RE``), sort the rest
+       bytewise, and re-join — so param order never splits a URL's identity;
+    6. reassemble scheme://authority path [?query].
+
+    Percent-encoding is deliberately left untouched — the reference's server
+    is case-sensitive about its escapes (``Downloader.fs:58-64``), and at
+    web scale decoding is lossy without per-site knowledge.
+    """
+    u = F.regexp_replace(F.trim(url), "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    rest = F.regexp_replace(u, _SCHEME_RE, "")
+    auth = F.lower(F.regexp_extract(rest, "^([^/?#]*)", 1))
+    auth = F.when(
+        (scheme == "http") & auth.endswith(":80"),
+        F.substring(auth, 1, F.length(auth) - 3),
+    ).when(
+        (scheme == "https") & auth.endswith(":443"),
+        F.substring(auth, 1, F.length(auth) - 4),
+    ).otherwise(auth)
+    path = F.regexp_extract(rest, "^[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    path = F.when(
+        (path != "/") & path.endswith("/"),
+        F.substring(path, 1, F.length(path) - 1),
+    ).otherwise(path)
+    query = F.regexp_extract(rest, "[?]([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    qsorted = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        auth,
+        path,
+        F.when(qsorted == "", F.lit("")).otherwise(F.concat(F.lit("?"), qsorted)),
+    )
+
+
+def html_visible_text(html: Column) -> Column:
+    """Visible text of an HTML document as a chain of native regexp_replace.
+
+    The full DOM parse kernel (``crawler_spark/html``) exists for the
+    reference's field extraction; *this* is the bulk-corpus path — when all
+    you need from 100 TB of fetched pages is the training text, a codegen'd
+    regex chain runs at scan speed with zero Python workers.  Order:
+    comments → script/style blocks → all tags → entities (``&amp;`` last so
+    escaped escapes don't double-decode) → whitespace collapse.
+    """
+    t = F.regexp_replace(html, "(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, "(?is)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, "(?is)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, "<[^>]*>", " ")
+    for ent, rep in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+        ("&#39;", "'"), ("&nbsp;", " "),
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    t = F.replace(t, F.lit("&amp;"), F.lit("&"))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def extract_sitemap_urls(df: DataFrame, xml_col: str = "sitemap_xml",
+                         key_cols: tuple = ("host",)) -> DataFrame:
+    """Explode ``<loc>`` entries out of sitemap XML documents.
+
+    One narrow generator per input row (regexp_extract_all → explode) — the
+    classic frontier-seeding scan.  Returns key_cols + ``url`` (trimmed loc
+    text) + ``pos`` (1-based order within the sitemap, because crawl
+    schedulers care about sitemap order).
+    """
+    locs = F.regexp_extract_all(F.col(xml_col), F.lit("<loc>([^<]*)</loc>"), 1)
+    return df.select(
+        *[F.col(c) for c in key_cols],
+        F.posexplode(locs).alias("pos0", "raw_url"),
+    ).select(
+        *key_cols,
+        (F.col("pos0") + 1).alias("pos"),
+        F.trim(F.col("raw_url")).alias("url"),
+    )
+
+
+def host_quality_rollup(docs: DataFrame, quality: Column,
+                        source_col: str = "source",
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Per-host (source) crawl-priority aggregates over a document corpus.
+
+    The frontier-scheduling signal a 100 TB crawl actually uses: for each
+    host, document count, mean quality, exact-duplicate ratio (docs whose
+    md5(text) appears more than once within the host), and a combined
+    priority = mean_quality * (1 - dup_ratio).  One hash-partitioned
+    two-level aggregation — no windows, no joins back to the raw table.
+    """
+    per_text = docs.groupBy(
+        F.col(source_col).alias("source"), F.md5(F.col(text_col)).alias("th")
+    ).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.sum(quality).alias("q_sum"),
+    )
+    return (
+        per_text.groupBy("source")
+        .agg(
+            F.sum("n_copies").cast("long").alias("n_docs"),
+            (F.sum("q_sum") / F.sum("n_copies")).alias("mean_quality"),
+            (
+                F.sum(F.when(F.col("n_copies") > 1, F.col("n_copies")).otherwise(0))
+                / F.sum("n_copies")
+            ).alias("dup_ratio"),
+        )
+        .withColumn(
+            "priority",
+            F.round(F.col("mean_quality") * (1 - F.col("dup_ratio")), 9),
+        )
+        .withColumn("mean_quality", F.round("mean_quality", 9))
+        .withColumn("dup_ratio", F.round("dup_ratio", 9))
+    )

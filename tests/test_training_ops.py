@@ -360,3 +360,33 @@ def test_semdedup_drops_planted_dups(emb):
     assert 41 not in kept and 40 not in kept
     # near-orthogonal randoms survive
     assert len(kept) == 40
+
+
+# ------------------------------------------------- incremental dedup
+
+def test_minhash_incremental_matches_batch_cross_pairs(docs):
+    """Incoming-vs-existing candidates == the cross-split subset of the
+    all-at-once batch candidates (band computation is per-doc, so the
+    incremental join must reproduce exactly the batch pairs that straddle
+    the split)."""
+    from crawler_spark.operators.dedup import (
+        minhash_bands,
+        minhash_lsh_incremental,
+    )
+
+    existing = docs.where(F.col("doc_id") <= 2)
+    incoming = docs.where(F.col("doc_id") > 2).union(
+        existing.select((F.col("doc_id") + 100).alias("doc_id"), "text")
+    )
+    inc = {
+        (r["new_id"], r["old_id"])
+        for r in minhash_lsh_incremental(incoming, minhash_bands(existing)).collect()
+    }
+    batch = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(existing.union(incoming)).collect()
+    }
+    cross = {(b, a) for a, b in batch if a <= 2 and b > 2}
+    assert inc == cross
+    # the re-keyed copies of existing docs must collide with their originals
+    assert (100, 0) in inc and (101, 0) in inc and (102, 2) in inc

@@ -1,0 +1,121 @@
+"""Web-scale URL / HTML / sitemap operators (crawler_spark/operators/web.py).
+
+Golden-value tests: exact expected strings for the canonicalizer and the
+text extractor (the DuckDB oracle parity is covered by tools/oracle_check.py
+via the url_normalize / page_text_extract / sitemap_extract /
+host_quality_rollup queries)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.operators.web import (
+    extract_sitemap_urls,
+    host_quality_rollup,
+    html_visible_text,
+    normalize_url,
+)
+
+
+def _norm(spark, url: str) -> str:
+    return (
+        spark.range(1)
+        .select(normalize_url(F.lit(url)).alias("u"))
+        .collect()[0]["u"]
+    )
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        # scheme+host case, default port, fragment
+        ("HTTP://ExAmple.COM:80/Path#frag", "http://example.com/Path"),
+        ("https://A.B.org:443/", "https://a.b.org/"),
+        # non-default port survives
+        ("http://h.io:8080/x", "http://h.io:8080/x"),
+        # empty path -> '/', trailing slash stripped on non-root
+        ("http://h.io", "http://h.io/"),
+        ("http://h.io/a/b/", "http://h.io/a/b"),
+        # tracking params dropped, remainder sorted, empty query dropped
+        (
+            "http://h.io/p?utm_source=x&b=2&a=1&fbclid=f&gclid=g&msclkid=m&ref=r",
+            "http://h.io/p?a=1&b=2",
+        ),
+        ("http://h.io/p?utm_campaign=only", "http://h.io/p"),
+        # percent-encoding preserved verbatim (Downloader.fs:58-64)
+        ("https://pet911.ru/%D0%A5%D0%B0/rf1", "https://pet911.ru/%D0%A5%D0%B0/rf1"),
+        # whitespace trim; query order canonicalized
+        ("  http://h.io/p?z=1&y=2  ", "http://h.io/p?y=2&z=1"),
+    ],
+)
+def test_normalize_url_golden(spark, raw, expected):
+    assert _norm(spark, raw) == expected
+
+
+def test_normalize_url_merges_param_order_identity(spark):
+    a = _norm(spark, "http://h.io/p?a=1&b=2&utm_source=s")
+    b = _norm(spark, "http://h.io/p?b=2&utm_medium=m&a=1")
+    assert a == b == "http://h.io/p?a=1&b=2"
+
+
+def test_html_visible_text_golden(spark):
+    html = (
+        "<html><head><title>T</title><style>p {color: red}</style>"
+        "<script>if (1 < 2) { x = '</div>'; }</script></head>"
+        "<body><!-- hidden --><h1>Head</h1>\n<p>one &amp; two &lt;three&gt;"
+        "&nbsp;&quot;four&quot; &#39;five&#39;</p></body></html>"
+    )
+    out = (
+        spark.range(1)
+        .select(html_visible_text(F.lit(html)).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert out == "T Head one & two <three> \"four\" 'five'"
+
+
+def test_html_visible_text_double_escape_not_decoded(spark):
+    # '&amp;lt;' is the ESCAPED text '&lt;' — must decode to '&lt;', not '<'
+    out = (
+        spark.range(1)
+        .select(html_visible_text(F.lit("<p>&amp;lt;</p>")).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert out == "&lt;"
+
+
+def test_extract_sitemap_urls_order_and_trim(spark):
+    df = spark.createDataFrame(
+        [
+            ("h1", "<urlset><url><loc> http://h1/a </loc></url>"
+                   "<url><loc>http://h1/b</loc></url></urlset>"),
+            ("h2", "<urlset></urlset>"),
+        ],
+        "host string, sitemap_xml string",
+    )
+    rows = extract_sitemap_urls(df).orderBy("host", "pos").collect()
+    assert [(r.host, r.pos, r.url) for r in rows] == [
+        ("h1", 1, "http://h1/a"),
+        ("h1", 2, "http://h1/b"),
+    ]
+
+
+def test_host_quality_rollup_dup_ratio(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one", "h1"),
+            (2, "same text", "h1"),
+            (3, "same text", "h1"),
+            (4, "other", "h1"),
+            (5, "solo", "h2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r.source: r
+        for r in host_quality_rollup(docs, F.length("text").cast("double")).collect()
+    }
+    assert out["h1"].n_docs == 4
+    assert out["h1"].dup_ratio == 0.5  # docs 2 and 3 of 4
+    assert out["h2"].dup_ratio == 0.0
+    # mean over DOCS not distinct texts: (10+9+9+5)/4
+    assert out["h1"].mean_quality == pytest.approx(8.25)
+    assert out["h1"].priority == pytest.approx(8.25 * 0.5)
