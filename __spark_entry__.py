@@ -1121,6 +1121,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_incremental_dedup"] = doc_incremental_dedup
 
+    def doc_ccnet_buckets(spark, sf_dir):
+        # CCNet head/middle/tail split per language: self-trained unigram
+        # NLL scored, tertile thresholds from the (lang, score) histogram —
+        # no per-document sort anywhere
+        from crawler_spark.operators.corpus import ccnet_bucket
+
+        docs = _docs_text_double(spark, sf_dir)
+        scored = unigram_logprob(docs).join(
+            docs.select("doc_id", "lang"), "doc_id"
+        )
+        return ccnet_bucket(scored).select("doc_id", "lang", "nll", "bucket")
+
+    q["doc_ccnet_buckets"] = doc_ccnet_buckets
+
+    def doc_norm_dedup(spark, sf_dir):
+        # fuzzy-exact dedup: case/punctuation-mangled copies (re-keyed +1e6)
+        # must collapse onto their originals under the normalized hash
+        from crawler_spark.operators.corpus import normalized_dedup
+
+        docs = _docs_text_double(spark, sf_dir).select("doc_id", "text")
+        mangled = docs.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.upper(F.col("text")), F.lit("!! ")).alias("text"),
+        )
+        return normalized_dedup(docs.union(mangled))
+
+    q["doc_norm_dedup"] = doc_norm_dedup
+
+    def corpus_inverted_index(spark, sf_dir):
+        # token -> (df, sorted postings CSV) for tokens in >= 5 docs
+        from crawler_spark.operators.corpus import inverted_index
+
+        return inverted_index(_docs_text_double(spark, sf_dir), min_df=5)
+
+    q["corpus_inverted_index"] = corpus_inverted_index
+
     return q
 
 
@@ -2149,6 +2185,73 @@ def oracle_sql() -> dict[str, str]:
     {_minhash_sig_sql(source="docs_all")}
     SELECT id_b AS new_id, id_a AS old_id FROM cand
     WHERE id_b >= 1000000 AND id_a < 1000000
+    """
+
+    o["doc_ccnet_buckets"] = f"""
+    WITH inst AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    model AS (SELECT tok, count(*)::bigint AS c FROM inst GROUP BY tok),
+    per_doc AS (
+      SELECT i.doc_id, avg(-ln(m.c::double)) AS mean_neg_ln_c
+      FROM inst i JOIN model m USING (tok) GROUP BY i.doc_id
+    ),
+    scored AS (
+      SELECT p.doc_id, d.lang,
+             round(p.mean_neg_ln_c + ln((SELECT sum(c)::double FROM model)), 6)
+               AS nll
+      FROM per_doc p JOIN documents d USING (doc_id)
+    ),
+    hist AS (SELECT lang, nll, count(*)::bigint AS cnt
+             FROM scored GROUP BY lang, nll),
+    cum AS (
+      SELECT lang, nll,
+             sum(cnt) OVER (PARTITION BY lang ORDER BY nll
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM hist
+    ),
+    tot AS (SELECT lang, count(*)::bigint AS n FROM scored GROUP BY lang),
+    th AS (
+      SELECT lang,
+             min(CASE WHEN cum >= ceil(n / 3.0) THEN nll END) AS t1,
+             min(CASE WHEN cum >= ceil(n * 2 / 3.0) THEN nll END) AS t2
+      FROM cum JOIN tot USING (lang) GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, s.nll,
+           CASE WHEN s.nll <= th.t1 THEN 'head'
+                WHEN s.nll <= th.t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored s JOIN th USING (lang)
+    """
+
+    o["doc_norm_dedup"] = """
+    WITH uni AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, upper(text) || '!! ' AS text
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9]', ' ', 'g'),
+               ' +', ' ', 'g'))) AS nh
+      FROM uni
+    ),
+    groups AS (
+      SELECT nh, min(doc_id) AS keep_id, count(*)::bigint AS group_size
+      FROM keyed GROUP BY nh
+    )
+    SELECT k.doc_id, g.keep_id, g.group_size,
+           k.doc_id = g.keep_id AS is_kept
+    FROM keyed k JOIN groups g USING (nh)
+    """
+
+    o["corpus_inverted_index"] = f"""
+    WITH inst AS (
+      SELECT doc_id, unnest({_DTOKS}) AS token FROM documents
+    )
+    SELECT token, count(*)::bigint AS df,
+           string_agg(doc_id::varchar, ',' ORDER BY doc_id) AS postings
+    FROM inst GROUP BY token HAVING count(*) >= 5
     """
 
     return o

@@ -662,3 +662,120 @@ def mix_sources(docs: DataFrame, weights: dict, token_budget: int,
         .where(gate < F.col("bp"))
         .select(id_col, source_col, "n_tokens", "bp")
     )
+
+
+def ccnet_bucket(scored: DataFrame, lang_col: str = "lang",
+                 score_col: str = "nll", id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style head/middle/tail bucketing per language by a quality
+    score (typically ``unigram_logprob``'s nll; lower = more typical).
+
+    Scale shape: NO per-document sort anywhere.  The per-language tertile
+    thresholds come from a cumulative count over the (lang, score)
+    HISTOGRAM — cardinality is the number of distinct quantized scores, not
+    the number of documents (the score is already rounded to 6 d.p.; coarser
+    quantization shrinks the window input further at no bucketing cost).
+    Docs then broadcast-join the thresholds.  Tie handling is structural:
+    equal scores always land in the same bucket (type-1 quantile on the
+    histogram), so no doc-id tiebreak is needed and the result is
+    deterministic in both engines.
+
+    Returns (id_col, lang_col, score_col, bucket) with bucket in
+    {'head','middle','tail'}.
+    """
+    from pyspark.sql import Window
+
+    hist = scored.groupBy(lang_col, score_col).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = (
+        Window.partitionBy(lang_col)
+        .orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        lang_col, score_col, F.sum("cnt").over(w).alias("cum")
+    )
+    totals = scored.groupBy(lang_col).agg(F.count(F.lit(1)).alias("n"))
+    cum = cum.join(totals, lang_col)
+    th = cum.groupBy(lang_col).agg(
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.col("n") / 3), F.col(score_col))
+        ).alias("t1"),
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.col("n") * 2 / 3), F.col(score_col))
+        ).alias("t2"),
+    )
+    return scored.join(F.broadcast(th), lang_col).select(
+        id_col,
+        lang_col,
+        score_col,
+        F.when(F.col(score_col) <= F.col("t1"), F.lit("head"))
+        .when(F.col(score_col) <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+def normalized_text(text) -> "F.Column":
+    """Aggressive fuzzy-exact normalization: lowercase, non-alphanumerics to
+    spaces, whitespace collapsed, trimmed — the pre-hash canonical form used
+    by 'exact dedup after normalization' passes (catches case/punctuation
+    variants MinHash would score ~1.0 anyway, at exact-dedup cost)."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text), "[^a-z0-9]", " "), " +", " "
+        )
+    )
+
+
+def normalized_dedup(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on the normalized text form: one hash-partitioned
+    groupBy on md5(normalized).  Returns per doc: (id_col, keep_id — the
+    group's min id, group_size, is_kept)."""
+    keyed = docs.select(
+        F.col(id_col), F.md5(normalized_text(F.col(text_col))).alias("nh")
+    )
+    groups = keyed.groupBy("nh").agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+    )
+    return keyed.join(groups, "nh").select(
+        id_col,
+        "keep_id",
+        "group_size",
+        (F.col(id_col) == F.col("keep_id")).alias("is_kept"),
+    )
+
+
+def inverted_index(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", min_df: int = 2) -> DataFrame:
+    """Token → document postings index (distinct tokens per doc, so df is a
+    document frequency).  One explode + one groupBy(token): the shuffle key
+    is the token (uniform-ish; stopword skew is bounded because postings
+    aggregate map-side).  Postings are emitted as a sorted CSV string so
+    the row is engine-portable and naturally capped — at 100 TB you'd cap
+    the list per token (the ``min_df`` filter already drops the unique-token
+    long tail, which is most of the vocabulary).
+
+    Returns (token, df, postings) for tokens with df >= min_df.
+    """
+    from ..functions.text import distinct_tokens
+
+    inst = docs.select(
+        F.col(id_col), F.explode(distinct_tokens(F.col(text_col))).alias("token")
+    )
+    return (
+        inst.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.col(id_col))),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .where(F.col("df") >= min_df)
+    )

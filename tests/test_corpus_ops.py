@@ -292,3 +292,77 @@ def test_mix_sources_unweighted_source_dropped(spark):
     )
     out = mix_sources(docs, {"srcA": 1.0}, token_budget=100).collect()
     assert all(r["source"] == "srcA" for r in out)
+
+
+# ---------------------------------------------------- ccnet bucketing
+
+def test_ccnet_bucket_tertiles_and_tie_stability(spark):
+    from crawler_spark.operators.corpus import ccnet_bucket
+
+    # 9 docs, en: scores 1..9 -> 3/3/3 split; ties (score 5 twice in ru)
+    rows = [(i, "en", float(i)) for i in range(1, 10)]
+    rows += [(10, "ru", 1.0), (11, "ru", 5.0), (12, "ru", 5.0), (13, "ru", 9.0)]
+    scored = spark.createDataFrame(rows, "doc_id long, lang string, nll double")
+    out = {r["doc_id"]: r["bucket"] for r in ccnet_bucket(scored).collect()}
+    assert [out[i] for i in range(1, 10)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
+    # ru: n=4, k1=ceil(4/3)=2 -> t1 = 2nd smallest = 5.0; equal scores
+    # share a bucket (histogram semantics), so BOTH 5.0 docs are head
+    assert out[10] == "head" and out[11] == "head" and out[12] == "head"
+    assert out[13] == "tail" or out[13] == "middle"  # t2 = ceil(8/3)=3rd = 5.0 -> 9.0 is tail
+    assert out[13] == "tail"
+
+
+def test_ccnet_bucket_window_runs_on_histogram_not_docs(spark):
+    """The only window in the plan must consume the (lang, score) aggregate,
+    not raw documents — i.e. a HashAggregate appears below the Window."""
+    from crawler_spark.operators.corpus import ccnet_bucket
+
+    scored = spark.createDataFrame(
+        [(i, "en", float(i % 4)) for i in range(40)],
+        "doc_id long, lang string, nll double",
+    )
+    plan = ccnet_bucket(scored)._jdf.queryExecution().executedPlan().toString()
+    win_pos = plan.index("Window")
+    assert "HashAggregate" in plan[win_pos:]  # aggregate feeds the window
+
+
+# ---------------------------------------------------- normalized dedup
+
+def test_normalized_dedup_collapses_case_and_punct(spark):
+    from crawler_spark.operators.corpus import normalized_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello, World!"),
+            (2, "hello   world"),
+            (3, "HELLO WORLD."),
+            (4, "goodbye world"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in normalized_dedup(docs).collect()}
+    assert out[1]["keep_id"] == 1 and out[1]["is_kept"]
+    assert out[2]["keep_id"] == 1 and not out[2]["is_kept"]
+    assert out[3]["group_size"] == 3
+    assert out[4]["is_kept"] and out[4]["group_size"] == 1
+
+
+# ---------------------------------------------------- inverted index
+
+def test_inverted_index_postings_sorted_and_min_df(spark):
+    from crawler_spark.operators.corpus import inverted_index
+
+    docs = spark.createDataFrame(
+        [
+            (3, "spark shuffle spark"),   # 'spark' counted once per doc
+            (1, "spark join"),
+            (2, "spark filter join"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["token"]: r for r in inverted_index(docs, min_df=2).collect()}
+    assert set(rows) == {"spark", "join"}
+    assert rows["spark"]["df"] == 3 and rows["spark"]["postings"] == "1,2,3"
+    assert rows["join"]["df"] == 2 and rows["join"]["postings"] == "1,2"

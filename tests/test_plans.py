@@ -184,3 +184,51 @@ def test_doc_token_stats_prunes_text_dependencies_only(spark, sf_dir):
     q = entrymod.queries()["doc_token_stats"](spark, sf_dir)
     plan = plan_of(q)
     assert "doc_id" not in plan.split("ReadSchema:")[-1][:200]
+
+
+def test_web_ops_stay_in_codegen_with_text_pruning(spark, sf_dir):
+    """normalize_url / html_visible_text are pure codegen expressions: no
+    Python eval anywhere, and the text extractor's scan reads only the two
+    columns it needs."""
+    from crawler_spark.operators.web import html_visible_text, normalize_url
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    extract = docs.select(
+        "doc_id", html_visible_text(F.col("text")).alias("clean")
+    )
+    plan = plan_of(extract)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+    urls = docs.select(
+        normalize_url(F.concat(F.lit("http://H.io/p?b=2&a=1#f"),
+                               F.col("doc_id").cast("string"))).alias("u")
+    )
+    plan2 = plan_of(urls)
+    assert "BatchEvalPython" not in plan2 and "ArrowEvalPython" not in plan2
+
+
+def test_incremental_dedup_signs_only_the_incoming_batch(spark, sf_dir):
+    """minhash_lsh_incremental must not re-shingle the existing corpus: with
+    the band table read from parquet, the plan contains exactly ONE
+    partial_min aggregation chain (the incoming batch's signature job)."""
+    import tempfile
+
+    from crawler_spark.operators.dedup import (
+        minhash_bands,
+        minhash_lsh_incremental,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with tempfile.TemporaryDirectory() as d:
+        minhash_bands(docs).write.mode("overwrite").parquet(f"{d}/bands")
+        stored = spark.read.parquet(f"{d}/bands")
+        incoming = docs.where(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+        plan = plan_of(minhash_lsh_incremental(incoming, stored))
+        # one signature job: partial_min appears for the incoming side only
+        assert "partial_min" in plan
+        assert plan.count("Scan parquet") == 2  # docs (incoming) + stored bands
+        # exactly one explode-of-shingles chain
+        assert plan.count("Generate explode") <= 2  # shingles + band keys, once each
