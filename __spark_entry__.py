@@ -1157,6 +1157,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_inverted_index"] = corpus_inverted_index
 
+    def page_link_extract(spark, sf_dir):
+        # generic link-graph feed: (page, pos, href, anchor) edges out of
+        # HTML synthesized around each document
+        from crawler_spark.operators.web import extract_links
+
+        docs = _docs_text_double(spark, sf_dir)
+        html = F.concat(
+            F.lit('<p><a href="https://ex.org/d/'),
+            F.col("doc_id").cast("string"),
+            F.lit('">doc '),
+            F.col("doc_id").cast("string"),
+            F.lit('</a> and <a href="https://ex.org/s/'),
+            F.col("source"),
+            F.lit('" class="x"> src link </a></p>'),
+        )
+        return extract_links(
+            docs.select("doc_id", html.alias("html")), "html", ("doc_id",)
+        )
+
+    q["page_link_extract"] = page_link_extract
+
+    def url_redirect_resolve(spark, sf_dir):
+        # redirect chains u{id} -> u{id-1} for id%4 != 0 (length <= 3);
+        # pointer doubling resolves all of them in 3 join rounds
+        from crawler_spark.operators.graph import resolve_redirects
+
+        docs = _docs_text_double(spark, sf_dir)
+        edges = docs.where(F.col("doc_id") % 4 != 0).select(
+            F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("src"),
+            F.concat(F.lit("u"), (F.col("doc_id") - 1).cast("string")).alias("dst"),
+        )
+        return resolve_redirects(edges, max_hops=8)
+
+    q["url_redirect_resolve"] = url_redirect_resolve
+
+    def recrawl_schedule_q(spark, sf_dir):
+        # change-rate-adaptive revisit policy over the events log, keyed by
+        # user_id; 'now' pinned for determinism
+        from crawler_spark.operators.graph import recrawl_schedule
+
+        _utc(spark)
+        ev = _t(spark, sf_dir, "events")
+        return recrawl_schedule(
+            ev, key_col="user_id", ts_col="ts",
+            now_ts="2024-03-01 00:00:00",
+            base_interval_s=86400, min_interval_s=3600,
+            max_interval_s=30 * 86400,
+        )
+
+    q["recrawl_schedule"] = recrawl_schedule_q
+
     return q
 
 
@@ -2252,6 +2303,66 @@ def oracle_sql() -> dict[str, str]:
     SELECT token, count(*)::bigint AS df,
            string_agg(doc_id::varchar, ',' ORDER BY doc_id) AS postings
     FROM inst GROUP BY token HAVING count(*) >= 5
+    """
+
+    o["page_link_extract"] = """
+    WITH h AS (
+      SELECT doc_id,
+        '<p><a href="https://ex.org/d/' || doc_id::varchar || '">doc '
+        || doc_id::varchar || '</a> and <a href="https://ex.org/s/'
+        || source || '" class="x"> src link </a></p>' AS html
+      FROM documents
+    ), ex AS (
+      SELECT doc_id,
+        unnest(regexp_extract_all(html,
+               '<a href="([^"]*)"[^>]*>([^<]*)</a>', 1)) AS href,
+        unnest(regexp_extract_all(html,
+               '<a href="([^"]*)"[^>]*>([^<]*)</a>', 2)) AS anchor,
+        generate_subscripts(regexp_extract_all(html,
+               '<a href="([^"]*)"[^>]*>([^<]*)</a>', 1), 1) AS pos
+      FROM h
+    )
+    SELECT doc_id, pos::bigint AS pos, href, trim(anchor) AS anchor FROM ex
+    """
+
+    o["url_redirect_resolve"] = """
+    WITH RECURSIVE e AS (
+      SELECT 'u' || doc_id::varchar AS src,
+             'u' || (doc_id - 1)::varchar AS dst
+      FROM documents WHERE doc_id % 4 <> 0
+    ),
+    walk AS (
+      SELECT src, dst AS cur FROM e
+      UNION ALL
+      SELECT w.src, e2.dst AS cur FROM walk w JOIN e e2 ON w.cur = e2.src
+    )
+    SELECT w.src, w.cur AS final_dst
+    FROM walk w LEFT JOIN e t ON w.cur = t.src
+    WHERE t.src IS NULL
+    """
+
+    o["recrawl_schedule"] = """
+    WITH per AS (
+      SELECT user_id AS key, count(*)::bigint AS n_obs,
+             max(floor(epoch(ts))::bigint) AS last_ts_epoch,
+             min(floor(epoch(ts))::bigint) AS first_ts
+      FROM events GROUP BY user_id
+    ), iv AS (
+      SELECT key, n_obs, last_ts_epoch,
+             least(greatest(
+               CASE WHEN n_obs > 1
+                    THEN floor((last_ts_epoch - first_ts)::double
+                               / (n_obs - 1))::bigint
+                    ELSE 86400 END,
+               3600), 2592000) AS interval_s
+      FROM per
+    )
+    SELECT key, n_obs, last_ts_epoch, interval_s,
+           last_ts_epoch + interval_s AS next_due_epoch,
+           (last_ts_epoch + interval_s)
+             <= floor(epoch(TIMESTAMP '2024-03-01 00:00:00'))::bigint
+             AS overdue
+    FROM iv
     """
 
     return o

@@ -95,3 +95,72 @@ def transition_edges(events: DataFrame, key_col: str = "user_id",
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
     )
+
+
+def resolve_redirects(edges: DataFrame, src: str = "src", dst: str = "dst",
+                      max_hops: int = 8) -> DataFrame:
+    """Resolve redirect chains to their final target by pointer doubling.
+
+    Each round substitutes every mapping's target with THAT target's
+    current mapping, so resolved path length doubles per round:
+    ceil(log2(max_hops)) shuffle-join rounds handle chains up to
+    ``max_hops`` — 4 rounds for 16-hop chains at any scale, versus
+    ``max_hops`` rounds for naive step-at-a-time following.  Lineage is
+    truncated per round.  Cycles never terminate under any resolver; here
+    they exhaust the hop budget and report whatever node the 2^rounds-step
+    walk lands on (documented, deterministic).
+
+    Returns (src, final_dst) for every source in ``edges``.
+    """
+    m = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    rounds = max(1, (max_hops - 1).bit_length())
+    for _ in range(rounds):
+        nxt = m.select(F.col("u").alias("u2"), F.col("v").alias("v2"))
+        m = (
+            m.join(nxt, m["v"] == nxt["u2"], "left")
+            .select(F.col("u"), F.coalesce(F.col("v2"), F.col("v")).alias("v"))
+        )
+        m = m.localCheckpoint(eager=False)
+    return m.select(F.col("u").alias(src), F.col("v").alias("final_dst"))
+
+
+def recrawl_schedule(seen: DataFrame, key_col: str, ts_col: str,
+                     now_ts: str, base_interval_s: int = 86400,
+                     min_interval_s: int = 3600,
+                     max_interval_s: int = 30 * 86400) -> DataFrame:
+    """Change-rate-adaptive recrawl scheduling over an observation log.
+
+    For each key: observations n, last-seen timestamp, observed mean
+    inter-arrival seconds (span/(n-1); n==1 falls back to
+    ``base_interval_s``), clamped to [min, max] — the classic
+    revisit-policy shape (revisit as often as the resource historically
+    changed).  One map-side-combined groupBy; epoch-integer arithmetic so
+    the DuckDB twin is bit-exact.
+
+    Returns (key, n_obs, last_ts_epoch, interval_s, next_due_epoch,
+    overdue) where ``overdue`` compares against ``now_ts`` (an ISO string
+    pinned by the caller — determinism requires the caller to supply time).
+    """
+    per = seen.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.max(F.unix_timestamp(F.col(ts_col))).cast("long").alias("last_ts_epoch"),
+        F.min(F.unix_timestamp(F.col(ts_col))).cast("long").alias("first_ts"),
+    )
+    raw_iv = F.when(
+        F.col("n_obs") > 1,
+        ((F.col("last_ts_epoch") - F.col("first_ts"))
+         / (F.col("n_obs") - 1)).cast("long"),
+    ).otherwise(F.lit(int(base_interval_s)))
+    iv = F.least(
+        F.greatest(raw_iv, F.lit(int(min_interval_s))),
+        F.lit(int(max_interval_s)),
+    )
+    now = F.unix_timestamp(F.lit(now_ts)).cast("long")
+    return per.select(
+        "key",
+        "n_obs",
+        "last_ts_epoch",
+        iv.alias("interval_s"),
+        (F.col("last_ts_epoch") + iv).alias("next_due_epoch"),
+        ((F.col("last_ts_epoch") + iv) <= now).alias("overdue"),
+    )

@@ -154,3 +154,31 @@ def host_quality_rollup(docs: DataFrame, quality: Column,
         .withColumn("mean_quality", F.round("mean_quality", 9))
         .withColumn("dup_ratio", F.round("dup_ratio", 9))
     )
+
+
+LINK_RE = '<a href="([^"]*)"[^>]*>([^<]*)</a>'
+
+
+def extract_links(df: DataFrame, html_col: str = "html",
+                  key_cols: tuple = ("url",)) -> DataFrame:
+    """(page, href, anchor_text, pos) edges out of raw HTML — the link-graph
+    feed for ``graph.pagerank`` / frontier discovery.
+
+    Two passes of the SAME anchored pattern (group 1 = href, group 2 =
+    anchor text) zipped positionally — ``regexp_extract_all`` yields one
+    group per pass, and two scans of an already-decompressed string column
+    are cheaper than any UDF round-trip.  Narrow generator, no shuffle.
+    """
+    pat = F.lit(LINK_RE)
+    hrefs = F.regexp_extract_all(F.col(html_col), pat, 1)
+    anchors = F.regexp_extract_all(F.col(html_col), pat, 2)
+    return df.select(
+        *[F.col(c) for c in key_cols],
+        F.posexplode(F.arrays_zip(hrefs.alias("href"), anchors.alias("anchor")))
+        .alias("pos0", "z"),
+    ).select(
+        *key_cols,
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("z.href").alias("href"),
+        F.trim(F.col("z.anchor")).alias("anchor"),
+    )

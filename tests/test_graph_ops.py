@@ -4,6 +4,7 @@ transition-edge derivation."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from crawler_spark.operators.graph import pagerank, transition_edges
 
@@ -44,3 +45,78 @@ def test_transition_edges_orders_and_counts(spark):
            for r in transition_edges(events).collect()}
     # user1: x->y, y->x; user2: x->y  — no cross-user edge
     assert out == {("x", "y"): 2.0, ("y", "x"): 1.0}
+
+
+# ---------------------------------------------------- redirect resolve
+
+def test_resolve_redirects_chains_and_branches(spark):
+    from crawler_spark.operators.graph import resolve_redirects
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"),   # 3-hop chain -> d
+         ("x", "d"),                            # 1 hop
+         ("p", "q")],                           # 1 hop
+        "src string, dst string",
+    )
+    out = {r["src"]: r["final_dst"] for r in resolve_redirects(edges).collect()}
+    assert out == {"a": "d", "b": "d", "c": "d", "x": "d", "p": "q"}
+
+
+def test_resolve_redirects_cycle_is_bounded_and_deterministic(spark):
+    from crawler_spark.operators.graph import resolve_redirects
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    out1 = {r["src"]: r["final_dst"] for r in resolve_redirects(edges, max_hops=8).collect()}
+    out2 = {r["src"]: r["final_dst"] for r in resolve_redirects(edges, max_hops=8).collect()}
+    assert out1 == out2                       # deterministic
+    assert set(out1) == {"a", "b"}            # budget exhausted, no hang
+    assert set(out1.values()) <= {"a", "b"}   # lands inside the cycle
+
+
+def test_resolve_redirects_round_count_is_logarithmic(spark):
+    """A 7-hop chain resolves with 3 join rounds (2^3 = 8 >= 7)."""
+    from crawler_spark.operators.graph import resolve_redirects
+
+    chain = [(f"n{i}", f"n{i+1}") for i in range(7)]
+    edges = spark.createDataFrame(chain, "src string, dst string")
+    out = {r["src"]: r["final_dst"] for r in resolve_redirects(edges, max_hops=8).collect()}
+    assert all(v == "n7" for v in out.values())
+
+
+# ---------------------------------------------------- recrawl schedule
+
+def test_recrawl_schedule_rates_and_clamps(spark):
+    from crawler_spark.operators.graph import recrawl_schedule
+
+    rows = [
+        # key 1: 3 obs, 2h apart -> interval 7200s
+        (1, "2024-01-01 00:00:00"), (1, "2024-01-01 02:00:00"),
+        (1, "2024-01-01 04:00:00"),
+        # key 2: single obs -> base interval
+        (2, "2024-01-10 00:00:00"),
+        # key 3: 2 obs 1 minute apart -> clamped up to min_interval
+        (3, "2024-01-05 00:00:00"), (3, "2024-01-05 00:01:00"),
+        # key 4: 2 obs 90 days apart -> clamped down to max_interval
+        (4, "2024-01-01 00:00:00"), (4, "2024-03-31 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts string").select(
+        "k", F.to_timestamp("ts").alias("ts")
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = {
+        r["key"]: r
+        for r in recrawl_schedule(
+            df, "k", "ts", now_ts="2024-02-01 00:00:00",
+            base_interval_s=86400, min_interval_s=3600,
+            max_interval_s=30 * 86400,
+        ).collect()
+    }
+    assert out[1]["interval_s"] == 7200
+    assert out[1]["next_due_epoch"] == out[1]["last_ts_epoch"] + 7200
+    assert out[1]["overdue"]                      # Jan 1 + 2h << Feb 1
+    assert out[2]["interval_s"] == 86400          # single obs -> base
+    assert out[3]["interval_s"] == 3600           # clamped up
+    assert out[4]["interval_s"] == 30 * 86400     # clamped down
+    assert not out[4]["overdue"]                  # Mar 31 obs is after 'now'

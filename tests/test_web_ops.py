@@ -119,3 +119,20 @@ def test_host_quality_rollup_dup_ratio(spark):
     # mean over DOCS not distinct texts: (10+9+9+5)/4
     assert out["h1"].mean_quality == pytest.approx(8.25)
     assert out["h1"].priority == pytest.approx(8.25 * 0.5)
+
+
+def test_extract_links_multi_and_none(spark):
+    from crawler_spark.operators.web import extract_links
+
+    df = spark.createDataFrame(
+        [
+            ("p1", '<a href="/x">one</a> mid <a href="/y" rel="no"> two </a>'),
+            ("p2", "no links at all"),
+        ],
+        "url string, html string",
+    )
+    rows = extract_links(df).orderBy("url", "pos").collect()
+    assert [(r.url, r.pos, r.href, r.anchor) for r in rows] == [
+        ("p1", 1, "/x", "one"),
+        ("p1", 2, "/y", "two"),
+    ]
