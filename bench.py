@@ -61,6 +61,9 @@ QUERY_SLICE = (
     # round-3 flagship compositions (full clean pipeline; k-means semantic dedup)
     "corpus_clean_pipeline",
     "emb_semdedup",
+    # round-3 web tier (codegen scan ops + pointer-doubling join rounds)
+    "page_text_extract",
+    "url_redirect_resolve",
 )
 
 

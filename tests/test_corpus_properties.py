@@ -150,3 +150,63 @@ def test_mix_sources_nests_across_budgets(spark, ids, budget):
     large = {r["doc_id"] for r in
              mix_sources(docs, {"s": 1.0}, token_budget=budget * 4).collect()}
     assert small <= large
+
+
+# --------------------------------------------------- url canonicalization
+
+_URL_SCHEME = st.sampled_from(["http", "HTTP", "https", "HtTpS"])
+_URL_HOST = st.sampled_from(
+    ["Example.COM", "sub.ex.org", "H.io:80", "H.io:443", "h.io:8080"]
+)
+_URL_PATH = st.sampled_from(["", "/", "/A/b", "/A/b/", "/p%20q", "//x/"])
+_URL_PARAM = st.sampled_from(
+    ["a=1", "B=2", "utm_source=x", "utm_x=y", "fbclid=f", "ref=r", "z="]
+)
+_URL_FRAG = st.sampled_from(["", "#f", "#a/b?c=1"])
+
+
+@st.composite
+def _messy_url(draw):
+    scheme = draw(_URL_SCHEME)
+    host = draw(_URL_HOST)
+    path = draw(_URL_PATH)
+    params = draw(st.lists(_URL_PARAM, max_size=4))
+    frag = draw(_URL_FRAG)
+    q = "?" + "&".join(params) if params else ""
+    return f"{scheme}://{host}{path}{q}{frag}"
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_messy_url(), min_size=1, max_size=20))
+def test_normalize_url_idempotent_and_invariant(spark, urls):
+    """normalize(normalize(u)) == normalize(u), and the canonical form never
+    carries a fragment, a tracking param, a default port, or an unsorted
+    query — for arbitrary compositions of messy URL parts."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.web import normalize_url
+
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    rows = df.select(
+        "u",
+        normalize_url(F.col("u")).alias("c1"),
+        normalize_url(normalize_url(F.col("u"))).alias("c2"),
+    ).collect()
+    for r in rows:
+        assert r["c2"] == r["c1"], (r["u"], r["c1"], r["c2"])
+        c = r["c1"]
+        assert "#" not in c
+        assert "utm_" not in c and "fbclid" not in c and "ref=" not in c
+        scheme, rest = c.split("://", 1)
+        assert scheme == scheme.lower()
+        authority = rest.split("/", 1)[0].split("?", 1)[0]
+        assert authority == authority.lower()
+        if scheme == "http":
+            assert not authority.endswith(":80")
+        if scheme == "https":
+            assert not authority.endswith(":443")
+        if "?" in c:
+            q = c.split("?", 1)[1]
+            parts = q.split("&")
+            assert parts == sorted(parts) and all(parts)
