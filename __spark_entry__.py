@@ -1208,6 +1208,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["recrawl_schedule"] = recrawl_schedule_q
 
+    def frontier_priority(spark, sf_dir):
+        # crawl-tier flagship composition: host link-graph centrality
+        # (5-round weighted PageRank) × per-host quality/dup priority →
+        # the frontier-scheduling score a large crawl ranks hosts by
+        from crawler_spark.operators.graph import pagerank
+        from crawler_spark.operators.web import host_quality_rollup
+
+        docs = _docs_text_double(spark, sf_dir)
+        edges = docs.groupBy(
+            F.col("source").alias("src"),
+            F.concat(F.lit("src"), (F.col("doc_id") % 20).cast("string"))
+            .alias("dst"),
+        ).agg(F.count(F.lit(1)).cast("double").alias("w"))
+        ranks = pagerank(edges, weight="w", iters=5)
+        injected = docs.select(
+            "doc_id", "source",
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit("dup seed text for "), F.col("source")),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        hq = host_quality_rollup(injected, quality_score(F.col("text")))
+        return hq.join(ranks, hq["source"] == ranks["node"]).select(
+            "source",
+            "rank",
+            "priority",
+            F.round(F.col("priority") * F.col("rank"), 9).alias("frontier_score"),
+        )
+
+    q["frontier_priority"] = frontier_priority
+
     return q
 
 
@@ -2363,6 +2394,42 @@ def oracle_sql() -> dict[str, str]:
              <= floor(epoch(TIMESTAMP '2024-03-01 00:00:00'))::bigint
              AS overdue
     FROM iv
+    """
+
+    o["frontier_priority"] = f"""
+    WITH edges AS (
+      SELECT source AS src, 'src' || (doc_id % 20)::varchar AS dst,
+             count(*)::double AS w
+      FROM documents GROUP BY 1, 2
+    ),
+    outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+    ep AS (SELECT e.src, e.dst, e.w / o.ow AS p
+           FROM edges e JOIN outw o USING (src)),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    r0 AS (SELECT node, 1.0::double / (SELECT count(*) FROM nodes) AS rank
+           FROM nodes){_pr_iters},
+    injected AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 5 = 0 THEN 'dup seed text for ' || source
+                  ELSE text END AS text
+      FROM documents
+    ),
+    per_text AS (
+      SELECT source, md5(text) AS th, count(*)::bigint AS n_copies,
+             sum({_QUALITY_SQL}) AS q_sum
+      FROM injected GROUP BY source, md5(text)
+    ),
+    hq AS (
+      SELECT source,
+             round((sum(q_sum) / sum(n_copies))
+                   * (1 - sum(CASE WHEN n_copies > 1 THEN n_copies ELSE 0 END)::double
+                          / sum(n_copies)), 9) AS priority
+      FROM per_text GROUP BY source
+    )
+    SELECT hq.source, round(r5.rank, 6) AS rank, hq.priority,
+           round(hq.priority * round(r5.rank, 6), 9) AS frontier_score
+    FROM hq JOIN r5 ON r5.node = hq.source
     """
 
     return o

@@ -19,11 +19,22 @@ QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 
 
-@pytest.fixture(scope="module")
-def duck(sf_dir):
+def _duck_connect(sf_dir):
     con = duckdb.connect()
+    # bounded budget + a spill directory: DuckDB 1.0's default (80% of
+    # physical RAM, no temp dir for in-memory DBs) turns transient
+    # allocation hiccups alongside the Spark JVM into hard
+    # OutOfMemoryException; with a temp_directory it spills instead
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = _duck_connect(sf_dir)
     yield con
     con.close()
 
@@ -45,8 +56,16 @@ def test_entry_runs_and_returns_rows(spark):
 def test_query_matches_oracle(spark, sf_dir, duck, name):
     sdf = QUERIES[name](spark, sf_dir)
     srows = [tuple(r) for r in sdf.collect()]
-    res = duck.execute(ORACLES[name])
-    drows = res.fetchall()
+    try:
+        res = duck.execute(ORACLES[name])
+        drows = res.fetchall()
+    except duckdb.OutOfMemoryException:
+        # rare transient bad_alloc co-resident with the Spark JVM — one
+        # retry on a fresh connection (same SQL, same data, so a second
+        # failure is a real finding)
+        fresh = _duck_connect(sf_dir)
+        res = fresh.execute(ORACLES[name])
+        drows = res.fetchall()
     dcols = [d[0] for d in res.description]
     assert sorted(sdf.columns) == sorted(dcols)
     assert len(srows) == len(drows)

@@ -64,6 +64,10 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
 
     con = duckdb.connect()
+    # bounded budget + spill dir: avoids DuckDB 1.0's transient hard OOM
+    # when co-resident with a Spark JVM (see tests/test_oracle_parity.py)
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
