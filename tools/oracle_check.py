@@ -63,15 +63,20 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
-    con = duckdb.connect()
-    # bounded budget + spill dir: avoids DuckDB 1.0's transient hard OOM
-    # when co-resident with a Spark JVM (see tests/test_oracle_parity.py)
-    con.execute("SET memory_limit='24GB'")
-    con.execute("SET temp_directory='/tmp/duck_spill'")
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+    def duck_connect():
+        # bounded budget, fewer threads, spill dir: DuckDB 1.0 co-resident
+        # with a Spark JVM occasionally hard-OOMs on a small allocation
+        # despite free RAM (see tests/test_oracle_parity.py); a fresh
+        # connection retry below recovers the rest
+        c = duckdb.connect()
+        c.execute("SET memory_limit='24GB'")
+        c.execute("SET threads=8")
+        c.execute("SET temp_directory='/tmp/duck_spill'")
+        for t in TABLES:
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        return c
+
+    con = duck_connect()
 
     spark = get_spark("oracle-check", cores=8, shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
@@ -87,8 +92,14 @@ def main() -> int:
             print(f"{name:28s} rows={len(srows):7d}  (no oracle — rows-only)")
             continue
         try:
-            res = con.execute(oracles[name])
-            drows = res.fetchall()
+            try:
+                res = con.execute(oracles[name])
+                drows = res.fetchall()
+            except duckdb.OutOfMemoryException:
+                con.close()
+                con = duck_connect()
+                res = con.execute(oracles[name])
+                drows = res.fetchall()
             dcols = [d[0] for d in res.description]
         except Exception as e:  # noqa: BLE001
             failures.append(name)
