@@ -1239,6 +1239,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["frontier_priority"] = frontier_priority
 
+    def anchor_profile(spark, sf_dir):
+        # per-target anchor-text signal over a synthetic link table: targets
+        # 't'||doc_id%40 hit by ~12.5 docs each, anchors vary on doc_id%3 so
+        # every target has a genuine frequency contest
+        from crawler_spark.operators.web import anchor_text_profile
+
+        docs = _docs_text_double(spark, sf_dir)
+        links = docs.select(
+            F.concat(F.lit("t"), (F.col("doc_id") % 40).cast("string"))
+            .alias("href"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("click here"))
+            .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("doc "), F.col("source")))
+            .otherwise(F.lit("read more"))
+            .alias("anchor"),
+        )
+        return anchor_text_profile(links)
+
+    q["anchor_profile"] = anchor_profile
+
     return q
 
 
@@ -2430,6 +2449,33 @@ def oracle_sql() -> dict[str, str]:
     SELECT hq.source, round(r5.rank, 6) AS rank, hq.priority,
            round(hq.priority * round(r5.rank, 6), 9) AS frontier_score
     FROM hq JOIN r5 ON r5.node = hq.source
+    """
+
+    o["anchor_profile"] = """
+    WITH links AS (
+      SELECT 't' || (doc_id % 40)::varchar AS href,
+             CASE WHEN doc_id % 3 = 0 THEN 'click here'
+                  WHEN doc_id % 3 = 1 THEN 'doc ' || source
+                  ELSE 'read more' END AS anchor
+      FROM documents
+    ),
+    per_anchor AS (
+      SELECT href, anchor, count(*)::bigint AS cnt
+      FROM links GROUP BY href, anchor
+    ),
+    per_href AS (
+      SELECT href, sum(cnt)::bigint AS n_links,
+             count(*)::bigint AS n_distinct_anchors,
+             max(cnt) AS top_cnt
+      FROM per_anchor GROUP BY href
+    ),
+    top AS (
+      SELECT a.href, min(a.anchor) AS top_anchor
+      FROM per_anchor a JOIN per_href h USING (href)
+      WHERE a.cnt = h.top_cnt GROUP BY a.href
+    )
+    SELECT h.href, h.n_links, h.n_distinct_anchors, t.top_anchor
+    FROM per_href h JOIN top t USING (href)
     """
 
     return o

@@ -182,3 +182,33 @@ def extract_links(df: DataFrame, html_col: str = "html",
         F.col("z.href").alias("href"),
         F.trim(F.col("z.anchor")).alias("anchor"),
     )
+
+
+def anchor_text_profile(links: DataFrame, href_col: str = "href",
+                        anchor_col: str = "anchor") -> DataFrame:
+    """Per-target anchor-text profile over a link-edge table: in-link count,
+    distinct anchor count, and the dominant anchor (most frequent; ties
+    break to the lexicographically smallest — fully deterministic).
+
+    The classic target-description signal (anchor text describes the TARGET
+    better than its own page does).  Two map-side-combined aggregations on
+    uniform keys — (href, anchor) then href — plus a broadcast-size join
+    back for the dominant anchor; no windows.
+    """
+    per_anchor = links.groupBy(
+        F.col(href_col).alias("href"), F.col(anchor_col).alias("anchor")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    per_href = per_anchor.groupBy("href").agg(
+        F.sum("cnt").cast("long").alias("n_links"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_anchors"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    top = (
+        per_anchor.join(per_href, "href")
+        .where(F.col("cnt") == F.col("top_cnt"))
+        .groupBy("href")
+        .agg(F.min("anchor").alias("top_anchor"))
+    )
+    return per_href.join(top, "href").select(
+        "href", "n_links", "n_distinct_anchors", "top_anchor"
+    )

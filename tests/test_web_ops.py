@@ -136,3 +136,21 @@ def test_extract_links_multi_and_none(spark):
         ("p1", 1, "/x", "one"),
         ("p1", 2, "/y", "two"),
     ]
+
+
+def test_anchor_text_profile_dominant_and_ties(spark):
+    from crawler_spark.operators.web import anchor_text_profile
+
+    links = spark.createDataFrame(
+        [
+            ("t1", "buy now"), ("t1", "buy now"), ("t1", "cheap"),
+            ("t2", "b"), ("t2", "a"),          # tie -> lexicographic min
+            ("t3", "solo"),
+        ],
+        "href string, anchor string",
+    )
+    out = {r.href: r for r in anchor_text_profile(links).collect()}
+    assert out["t1"].n_links == 3 and out["t1"].n_distinct_anchors == 2
+    assert out["t1"].top_anchor == "buy now"
+    assert out["t2"].top_anchor == "a"        # tie broken deterministically
+    assert out["t3"].n_links == 1 and out["t3"].top_anchor == "solo"
