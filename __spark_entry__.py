@@ -1258,6 +1258,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["anchor_profile"] = anchor_profile
 
+    def _warc_src(spark, sf_dir):
+        # documents → the WARC writer's input shape, every field a pure
+        # function of the row (url from source/doc_id, ts = epoch-2024 +
+        # doc_id seconds, payload = utf-8 text bytes) so the oracle can
+        # re-derive all of it in SQL
+        _utc(spark)
+        return _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.concat(F.lit("https://corpus.example/"), F.col("source"),
+                     F.lit("/"), F.col("doc_id")).alias("url"),
+            F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id"))
+            .alias("warc_ts"),
+            F.encode(F.col("text"), "utf-8").alias("html"),
+        )
+
+    def warc_roundtrip(spark, sf_dir):
+        # WARC (ISO 28500) source/sink fidelity end-to-end inside the gate:
+        # serialize canonical records per shard blob → parse_warc over the
+        # blob → per-record projection.  The oracle recomputes every output
+        # column straight from the table, so a single byte dropped or
+        # mangled by serializer OR parser flips payload_md5/payload_len.
+        # Crawl-path role: sources/warc.read_warc is the Common-Crawl
+        # ingestion on-ramp into the BASELINE input_hint pages shape.
+        import hashlib
+
+        import pandas as pd
+
+        from crawler_spark.sources.warc import parse_warc, warc_record_bytes
+
+        src = _warc_src(spark, sf_dir).select(
+            "url",
+            F.date_format(F.col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+            .alias("wdate"),
+            "html",
+            (F.col("doc_id") % 4).cast("int").alias("shard"),
+        )
+
+        def shard_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("url", kind="mergesort")
+            blob = b"".join(
+                warc_record_bytes(u, d, bytes(h))
+                for u, d, h in zip(pdf["url"], pdf["wdate"], pdf["html"])
+            )
+            rows = [
+                (r["url"], r["warc_date"], len(r["payload"]),
+                 hashlib.md5(r["payload"]).hexdigest())
+                for r in parse_warc(blob)
+            ]
+            return pd.DataFrame(rows, columns=[
+                "url", "warc_date", "payload_len", "payload_md5",
+            ])
+
+        return src.groupBy("shard").applyInPandas(
+            shard_kernel,
+            "url string, warc_date string, payload_len long, "
+            "payload_md5 string",
+        )
+
+    q["warc_roundtrip"] = warc_roundtrip
+
+    def warc_cdx(spark, sf_dir):
+        # CDX index over the canonical WARC layout: urlkey (SURT), offsets,
+        # record lengths, file names — measured from the REAL serialized
+        # bytes inside cdx_index; the oracle re-derives offsets by pure
+        # byte accounting (header constant + field widths + cumulative
+        # window sum), an independent proof that canonical serialization
+        # is exactly the documented function of the row.  Portable shard
+        # expression (doc_id % 4) stands in for the xxhash64 bucket so
+        # DuckDB can reproduce the layout.
+        from crawler_spark.sources.warc import cdx_index
+
+        return cdx_index(
+            _warc_src(spark, sf_dir), shard=F.col("doc_id") % 4
+        )
+
+    q["warc_cdx"] = warc_cdx
+
     return q
 
 
@@ -2476,6 +2553,47 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT h.href, h.n_links, h.n_distinct_anchors, t.top_anchor
     FROM per_href h JOIN top t USING (href)
+    """
+
+    # WARC record size = _HEADER_CONST + len(url) + len(str(payload_len))
+    # + payload_len (sources/warc.py, asserted by tests/test_warc.py) —
+    # imported, not hardcoded, so serializer and oracle cannot drift apart
+    from crawler_spark.sources.warc import _HEADER_CONST
+
+    o["warc_roundtrip"] = """
+    SELECT 'https://corpus.example/' || source || '/' || doc_id AS url,
+           strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id),
+                    '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+           octet_length(encode(text))::bigint AS payload_len,
+           md5(text) AS payload_md5
+    FROM documents
+    """
+
+    o["warc_cdx"] = f"""
+    WITH src AS (
+      SELECT 'https://corpus.example/' || source || '/' || doc_id AS url,
+             'example,corpus)/' || source || '/' || doc_id AS urlkey,
+             doc_id % 4 AS shard,
+             strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id),
+                      '%Y%m%d%H%M%S') AS cdx_ts,
+             md5(text) AS digest,
+             octet_length(encode(text))::bigint AS plen
+      FROM documents
+    ),
+    sized AS (
+      SELECT *,
+             ({_HEADER_CONST} + length(url)
+              + length(CAST(plen AS VARCHAR)) + plen)::bigint AS warc_length
+      FROM src
+    )
+    SELECT urlkey, cdx_ts, url, digest,
+           coalesce(SUM(warc_length) OVER (
+             PARTITION BY shard ORDER BY url
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint
+             AS warc_offset,
+           warc_length,
+           printf('part-%05d.warc', shard::int) AS warc_file
+    FROM sized
     """
 
     return o

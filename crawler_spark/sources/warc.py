@@ -1,0 +1,364 @@
+"""WARC (ISO 28500) source/sink — the on-ramp from Common-Crawl-style
+archives into the engine's ``pages`` table shape.
+
+The north star describes "an Iceberg table of Common-Crawl-style pages";
+Common Crawl itself ships as WARC files (WARC/1.0, one ~1 GB gzip file per
+crawl segment).  This module makes that ingestion path concrete:
+
+* :func:`read_warc` — ``spark.read.format("binaryFile")`` over a WARC glob,
+  one task per archive file (CC files are ~1 GB, so a 100 TB crawl is
+  ~100k files = ~100k tasks: ideal parallelism with zero small-file
+  pressure), then an Arrow-batched ``mapInPandas`` kernel that walks each
+  archive's records and emits the ``pages``-shaped rows
+  ``(url, warc_ts, html, …)`` plus exact ``(warc_file, warc_offset,
+  warc_length)`` lineage — enough to re-read any single record with one
+  ranged read, which is how CDX-indexed random access works at CC.
+* :func:`write_warc` — a distributed sink: one WARC file per hash shard of
+  the url space, written executor-side inside ``applyInPandas``; returns a
+  manifest DataFrame (file, records, bytes) the caller commits alongside
+  the data (same idiom as the SnapshotStore manifests).
+* :func:`cdx_rows` — the CDX index projection (SURT urlkey, timestamp,
+  digest, offset, length, file) over the writer's record layout; offsets
+  come from the actual serialized bytes, not arithmetic.
+
+Record serialization is canonical and deterministic (fixed header order,
+CRLF discipline, uuid5 record ids), so byte offsets are reproducible
+cross-run — the property the ``warc_cdx`` oracle checks in SQL by
+re-deriving every record's byte length from first principles.
+
+Parsing notes: the reader handles plain archives, whole-file gzip, and
+CC-style per-record gzip members (each record its own gzip member,
+concatenated); ``application/http; msgtype=response`` payloads have their
+HTTP envelope stripped (status captured) so ``html`` is always the raw
+body bytes.  Malformed trailing garbage ends the walk rather than raising:
+a 100 TB ingest must skip a truncated archive, not die.
+
+Python-per-record cost sits at the I/O boundary (same class as the file
+read itself), mirroring the multimodal kernels; everything downstream of
+the source is native Spark expressions.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+import uuid
+import zlib
+from datetime import datetime
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_CRLF = "\r\n"
+_DATE_FMT = "%Y-%m-%dT%H:%M:%SZ"  # WARC-Date, always 20 bytes
+_HTML_CT = "text/html; charset=utf-8"
+_HTTP_CT = "application/http; msgtype=response"
+
+# Serialized record size = _HEADER_CONST + len(url) + len(str(len(payload)))
+# + len(payload).  Asserted against a real record in tests and re-derived
+# in SQL by the warc_cdx oracle.
+_HEADER_CONST = (
+    len("WARC/1.0\r\n")
+    + len("WARC-Type: response\r\n")
+    + len("WARC-Record-ID: <urn:uuid:>\r\n") + 36
+    + len("WARC-Date: \r\n") + 20
+    + len("WARC-Target-URI: \r\n")
+    + len("Content-Type: text/html; charset=utf-8\r\n")
+    + len("Content-Length: \r\n")
+    + len("\r\n")           # header/payload separator
+    + len("\r\n\r\n")       # record trailer
+)
+
+
+def record_id(url: str, date: str) -> str:
+    """Deterministic WARC-Record-ID (uuid5 over url+date) — reruns of the
+    writer produce byte-identical archives, which is what makes WARC
+    offsets a stable join key for the CDX index."""
+    return str(uuid.uuid5(uuid.NAMESPACE_URL, f"{url} {date}"))
+
+
+def warc_record_bytes(url: str, date: str, payload: bytes,
+                      rec_type: str = "response",
+                      http_envelope: bool = False) -> bytes:
+    """One canonical WARC/1.0 record.  ``date`` is the 20-byte
+    ``YYYY-MM-DDTHH:MM:SSZ`` form.  With ``http_envelope`` the payload is
+    wrapped in a minimal HTTP/1.1 response (Common Crawl's actual layout
+    for response records) and Content-Type switches to msgtype=response."""
+    if http_envelope:
+        body = (
+            f"HTTP/1.1 200 OK{_CRLF}Content-Type: {_HTML_CT}{_CRLF}"
+            f"Content-Length: {len(payload)}{_CRLF}{_CRLF}"
+        ).encode("ascii") + payload
+        ctype = _HTTP_CT
+    else:
+        body = payload
+        ctype = _HTML_CT
+    header = (
+        f"WARC/1.0{_CRLF}"
+        f"WARC-Type: {rec_type}{_CRLF}"
+        f"WARC-Record-ID: <urn:uuid:{record_id(url, date)}>{_CRLF}"
+        f"WARC-Date: {date}{_CRLF}"
+        f"WARC-Target-URI: {url}{_CRLF}"
+        f"Content-Type: {ctype}{_CRLF}"
+        f"Content-Length: {len(body)}{_CRLF}"
+        f"{_CRLF}"
+    ).encode("ascii")
+    return header + body + b"\r\n\r\n"
+
+
+def _gunzip_members(data: bytes) -> Iterator[tuple[bytes, int, int]]:
+    """Yield (decompressed, member_offset, member_length) per gzip member —
+    CC archives are per-record members, so member offsets ARE record
+    offsets (what the CDX index stores for ranged reads)."""
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=47)  # gzip wrapper
+        try:
+            out = d.decompress(data[pos:])
+        except zlib.error:
+            break  # corrupt member: stop the walk, keep prior members
+        consumed = len(data) - pos - len(d.unused_data)
+        if consumed <= 0:
+            break
+        yield out + d.flush(), pos, consumed
+        pos += consumed
+
+
+def parse_warc(data: bytes, offset_base: int = 0) -> list[dict]:
+    """Parse an in-memory WARC archive (plain, whole-file gzip, or
+    per-record gzip members) into record dicts with exact byte lineage.
+
+    Each dict: ``url, warc_date (str), rec_type, rec_id, payload (bytes),
+    http_status (int|None), offset, length``.  For compressed archives
+    offset/length describe the COMPRESSED region (the thing a ranged read
+    fetches); for plain archives, the record's own bytes.
+    """
+    if data[:2] == b"\x1f\x8b":
+        out: list[dict] = []
+        members = list(_gunzip_members(data))
+        if not members:
+            return []  # corrupt gzip prologue: skip the archive
+        if len(members) > 1:
+            for blob, moff, mlen in members:
+                for r in parse_warc(blob):
+                    r["offset"], r["length"] = offset_base + moff, mlen
+                    out.append(r)
+            return out
+        blob, _, _ = members[0]
+        return parse_warc(blob, offset_base)
+    recs = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if data[pos:pos + 5] != b"WARC/":
+            break  # trailing garbage / truncation: stop, don't raise
+        hdr_end = data.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            break
+        headers: dict[str, str] = {}
+        for line in data[pos:hdr_end].decode("ascii", "replace").split(_CRLF)[1:]:
+            k, _, v = line.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            clen = int(headers.get("content-length", ""))
+        except ValueError:
+            break
+        body_start = hdr_end + 4
+        body = data[body_start:body_start + clen]
+        if len(body) < clen:
+            break  # truncated record
+        status = None
+        if (headers.get("content-type", "").startswith("application/http")
+                and body[:5] == b"HTTP/"):
+            env_end = body.find(b"\r\n\r\n")
+            if env_end >= 0:
+                status_line = body[:env_end].split(b"\r\n", 1)[0]
+                parts = status_line.split(b" ")
+                if len(parts) >= 2 and parts[1].isdigit():
+                    status = int(parts[1])
+                body = body[env_end + 4:]
+        rec_end = body_start + clen + 4  # trailing CRLFCRLF
+        recs.append({
+            "url": headers.get("warc-target-uri"),
+            "warc_date": headers.get("warc-date"),
+            "rec_type": headers.get("warc-type"),
+            "rec_id": headers.get("warc-record-id", "").strip("<>"),
+            "payload": body,
+            "http_status": status,
+            "offset": offset_base + pos,
+            "length": rec_end - pos,
+        })
+        pos = rec_end
+    return recs
+
+
+READ_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, http_status int, "
+    "warc_file string, warc_offset long, warc_length long"
+)
+
+
+def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
+    """WARC archives → ``pages``-shaped DataFrame.
+
+    ``binaryFile`` gives (path, content) with no decode and one partition
+    per file — at CC's ~1 GB/file a 100 TB crawl is ~100k even tasks.  The
+    kernel is Arrow-batched; per-record Python is the I/O boundary cost
+    (see module docstring).
+    """
+    files = spark.read.format("binaryFile").load(path_glob).select(
+        "path", "content"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                for r in parse_warc(bytes(content)):
+                    rows.append((
+                        r["url"],
+                        datetime.strptime(r["warc_date"], _DATE_FMT),
+                        r["payload"], r["http_status"],
+                        path, r["offset"], r["length"],
+                    ))
+            yield pd.DataFrame(rows, columns=[
+                "url", "warc_ts", "html", "http_status",
+                "warc_file", "warc_offset", "warc_length",
+            ])
+
+    return files.mapInPandas(kernel, READ_SCHEMA)
+
+
+MANIFEST_SCHEMA = "warc_file string, shard int, records long, bytes long"
+
+
+def write_warc(df: DataFrame, out_dir: str, shards: int = 8,
+               gzip_records: bool = False,
+               http_envelope: bool = False) -> DataFrame:
+    """Distributed WARC sink: shard rows by ``pmod(xxhash64(url), shards)``,
+    one archive file per shard written executor-side, records ordered by
+    url within the shard (deterministic bytes → reproducible offsets).
+    Input needs (url, warc_ts, html); returns the manifest DataFrame.
+
+    Scale: ``shards`` plays the role of Iceberg's bucket count — size it so
+    each shard lands near CC's ~1 GB/file.  Each shard is one task; skewed
+    url spaces spread by the hash.  With ``gzip_records`` each record is
+    its own gzip member (CC layout, ranged reads stay possible).
+    """
+    src = df.select(
+        "url",
+        F.date_format(F.col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        .alias("wdate"),
+        F.col("html"),
+        F.pmod(F.xxhash64("url"), F.lit(shards)).cast("int").alias("shard"),
+    )
+
+    def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        pdf = pdf.sort_values("url", kind="mergesort")
+        ext = ".warc.gz" if gzip_records else ".warc"
+        path = f"{out_dir}/part-{shard:05d}{ext}"
+        total = 0
+        with open(path, "wb") as f:
+            for url, wdate, html in zip(pdf["url"], pdf["wdate"], pdf["html"]):
+                rec = warc_record_bytes(url, wdate, bytes(html),
+                                        http_envelope=http_envelope)
+                if gzip_records:
+                    buf = io.BytesIO()
+                    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+                        g.write(rec)
+                    rec = buf.getvalue()
+                f.write(rec)
+                total += len(rec)
+        return pd.DataFrame(
+            [(path, shard, len(pdf), total)],
+            columns=["warc_file", "shard", "records", "bytes"],
+        )
+
+    return src.groupBy("shard").applyInPandas(write_shard, MANIFEST_SCHEMA)
+
+
+CDX_SCHEMA = (
+    "urlkey string, cdx_ts string, url string, digest string, "
+    "warc_offset long, warc_length long, warc_file string"
+)
+
+
+def surt_urlkey(url):
+    """SURT-style sort key: reversed host labels + path —
+    ``https://sub.example.com/a/b`` → ``com,example,sub)/a/b``.  Native
+    expressions only (parse_url + reverse/array_join)."""
+    host = F.lower(F.parse_url(url, F.lit("HOST")))
+    path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+    return F.concat(
+        F.array_join(F.reverse(F.split(host, "\\.")), ","),
+        F.lit(")"), path,
+    )
+
+
+def cdx_index(df: DataFrame, shards: int = 8, shard=None) -> DataFrame:
+    """CDX index rows for the archives :func:`write_warc` would produce
+    from ``df`` (url, warc_ts, html) — offsets/lengths measured from the
+    ACTUAL canonical serialization inside the kernel, not re-derived
+    arithmetic; the SQL oracle is what re-derives them independently.
+
+    ``shard`` overrides the default ``pmod(xxhash64(url), shards)`` bucket
+    expression (the Iceberg bucket transform is likewise pluggable); pass a
+    portable expression when a second engine must reproduce the layout.
+
+    Digest is md5-hex of the payload (CC uses sha1-base32; md5 keeps the
+    digest recomputable by any SQL engine — divergence documented here).
+    """
+    shard_col = (shard if shard is not None
+                 else F.pmod(F.xxhash64("url"), F.lit(shards)))
+    src = df.select(
+        "url",
+        F.date_format(F.col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        .alias("wdate"),
+        F.col("html"),
+        shard_col.cast("int").alias("shard"),
+    )
+
+    def index_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        pdf = pdf.sort_values("url", kind="mergesort")
+        fname = f"part-{shard:05d}.warc"
+        rows, off = [], 0
+        for url, wdate, html in zip(pdf["url"], pdf["wdate"], pdf["html"]):
+            payload = bytes(html)
+            rec = warc_record_bytes(url, wdate, payload)
+            rows.append((
+                None, wdate.replace("-", "").replace(":", "")
+                .replace("T", "").replace("Z", ""),
+                url, hashlib.md5(payload).hexdigest(),
+                off, len(rec), fname,
+            ))
+            off += len(rec)
+        out = pd.DataFrame(rows, columns=[
+            "urlkey", "cdx_ts", "url", "digest",
+            "warc_offset", "warc_length", "warc_file",
+        ])
+        return out
+
+    idx = src.groupBy("shard").applyInPandas(index_shard, CDX_SCHEMA)
+    # urlkey is a pure column function — fill it JVM-side, post-kernel
+    return idx.withColumn("urlkey", surt_urlkey(F.col("url")))
+
+
+def pages_from_warc(spark: SparkSession, path_glob: str) -> DataFrame:
+    """The ingestion composition: WARC glob → the exact BASELINE input_hint
+    shape ``(url, warc_ts, html, text, lang)`` — visible text via the
+    codegen extractor, lang via the n-gram heuristic, both native."""
+    from ..operators.web import html_visible_text
+    from ..functions.text import lang_id
+
+    raw = read_warc(spark, path_glob)
+    with_text = raw.withColumn(
+        "text", html_visible_text(F.col("html").cast("string"))
+    )
+    return with_text.select(
+        "url", "warc_ts", "html", "text", lang_id(F.col("text")).alias("lang")
+    )

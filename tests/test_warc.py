@@ -1,0 +1,124 @@
+"""WARC source/sink: serialization invariants, parser tolerance, the
+distributed write→read round trip, CDX offset fidelity (ranged-read
+checked against the real files), and the ingestion composition that lands
+in the BASELINE input_hint shape."""
+
+import gzip
+import hashlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.sources import warc as W
+
+
+def _docs_df(spark, sf_dir, n=200):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(n)
+    return docs.select(
+        F.concat(F.lit("https://corpus.example/"), F.col("source"),
+                 F.lit("/"), F.col("doc_id")).alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id"))
+        .alias("warc_ts"),
+        F.encode(F.col("text"), "utf-8").alias("html"),
+    )
+
+
+def test_record_size_formula():
+    url, date, payload = "https://a.example/x", "2024-01-01T00:00:07Z", b"hi!"
+    rec = W.warc_record_bytes(url, date, payload)
+    assert len(rec) == (W._HEADER_CONST + len(url)
+                        + len(str(len(payload))) + len(payload))
+    # deterministic bytes: same inputs, same record (incl. the uuid5 id)
+    assert rec == W.warc_record_bytes(url, date, payload)
+
+
+def test_parse_single_and_envelope():
+    date = "2024-01-01T00:00:07Z"
+    plain = W.warc_record_bytes("https://a/x", date, b"<p>hi</p>")
+    env = W.warc_record_bytes("https://a/y", date, b"<p>ho</p>",
+                              http_envelope=True)
+    recs = W.parse_warc(plain + env)
+    assert [r["url"] for r in recs] == ["https://a/x", "https://a/y"]
+    assert recs[0]["payload"] == b"<p>hi</p>" and recs[0]["http_status"] is None
+    assert recs[1]["payload"] == b"<p>ho</p>" and recs[1]["http_status"] == 200
+    assert recs[0]["offset"] == 0 and recs[1]["offset"] == len(plain)
+    assert recs[1]["length"] == len(env)
+
+
+def test_parse_tolerates_truncation_and_garbage():
+    date = "2024-01-01T00:00:07Z"
+    rec = W.warc_record_bytes("https://a/x", date, b"payload")
+    assert len(W.parse_warc(rec + b"WARC/1.0\r\nbroken")) == 1
+    assert len(W.parse_warc(rec + rec[: len(rec) // 2])) == 1
+    assert len(W.parse_warc(b"not a warc at all")) == 0
+    assert W.parse_warc(b"\x1f\x8bcorrupt gzip") == []
+
+
+def test_parse_gzip_whole_and_per_record_members():
+    date = "2024-01-01T00:00:07Z"
+    r1 = W.warc_record_bytes("https://a/1", date, b"one")
+    r2 = W.warc_record_bytes("https://a/2", date, b"two")
+    whole = gzip.compress(r1 + r2, mtime=0)
+    got = W.parse_warc(whole)
+    assert [r["payload"] for r in got] == [b"one", b"two"]
+
+    def member(b):
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+            g.write(b)
+        return buf.getvalue()
+
+    m1, m2 = member(r1), member(r2)
+    got = W.parse_warc(m1 + m2)
+    assert [r["payload"] for r in got] == [b"one", b"two"]
+    # per-member offsets describe the COMPRESSED regions (ranged reads)
+    assert (got[0]["offset"], got[0]["length"]) == (0, len(m1))
+    assert (got[1]["offset"], got[1]["length"]) == (len(m1), len(m2))
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_write_read_roundtrip(spark, sf_dir, tmp_path, gz):
+    src = _docs_df(spark, sf_dir)
+    out = str(tmp_path / ("gz" if gz else "plain"))
+    (tmp_path / ("gz" if gz else "plain")).mkdir()
+    manifest = W.write_warc(src, out, shards=4, gzip_records=gz).collect()
+    assert sorted(m["shard"] for m in manifest) == [0, 1, 2, 3]
+    assert sum(m["records"] for m in manifest) == src.count()
+
+    back = W.read_warc(spark, out + ("/*.warc.gz" if gz else "/*.warc"))
+    exp = {(r["url"], r["warc_ts"], bytes(r["html"])) for r in src.collect()}
+    got = {(r["url"], r["warc_ts"], bytes(r["html"])) for r in back.collect()}
+    assert got == exp
+
+
+def test_cdx_offsets_support_ranged_reads(spark, sf_dir, tmp_path):
+    src = _docs_df(spark, sf_dir, n=60)
+    out = str(tmp_path)
+    W.write_warc(src, out, shards=4).collect()
+    idx = W.cdx_index(src, shards=4).collect()
+    assert len(idx) == 60
+    for row in idx[:10]:
+        with open(f"{out}/{row['warc_file']}", "rb") as f:
+            f.seek(row["warc_offset"])
+            blob = f.read(row["warc_length"])
+        (rec,) = W.parse_warc(blob)
+        assert rec["url"] == row["url"]
+        assert hashlib.md5(rec["payload"]).hexdigest() == row["digest"]
+    # SURT urlkey shape
+    key = next(r["urlkey"] for r in idx)
+    assert key.startswith("example,corpus)/")
+
+
+def test_pages_from_warc_matches_input_hint_shape(spark, sf_dir, tmp_path):
+    src = _docs_df(spark, sf_dir, n=40)
+    W.write_warc(src, str(tmp_path), shards=2).collect()
+    pages = W.pages_from_warc(spark, str(tmp_path) + "/*.warc")
+    assert pages.columns == ["url", "warc_ts", "html", "text", "lang"]
+    assert dict(pages.dtypes)["html"] == "binary"
+    rows = pages.collect()
+    assert len(rows) == 40
+    # the synthetic docs are plain text: extraction must be the identity
+    one = next(r for r in rows)
+    assert one["text"] == bytes(one["html"]).decode()
+    assert one["lang"] is not None
