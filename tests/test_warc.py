@@ -122,3 +122,53 @@ def test_pages_from_warc_matches_input_hint_shape(spark, sf_dir, tmp_path):
     one = next(r for r in rows)
     assert one["text"] == bytes(one["html"]).decode()
     assert one["lang"] is not None
+
+
+# ---------------------------------------------------------------------------
+# property tests: the parser must invert the serializer for ARBITRARY payloads
+# (including adversarial ones embedding record markers and CRLF runs) and for
+# every archive layout (plain / whole-gzip / per-record members / envelope)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_URL = st.from_regex(r"https://[a-z]{1,8}\.example/[a-z0-9/]{0,20}",
+                     fullmatch=True)
+_PAYLOAD = st.one_of(
+    st.binary(min_size=0, max_size=400),
+    # adversarial: payloads that look like record boundaries
+    st.tuples(st.binary(max_size=50), st.binary(max_size=50)).map(
+        lambda t: t[0] + b"\r\n\r\nWARC/1.0\r\n" + t[1]
+    ),
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(_URL, _PAYLOAD), min_size=1, max_size=6),
+       st.sampled_from(["plain", "gzip_whole", "gzip_members", "envelope"]))
+def test_parse_inverts_serialize(recs, layout):
+    date = "2024-01-01T00:00:07Z"
+    blobs = [
+        W.warc_record_bytes(u, date, p, http_envelope=(layout == "envelope"))
+        for u, p in recs
+    ]
+    if layout == "gzip_whole":
+        data = gzip.compress(b"".join(blobs), mtime=0)
+    elif layout == "gzip_members":
+        def member(b):
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+                g.write(b)
+            return buf.getvalue()
+        data = b"".join(member(b) for b in blobs)
+    else:
+        data = b"".join(blobs)
+    got = W.parse_warc(data)
+    assert [(r["url"], r["payload"]) for r in got] == recs
+    if layout == "plain":
+        # offsets partition the archive exactly, in order, gap-free
+        assert got[0]["offset"] == 0
+        for a, b in zip(got, got[1:]):
+            assert b["offset"] == a["offset"] + a["length"]
+        assert got[-1]["offset"] + got[-1]["length"] == len(data)
