@@ -65,26 +65,35 @@ class SnapshotStore:
         os.replace(tmp, p)  # atomic commit point
 
     # -- write path ---------------------------------------------------------
-    def commit(self, table: str, df: DataFrame, mode: str = "append") -> int:
+    def commit(self, table: str, df: DataFrame, mode: str = "append",
+               extra: dict | None = None) -> int:
         """Write df as a new snapshot of `table`; returns the snapshot id.
 
         mode='append'    → new snapshot = previous dirs + new dir
         mode='overwrite' → new snapshot = just the new dir (old files kept
                            for time-travel, exactly like Iceberg overwrite)
+
+        ``extra`` is merged into the snapshot's manifest line (Iceberg's
+        snapshot summary properties).  Because the manifest rename IS the
+        commit point, extra metadata is atomic with the data — the hook
+        incremental consumers use to record their source watermark (e.g.
+        the WARC ingest's already-consumed archive list) such that data
+        and watermark can never disagree after a crash.
         """
         snaps = self.snapshots(table)
         snap_id = (snaps[-1]["snapshot"] + 1) if snaps else 0
         data_dir = self.root / table / f"snap-{snap_id}"
         df.write.mode("overwrite").parquet(str(data_dir))
         prev_dirs = snaps[-1]["dirs"] if (snaps and mode == "append") else []
-        snaps.append(
-            {
-                "snapshot": snap_id,
-                "mode": mode,
-                "dirs": prev_dirs + [f"snap-{snap_id}"],
-                "ts": time.time(),
-            }
-        )
+        line = {
+            "snapshot": snap_id,
+            "mode": mode,
+            "dirs": prev_dirs + [f"snap-{snap_id}"],
+            "ts": time.time(),
+        }
+        if extra:
+            line.update(extra)
+        snaps.append(line)
         self._write_manifest(table, snaps)
         return snap_id
 

@@ -201,15 +201,17 @@ READ_SCHEMA = (
 )
 
 
-def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
+def read_warc(spark: SparkSession, path_glob: str | list[str]) -> DataFrame:
     """WARC archives → ``pages``-shaped DataFrame.
 
     ``binaryFile`` gives (path, content) with no decode and one partition
     per file — at CC's ~1 GB/file a 100 TB crawl is ~100k even tasks.  The
     kernel is Arrow-batched; per-record Python is the I/O boundary cost
-    (see module docstring).
+    (see module docstring).  ``path_glob`` may be a glob or an explicit
+    path list (the incremental ingest passes only the unseen archives).
     """
-    files = spark.read.format("binaryFile").load(path_glob).select(
+    paths = path_glob if isinstance(path_glob, list) else [path_glob]
+    files = spark.read.format("binaryFile").load(paths).select(
         "path", "content"
     )
 
@@ -348,10 +350,14 @@ def cdx_index(df: DataFrame, shards: int = 8, shard=None) -> DataFrame:
     return idx.withColumn("urlkey", surt_urlkey(F.col("url")))
 
 
-def pages_from_warc(spark: SparkSession, path_glob: str) -> DataFrame:
+def pages_from_warc(spark: SparkSession, path_glob: str | list[str],
+                    lineage: bool = False) -> DataFrame:
     """The ingestion composition: WARC glob → the exact BASELINE input_hint
     shape ``(url, warc_ts, html, text, lang)`` — visible text via the
-    codegen extractor, lang via the n-gram heuristic, both native."""
+    codegen extractor, lang via the n-gram heuristic, both native.
+    ``lineage=True`` appends ``(warc_file, warc_offset, warc_length)`` so
+    every stored page can be traced to (and re-read from) its archive
+    bytes — the per-partition lineage the snapshot ingest persists."""
     from ..operators.web import html_visible_text
     from ..functions.text import lang_id
 
@@ -359,6 +365,46 @@ def pages_from_warc(spark: SparkSession, path_glob: str) -> DataFrame:
     with_text = raw.withColumn(
         "text", html_visible_text(F.col("html").cast("string"))
     )
-    return with_text.select(
-        "url", "warc_ts", "html", "text", lang_id(F.col("text")).alias("lang")
+    cols = ["url", "warc_ts", "html", "text",
+            lang_id(F.col("text")).alias("lang")]
+    if lineage:
+        cols += ["warc_file", "warc_offset", "warc_length"]
+    return with_text.select(*cols)
+
+
+def ingest_warc_incremental(spark: SparkSession, store, path_glob: str,
+                            table: str = "warc_pages") -> dict:
+    """Resumable, exactly-once WARC ingestion into a SnapshotStore table.
+
+    Each run lists the glob, subtracts the archives already consumed, and
+    commits ONLY the new ones as one snapshot whose manifest line also
+    records the consumed file list (``SnapshotStore.commit(extra=...)``).
+    The manifest rename is the single atomic commit point, so data and
+    watermark cannot disagree: a crash before it re-ingests nothing extra,
+    a rerun after it sees the files as consumed.  This is Iceberg's
+    ``add_files``/streaming-file-source pattern on the sandbox shim.
+
+    Scale: the listing is metadata-only (paths come from the file index;
+    ``content`` is never projected), the seen set lives in the manifest
+    (~100k path strings at 100 TB — kilobytes of JSON per snapshot), and
+    the data pass reads each new archive exactly once.
+
+    Returns ``{"snapshot": id|None, "new_files": [...], "rows": n}``.
+    """
+    listing = sorted(
+        r["path"]
+        for r in spark.read.format("binaryFile").load(path_glob)
+        .select("path").collect()
     )
+    seen: set[str] = set()
+    for snap in store.snapshots(table):
+        seen.update(snap.get("warc_files", []))
+    new_files = [p for p in listing if p not in seen]
+    if not new_files:
+        return {"snapshot": None, "new_files": [], "rows": 0}
+    pages = pages_from_warc(spark, new_files, lineage=True)
+    snap_id = store.commit(table, pages, extra={"warc_files": new_files})
+    # row count from the one dir this commit wrote — never a table rescan
+    (new_dir,) = store.data_dirs_between(table, snap_id - 1, snap_id)
+    rows = spark.read.parquet(new_dir).count()
+    return {"snapshot": snap_id, "new_files": new_files, "rows": rows}

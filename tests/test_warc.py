@@ -172,3 +172,44 @@ def test_parse_inverts_serialize(recs, layout):
         for a, b in zip(got, got[1:]):
             assert b["offset"] == a["offset"] + a["length"]
         assert got[-1]["offset"] + got[-1]["length"] == len(data)
+
+
+def test_ingest_warc_incremental(spark, sf_dir, tmp_path):
+    from crawler_spark.sources.store import SnapshotStore
+
+    arch = tmp_path / "archives"
+    arch.mkdir()
+    store = SnapshotStore(str(tmp_path / "store"))
+    glob_ = str(arch) + "/*.warc"
+
+    src = _docs_df(spark, sf_dir, n=80)
+    W.write_warc(src, str(arch), shards=2).collect()
+
+    # run 1: both archives consumed in one snapshot
+    r1 = W.ingest_warc_incremental(spark, store, glob_)
+    assert r1["snapshot"] == 0 and len(r1["new_files"]) == 2
+    assert r1["rows"] == 80
+
+    # run 2: nothing new → no snapshot written
+    r2 = W.ingest_warc_incremental(spark, store, glob_)
+    assert r2 == {"snapshot": None, "new_files": [], "rows": 0}
+    assert store.latest_snapshot_id("warc_pages") == 0
+
+    # a third archive appears: ONLY it is ingested
+    extra = _docs_df(spark, sf_dir, n=120).exceptAll(src)
+    W.write_warc(extra.withColumn(
+        "url", F.regexp_replace("url", "corpus[.]example", "late.example")
+    ), str(arch), shards=1).collect()
+    import os
+    os.rename(arch / "part-00000.warc", arch / "part-late.warc")
+    r3 = W.ingest_warc_incremental(spark, store, glob_)
+    assert r3["snapshot"] == 1 and len(r3["new_files"]) == 1
+    assert r3["new_files"][0].endswith("part-late.warc")
+    assert r3["rows"] == 40
+
+    # full table = both ingests; lineage column traces every row's archive
+    tbl = store.read(spark, "warc_pages")
+    assert tbl.count() == 120
+    assert tbl.where(F.col("warc_file").like("%part-late.warc")).count() == 40
+    # exact-resume contract: time travel to snapshot 0 sees only run 1
+    assert store.read(spark, "warc_pages", as_of=0).count() == 80
