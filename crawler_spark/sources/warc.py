@@ -82,20 +82,26 @@ def record_id(url: str, date: str) -> str:
 
 def warc_record_bytes(url: str, date: str, payload: bytes,
                       rec_type: str = "response",
-                      http_envelope: bool = False) -> bytes:
+                      http_envelope: bool = False,
+                      content_type: str | None = None) -> bytes:
     """One canonical WARC/1.0 record.  ``date`` is the 20-byte
     ``YYYY-MM-DDTHH:MM:SSZ`` form.  With ``http_envelope`` the payload is
     wrapped in a minimal HTTP/1.1 response (Common Crawl's actual layout
-    for response records) and Content-Type switches to msgtype=response."""
+    for response records) and Content-Type switches to msgtype=response.
+    ``content_type`` overrides the payload mime (default text/html) — the
+    size formula's ``_HEADER_CONST`` describes the default; other types
+    shift it by the length difference, which :func:`cdx_index` measures
+    from the real bytes anyway."""
+    mime = content_type or _HTML_CT
     if http_envelope:
         body = (
-            f"HTTP/1.1 200 OK{_CRLF}Content-Type: {_HTML_CT}{_CRLF}"
+            f"HTTP/1.1 200 OK{_CRLF}Content-Type: {mime}{_CRLF}"
             f"Content-Length: {len(payload)}{_CRLF}{_CRLF}"
         ).encode("ascii") + payload
         ctype = _HTTP_CT
     else:
         body = payload
-        ctype = _HTML_CT
+        ctype = mime
     header = (
         f"WARC/1.0{_CRLF}"
         f"WARC-Type: {rec_type}{_CRLF}"
@@ -171,14 +177,20 @@ def parse_warc(data: bytes, offset_base: int = 0) -> list[dict]:
         if len(body) < clen:
             break  # truncated record
         status = None
+        ctype = headers.get("content-type")
         if (headers.get("content-type", "").startswith("application/http")
                 and body[:5] == b"HTTP/"):
             env_end = body.find(b"\r\n\r\n")
             if env_end >= 0:
-                status_line = body[:env_end].split(b"\r\n", 1)[0]
-                parts = status_line.split(b" ")
+                env_lines = body[:env_end].decode("ascii", "replace").split(
+                    _CRLF)
+                parts = env_lines[0].split(" ")
                 if len(parts) >= 2 and parts[1].isdigit():
                     status = int(parts[1])
+                for line in env_lines[1:]:
+                    k, _, v = line.partition(":")
+                    if k.strip().lower() == "content-type":
+                        ctype = v.strip()  # payload mime, not the envelope's
                 body = body[env_end + 4:]
         rec_end = body_start + clen + 4  # trailing CRLFCRLF
         recs.append({
@@ -188,6 +200,7 @@ def parse_warc(data: bytes, offset_base: int = 0) -> list[dict]:
             "rec_id": headers.get("warc-record-id", "").strip("<>"),
             "payload": body,
             "http_status": status,
+            "content_type": ctype,
             "offset": offset_base + pos,
             "length": rec_end - pos,
         })
@@ -197,7 +210,8 @@ def parse_warc(data: bytes, offset_base: int = 0) -> list[dict]:
 
 READ_SCHEMA = (
     "url string, warc_ts timestamp, html binary, http_status int, "
-    "warc_file string, warc_offset long, warc_length long"
+    "content_type string, warc_file string, warc_offset long, "
+    "warc_length long"
 )
 
 
@@ -223,11 +237,11 @@ def read_warc(spark: SparkSession, path_glob: str | list[str]) -> DataFrame:
                     rows.append((
                         r["url"],
                         datetime.strptime(r["warc_date"], _DATE_FMT),
-                        r["payload"], r["http_status"],
+                        r["payload"], r["http_status"], r["content_type"],
                         path, r["offset"], r["length"],
                     ))
             yield pd.DataFrame(rows, columns=[
-                "url", "warc_ts", "html", "http_status",
+                "url", "warc_ts", "html", "http_status", "content_type",
                 "warc_file", "warc_offset", "warc_length",
             ])
 
@@ -235,6 +249,24 @@ def read_warc(spark: SparkSession, path_glob: str | list[str]) -> DataFrame:
 
 
 MANIFEST_SCHEMA = "warc_file string, shard int, records long, bytes long"
+
+
+def _writer_src(df: DataFrame, shards: int, shard) -> DataFrame:
+    """Common writer/indexer prep: render the date, carry an optional
+    ``mime`` column (→ per-record Content-Type; default text/html when
+    absent), assign the bucket."""
+    shard_col = (shard if shard is not None
+                 else F.pmod(F.xxhash64("url"), F.lit(shards)))
+    mime = (F.col("mime") if "mime" in df.columns
+            else F.lit(None).cast("string"))
+    return df.select(
+        "url",
+        F.date_format(F.col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        .alias("wdate"),
+        F.col("html"),
+        mime.alias("mime"),
+        shard_col.cast("int").alias("shard"),
+    )
 
 
 def write_warc(df: DataFrame, out_dir: str, shards: int = 8,
@@ -248,15 +280,11 @@ def write_warc(df: DataFrame, out_dir: str, shards: int = 8,
     Scale: ``shards`` plays the role of Iceberg's bucket count — size it so
     each shard lands near CC's ~1 GB/file.  Each shard is one task; skewed
     url spaces spread by the hash.  With ``gzip_records`` each record is
-    its own gzip member (CC layout, ranged reads stay possible).
+    its own gzip member (CC layout, ranged reads stay possible).  A
+    ``mime`` column, when present, becomes each record's Content-Type and
+    survives the round trip (``read_warc`` exposes ``content_type``).
     """
-    src = df.select(
-        "url",
-        F.date_format(F.col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
-        .alias("wdate"),
-        F.col("html"),
-        F.pmod(F.xxhash64("url"), F.lit(shards)).cast("int").alias("shard"),
-    )
+    src = _writer_src(df, shards, None)
 
     def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])
@@ -265,9 +293,11 @@ def write_warc(df: DataFrame, out_dir: str, shards: int = 8,
         path = f"{out_dir}/part-{shard:05d}{ext}"
         total = 0
         with open(path, "wb") as f:
-            for url, wdate, html in zip(pdf["url"], pdf["wdate"], pdf["html"]):
+            for url, wdate, html, mime in zip(
+                    pdf["url"], pdf["wdate"], pdf["html"], pdf["mime"]):
                 rec = warc_record_bytes(url, wdate, bytes(html),
-                                        http_envelope=http_envelope)
+                                        http_envelope=http_envelope,
+                                        content_type=mime)
                 if gzip_records:
                     buf = io.BytesIO()
                     with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
@@ -314,24 +344,17 @@ def cdx_index(df: DataFrame, shards: int = 8, shard=None) -> DataFrame:
     Digest is md5-hex of the payload (CC uses sha1-base32; md5 keeps the
     digest recomputable by any SQL engine — divergence documented here).
     """
-    shard_col = (shard if shard is not None
-                 else F.pmod(F.xxhash64("url"), F.lit(shards)))
-    src = df.select(
-        "url",
-        F.date_format(F.col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
-        .alias("wdate"),
-        F.col("html"),
-        shard_col.cast("int").alias("shard"),
-    )
+    src = _writer_src(df, shards, shard)
 
     def index_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])
         pdf = pdf.sort_values("url", kind="mergesort")
         fname = f"part-{shard:05d}.warc"
         rows, off = [], 0
-        for url, wdate, html in zip(pdf["url"], pdf["wdate"], pdf["html"]):
+        for url, wdate, html, mime in zip(
+                pdf["url"], pdf["wdate"], pdf["html"], pdf["mime"]):
             payload = bytes(html)
-            rec = warc_record_bytes(url, wdate, payload)
+            rec = warc_record_bytes(url, wdate, payload, content_type=mime)
             rows.append((
                 None, wdate.replace("-", "").replace(":", "")
                 .replace("T", "").replace("Z", ""),
@@ -351,22 +374,35 @@ def cdx_index(df: DataFrame, shards: int = 8, shard=None) -> DataFrame:
 
 
 def pages_from_warc(spark: SparkSession, path_glob: str | list[str],
-                    lineage: bool = False) -> DataFrame:
+                    lineage: bool = False, mime: bool = False,
+                    text_mode: str = "decode") -> DataFrame:
     """The ingestion composition: WARC glob → the exact BASELINE input_hint
-    shape ``(url, warc_ts, html, text, lang)`` — visible text via the
-    codegen extractor, lang via the n-gram heuristic, both native.
+    shape ``(url, warc_ts, html, text, lang)``; lang via the n-gram
+    heuristic, all native expressions.
+
+    ``text_mode``: ``"decode"`` (default) defines ``text`` as the UTF-8
+    decode of the payload — the reference's ``downloadedFileToText``
+    contract (Downloader.fs:27-30) the crawl's parse path consumes, which
+    makes a crawl over WARC-ingested pages byte-identical to one over the
+    original table; ``"visible"`` runs the codegen visible-text extractor
+    instead (the WET-style corpus column for the training-data tier).
     ``lineage=True`` appends ``(warc_file, warc_offset, warc_length)`` so
     every stored page can be traced to (and re-read from) its archive
-    bytes — the per-partition lineage the snapshot ingest persists."""
-    from ..operators.web import html_visible_text
+    bytes — the per-partition lineage the snapshot ingest persists.
+    ``mime=True`` appends the record Content-Type as ``mime`` — the column
+    the crawl's photo pipeline consumes, preserved through the archive."""
+    from ..functions.parse_udfs import decode_text
     from ..functions.text import lang_id
+    from ..operators.web import html_visible_text
 
     raw = read_warc(spark, path_glob)
-    with_text = raw.withColumn(
-        "text", html_visible_text(F.col("html").cast("string"))
-    )
+    text_col = (decode_text(F.col("html")) if text_mode == "decode"
+                else html_visible_text(F.col("html").cast("string")))
+    with_text = raw.withColumn("text", text_col)
     cols = ["url", "warc_ts", "html", "text",
             lang_id(F.col("text")).alias("lang")]
+    if mime:
+        cols.append(F.col("content_type").alias("mime"))
     if lineage:
         cols += ["warc_file", "warc_offset", "warc_length"]
     return with_text.select(*cols)

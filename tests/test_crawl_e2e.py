@@ -553,3 +553,33 @@ def test_e2e_resume_exactness(spark, sf_dir, tmp_path_factory):
             da.select(cols).exceptAll(db.select(cols)).count() == 0
             and db.select(cols).exceptAll(da.select(cols)).count() == 0
         ), f"{getter} differs between straight and resumed runs"
+
+
+def test_e2e_crawl_over_warc_ingested_pages_matches(
+        crawl_result, spark, tmp_path_factory):
+    """Full-provenance fidelity: pages written to WARC archives and read
+    back through the ingestion path (per-record Content-Type preserved as
+    mime) must drive a crawl to exactly the reference run's
+    cards/seen/missing tables — i.e. the archive round trip is lossless
+    for every byte the pipeline consumes."""
+    from crawler_spark.sources.warc import pages_from_warc, write_warc
+
+    ref_job, _, _ = crawl_result
+    arch = tmp_path_factory.mktemp("warc_universe")
+    write_warc(ref_job.pages, str(arch), shards=8).collect()
+    pages = pages_from_warc(spark, str(arch) + "/*.warc", mime=True)
+
+    job = CrawlJob(
+        spark, str(tmp_path_factory.mktemp("wstore")), pages,
+        wave_seconds=10**9, prewarm=False,
+    )
+    job.seed_frontier(ref_job.store.read(spark, "frontier", as_of=0))
+    job.crawl(max_waves=10)
+
+    for getter in ("cards", "seen_set", "missing_set"):
+        da, db = getattr(ref_job, getter)(), getattr(job, getter)()
+        cols = [c for c in da.columns if c != "wave"]
+        assert (
+            da.select(cols).exceptAll(db.select(cols)).count() == 0
+            and db.select(cols).exceptAll(da.select(cols)).count() == 0
+        ), f"{getter} differs between WARC-ingested and direct runs"
