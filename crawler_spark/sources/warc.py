@@ -271,7 +271,9 @@ def _writer_src(df: DataFrame, shards: int, shard) -> DataFrame:
 
 def write_warc(df: DataFrame, out_dir: str, shards: int = 8,
                gzip_records: bool = False,
-               http_envelope: bool = False) -> DataFrame:
+               http_envelope: bool = False,
+               rec_type: str = "response",
+               ext: str | None = None) -> DataFrame:
     """Distributed WARC sink: shard rows by ``pmod(xxhash64(url), shards)``,
     one archive file per shard written executor-side, records ordered by
     url within the shard (deterministic bytes → reproducible offsets).
@@ -286,16 +288,18 @@ def write_warc(df: DataFrame, out_dir: str, shards: int = 8,
     """
     src = _writer_src(df, shards, None)
 
+    suffix = ext or (".warc.gz" if gzip_records else ".warc")
+
     def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])
         pdf = pdf.sort_values("url", kind="mergesort")
-        ext = ".warc.gz" if gzip_records else ".warc"
-        path = f"{out_dir}/part-{shard:05d}{ext}"
+        path = f"{out_dir}/part-{shard:05d}{suffix}"
         total = 0
         with open(path, "wb") as f:
             for url, wdate, html, mime in zip(
                     pdf["url"], pdf["wdate"], pdf["html"], pdf["mime"]):
                 rec = warc_record_bytes(url, wdate, bytes(html),
+                                        rec_type=rec_type,
                                         http_envelope=http_envelope,
                                         content_type=mime)
                 if gzip_records:
@@ -371,6 +375,26 @@ def cdx_index(df: DataFrame, shards: int = 8, shard=None) -> DataFrame:
     idx = src.groupBy("shard").applyInPandas(index_shard, CDX_SCHEMA)
     # urlkey is a pure column function — fill it JVM-side, post-kernel
     return idx.withColumn("urlkey", surt_urlkey(F.col("url")))
+
+
+def write_wet(pages: DataFrame, out_dir: str, shards: int = 8,
+              gzip_records: bool = False) -> DataFrame:
+    """WET companion archives (Common Crawl's extracted-text format):
+    ``conversion`` records whose payload is the page's ``text`` column as
+    UTF-8, Content-Type text/plain — what the training-data tier consumes
+    when raw HTML isn't needed.  Same sharding/manifest as
+    :func:`write_warc`; readable back with :func:`read_warc` (the
+    ``rec_type`` is in each record, the payload lands in ``html``)."""
+    src = pages.select(
+        "url", "warc_ts",
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8")
+        .alias("html"),
+        F.lit("text/plain; charset=utf-8").alias("mime"),
+    )
+    suffix = ".warc.wet.gz" if gzip_records else ".warc.wet"
+    return write_warc(src, out_dir, shards=shards,
+                      gzip_records=gzip_records, rec_type="conversion",
+                      ext=suffix)
 
 
 def pages_from_warc(spark: SparkSession, path_glob: str | list[str],

@@ -213,3 +213,25 @@ def test_ingest_warc_incremental(spark, sf_dir, tmp_path):
     assert tbl.where(F.col("warc_file").like("%part-late.warc")).count() == 40
     # exact-resume contract: time travel to snapshot 0 sees only run 1
     assert store.read(spark, "warc_pages", as_of=0).count() == 80
+
+
+def test_write_wet_conversion_records(spark, sf_dir, tmp_path):
+    from crawler_spark.sources.pages import build_pages
+
+    pages = build_pages(spark, sf_dir, include_photos=False,
+                        include_fixtures=False).limit(50)
+    W.write_wet(pages, str(tmp_path), shards=2).collect()
+
+    files = sorted(tmp_path.glob("*.warc.wet"))
+    assert len(files) == 2
+    recs = [r for f in files for r in W.parse_warc(f.read_bytes())]
+    assert len(recs) == 50
+    assert {r["rec_type"] for r in recs} == {"conversion"}
+    assert {r["content_type"] for r in recs} == {"text/plain; charset=utf-8"}
+    exp = {(r["url"], r["text"]) for r in pages.select("url", "text").collect()}
+    got = {(r["url"], r["payload"].decode()) for r in recs}
+    assert got == exp
+
+    # and the Spark reader sees them as a normal pages-shaped frame
+    back = W.read_warc(spark, str(tmp_path) + "/*.warc.wet")
+    assert back.count() == 50
