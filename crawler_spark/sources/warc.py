@@ -97,7 +97,7 @@ def warc_record_bytes(url: str, date: str, payload: bytes,
         body = (
             f"HTTP/1.1 200 OK{_CRLF}Content-Type: {mime}{_CRLF}"
             f"Content-Length: {len(payload)}{_CRLF}{_CRLF}"
-        ).encode("ascii") + payload
+        ).encode("utf-8") + payload
         ctype = _HTTP_CT
     else:
         body = payload
@@ -111,7 +111,7 @@ def warc_record_bytes(url: str, date: str, payload: bytes,
         f"Content-Type: {ctype}{_CRLF}"
         f"Content-Length: {len(body)}{_CRLF}"
         f"{_CRLF}"
-    ).encode("ascii")
+    ).encode("utf-8")
     return header + body + b"\r\n\r\n"
 
 
@@ -165,7 +165,7 @@ def parse_warc(data: bytes, offset_base: int = 0) -> list[dict]:
         if hdr_end < 0:
             break
         headers: dict[str, str] = {}
-        for line in data[pos:hdr_end].decode("ascii", "replace").split(_CRLF)[1:]:
+        for line in data[pos:hdr_end].decode("utf-8", "replace").split(_CRLF)[1:]:
             k, _, v = line.partition(":")
             headers[k.strip().lower()] = v.strip()
         try:
@@ -182,7 +182,7 @@ def parse_warc(data: bytes, offset_base: int = 0) -> list[dict]:
                 and body[:5] == b"HTTP/"):
             env_end = body.find(b"\r\n\r\n")
             if env_end >= 0:
-                env_lines = body[:env_end].decode("ascii", "replace").split(
+                env_lines = body[:env_end].decode("utf-8", "replace").split(
                     _CRLF)
                 parts = env_lines[0].split(" ")
                 if len(parts) >= 2 and parts[1].isdigit():

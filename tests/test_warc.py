@@ -133,8 +133,9 @@ def test_pages_from_warc_matches_input_hint_shape(spark, sf_dir, tmp_path):
 from hypothesis import given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 
-_URL = st.from_regex(r"https://[a-z]{1,8}\.example/[a-z0-9/]{0,20}",
-                     fullmatch=True)
+_URL = st.from_regex(
+    r"https://[a-z]{1,8}\.example/[a-z0-9/éп中]{0,20}",
+    fullmatch=True)  # incl. non-ascii path chars: headers are UTF-8
 _PAYLOAD = st.one_of(
     st.binary(min_size=0, max_size=400),
     # adversarial: payloads that look like record boundaries
