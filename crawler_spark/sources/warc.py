@@ -215,7 +215,8 @@ READ_SCHEMA = (
 )
 
 
-def read_warc(spark: SparkSession, path_glob: str | list[str]) -> DataFrame:
+def read_warc(spark: SparkSession, path_glob: str | list[str],
+              rec_types: tuple[str, ...] | None = None) -> DataFrame:
     """WARC archives → ``pages``-shaped DataFrame.
 
     ``binaryFile`` gives (path, content) with no decode and one partition
@@ -223,6 +224,12 @@ def read_warc(spark: SparkSession, path_glob: str | list[str]) -> DataFrame:
     kernel is Arrow-batched; per-record Python is the I/O boundary cost
     (see module docstring).  ``path_glob`` may be a glob or an explicit
     path list (the incremental ingest passes only the unseen archives).
+
+    Records without a WARC-Target-URI or a parseable WARC-Date are skipped
+    — real CC archives open with a ``warcinfo`` record that has neither,
+    and one housekeeping record must not kill a task.  ``rec_types``
+    optionally restricts to specific WARC-Types (e.g. ``("response",)``;
+    default keeps every addressed record).
     """
     paths = path_glob if isinstance(path_glob, list) else [path_glob]
     files = spark.read.format("binaryFile").load(paths).select(
@@ -234,9 +241,16 @@ def read_warc(spark: SparkSession, path_glob: str | list[str]) -> DataFrame:
             rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
                 for r in parse_warc(bytes(content)):
+                    if not r["url"] or not r["warc_date"]:
+                        continue  # warcinfo / metadata housekeeping record
+                    if rec_types and r["rec_type"] not in rec_types:
+                        continue
+                    try:
+                        ts = datetime.strptime(r["warc_date"], _DATE_FMT)
+                    except ValueError:
+                        continue  # unparseable date: skip, don't die
                     rows.append((
-                        r["url"],
-                        datetime.strptime(r["warc_date"], _DATE_FMT),
+                        r["url"], ts,
                         r["payload"], r["http_status"], r["content_type"],
                         path, r["offset"], r["length"],
                     ))

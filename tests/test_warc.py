@@ -236,3 +236,31 @@ def test_write_wet_conversion_records(spark, sf_dir, tmp_path):
     # and the Spark reader sees them as a normal pages-shaped frame
     back = W.read_warc(spark, str(tmp_path) + "/*.warc.wet")
     assert back.count() == 50
+
+
+def test_read_warc_skips_warcinfo_and_filters_rec_types(spark, tmp_path):
+    # real CC archives open with a warcinfo record: no Target-URI, no
+    # addressable payload — the reader must skip it, not die
+    info_body = b"software: test\r\nformat: WARC File Format 1.0\r\n"
+    warcinfo = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: warcinfo\r\n"
+        b"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-000000000000>\r\n"
+        b"Content-Type: application/warc-fields\r\n"
+        b"Content-Length: " + str(len(info_body)).encode() + b"\r\n\r\n"
+        + info_body + b"\r\n\r\n"
+    )
+    date = "2024-01-01T00:00:07Z"
+    resp = W.warc_record_bytes("https://a/x", date, b"<p>hi</p>")
+    conv = W.warc_record_bytes("https://a/y", date, b"text",
+                               rec_type="conversion",
+                               content_type="text/plain")
+    bad_date = W.warc_record_bytes("https://a/z", "not-a-date", b"zz")
+    (tmp_path / "mixed.warc").write_bytes(warcinfo + resp + conv + bad_date)
+
+    got = W.read_warc(spark, str(tmp_path / "mixed.warc")).collect()
+    assert sorted(r["url"] for r in got) == ["https://a/x", "https://a/y"]
+
+    only_resp = W.read_warc(spark, str(tmp_path / "mixed.warc"),
+                            rec_types=("response",)).collect()
+    assert [r["url"] for r in only_resp] == ["https://a/x"]
