@@ -1335,6 +1335,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["warc_cdx"] = warc_cdx
 
+    def robots_longest_match(spark, sf_dir):
+        # RFC 9309 Allow/Disallow longest-match evaluation
+        # (operators/politeness.apply_robots_rfc + robots.parse_robots_rfc):
+        # most specific matching prefix decides, equal-length ties go to
+        # Allow, unmatched urls pass.  The rules table is a shared literal
+        # (VALUES in the oracle); urls derive from documents.  Exercises:
+        # re-allow under a broader disallow, a deeper re-disallow, a
+        # block-everything host, an equal-length tie, and an untouched host.
+        from crawler_spark.operators.politeness import apply_robots_rfc
+
+        rules = spark.createDataFrame(
+            [("h0.example", "/src1", False),
+             ("h0.example", "/src11", True),
+             ("h0.example", "/src11/1", False),
+             ("h1.example", "/", False),
+             ("h2.example", "/src", False),
+             ("h2.example", "/src", True)],
+            "host string, prefix string, is_allow boolean",
+        )
+        docs = _t(spark, sf_dir, "documents")
+        urls = docs.select(
+            F.concat(F.lit("https://h"), F.col("doc_id") % 3,
+                     F.lit(".example/"), F.col("source"), F.lit("/"),
+                     F.col("doc_id")).alias("url"),
+            F.concat(F.lit("h"), F.col("doc_id") % 3, F.lit(".example"))
+            .alias("host"),
+        )
+        return apply_robots_rfc(urls, rules).select("url")
+
+    q["robots_longest_match"] = robots_longest_match
+
     return q
 
 
@@ -2594,6 +2625,34 @@ def oracle_sql() -> dict[str, str]:
            warc_length,
            printf('part-%05d.warc', shard::int) AS warc_file
     FROM sized
+    """
+
+    o["robots_longest_match"] = """
+    WITH urls AS (
+      SELECT 'https://h' || (doc_id % 3) || '.example/' || source || '/'
+               || doc_id AS url,
+             'h' || (doc_id % 3) || '.example' AS host,
+             '/' || source || '/' || doc_id AS path
+      FROM documents
+    ),
+    rules(host, prefix, is_allow) AS (VALUES
+      ('h0.example', '/src1', false),
+      ('h0.example', '/src11', true),
+      ('h0.example', '/src11/1', false),
+      ('h1.example', '/', false),
+      ('h2.example', '/src', false),
+      ('h2.example', '/src', true)
+    ),
+    m AS (
+      SELECT u.url, r.is_allow,
+             row_number() OVER (PARTITION BY u.url
+                                ORDER BY length(r.prefix) DESC,
+                                         r.is_allow DESC) AS rn
+      FROM urls u JOIN rules r
+        ON u.host = r.host AND starts_with(u.path, r.prefix)
+    )
+    SELECT url FROM urls
+    WHERE url NOT IN (SELECT url FROM m WHERE rn = 1 AND NOT is_allow)
     """
 
     return o

@@ -44,6 +44,37 @@ def apply_robots(frontier_df: DataFrame, robots_df: DataFrame) -> DataFrame:
     return frontier_df.join(hit.select("url").distinct(), "url", "left_anti")
 
 
+def apply_robots_rfc(frontier_df: DataFrame, rules_df: DataFrame) -> DataFrame:
+    """RFC 9309 longest-match evaluation over an Allow/Disallow rules table
+    (``host, prefix, is_allow`` from ``robots.parse_robots_rfc``): for each
+    url the most specific (longest-prefix) matching rule decides; on an
+    exact length tie Allow wins (§2.2.2); an unmatched url is allowed.
+
+    Shape: rules broadcast (robots tables are KBs/host), one inner prefix
+    join, then a per-url ``row_number`` — each url matches at most a
+    handful of rules, so the window partitions are tiny and uniformly
+    distributed (no hot key).
+    """
+    rules = F.broadcast(
+        rules_df.where(F.col("prefix").isNotNull())
+        .select("host", "prefix", "is_allow")
+    )
+    path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+    w = Window.partitionBy("url").orderBy(
+        F.length("prefix").desc(), F.col("is_allow").desc()
+    )
+    blocked = (
+        frontier_df.select("url", "host").withColumn("__path", path)
+        .join(rules, "host", "inner")
+        .where(F.col("__path").startswith(F.col("prefix")))
+        .withColumn("__rn", F.row_number().over(w))
+        .where((F.col("__rn") == 1) & ~F.col("is_allow"))
+        .select("url")
+        .distinct()
+    )
+    return frontier_df.join(blocked, "url", "left_anti")
+
+
 def _budget_per_host(robots_df: DataFrame | None, wave_seconds: int):
     if robots_df is None:
         return F.lit(max(1, wave_seconds * 1000 // DEFAULT_CRAWL_DELAY_MS))

@@ -37,13 +37,9 @@ def robots_pages(pages_df: DataFrame) -> DataFrame:
     )
 
 
-def parse_robots(robots_df: DataFrame) -> DataFrame:
-    """(host, text) robots bodies → (host, disallow_prefix, crawl_delay_ms).
-
-    Hosts whose wildcard group has no disallows but a crawl-delay still get
-    one row with ``disallow_prefix`` NULL (politeness-only rule);
-    :func:`..operators.politeness.apply_robots` ignores NULL prefixes.
-    """
+def _star_group_rules(robots_df: DataFrame) -> DataFrame:
+    """(host, text) → the key/value lines of each host's wildcard
+    (``User-agent: *``) group — the shared front half of both parsers."""
     lines = robots_df.select(
         "host",
         F.posexplode(F.split(F.col("text"), "\r?\n")).alias("line_no", "raw"),
@@ -77,26 +73,68 @@ def parse_robots(robots_df: DataFrame) -> DataFrame:
         .select("host", "group_id")
         .distinct()
     )
-    rules = grouped.join(star_groups, ["host", "group_id"], "left_semi")
+    return grouped.join(star_groups, ["host", "group_id"], "left_semi")
 
-    disallows = (
-        rules.where((F.col("key") == "disallow") & (F.col("val") != ""))
-        .select("host", F.col("val").alias("disallow_prefix"))
-        .distinct()
-    )
-    delays = (
+
+def _delays(rules: DataFrame) -> DataFrame:
+    return (
         rules.where(F.col("key") == "crawl-delay")
         .where(F.col("val").rlike(r"^\d+(\.\d+)?$"))
         .groupBy("host")
         .agg((F.min(F.col("val").cast("double")) * 1000).cast("long")
              .alias("crawl_delay_ms"))
     )
-    out = disallows.join(delays, "host", "full").select(
+
+
+def parse_robots(robots_df: DataFrame) -> DataFrame:
+    """(host, text) robots bodies → (host, disallow_prefix, crawl_delay_ms).
+
+    Hosts whose wildcard group has no disallows but a crawl-delay still get
+    one row with ``disallow_prefix`` NULL (politeness-only rule);
+    :func:`..operators.politeness.apply_robots` ignores NULL prefixes.
+    """
+    rules = _star_group_rules(robots_df)
+
+    disallows = (
+        rules.where((F.col("key") == "disallow") & (F.col("val") != ""))
+        .select("host", F.col("val").alias("disallow_prefix"))
+        .distinct()
+    )
+    out = disallows.join(_delays(rules), "host", "full").select(
         "host",
         "disallow_prefix",
         F.col("crawl_delay_ms"),
     )
     return out
+
+
+def parse_robots_rfc(robots_df: DataFrame) -> DataFrame:
+    """RFC 9309 superset parser: (host, text) → ``(host, prefix, is_allow,
+    crawl_delay_ms)`` for :func:`..operators.politeness.apply_robots_rfc`'s
+    longest-match evaluation.
+
+    Wildcard handling is CONSERVATIVE (the polite direction of RFC 9309
+    §2.2.3's ``*``/``$`` patterns, which prefix matching can't express
+    exactly): a ``Disallow`` containing ``*`` or ``$`` is truncated to its
+    literal prefix before the first metacharacter (over-blocking is safe);
+    an ``Allow`` containing either is dropped (over-allowing is not).
+    Crawl-delay rows carry a NULL prefix exactly as in :func:`parse_robots`.
+    """
+    rules = _star_group_rules(robots_df)
+    paths = rules.where(
+        F.col("key").isin("allow", "disallow") & (F.col("val") != "")
+    ).select(
+        "host",
+        F.regexp_extract("val", r"^([^*$]*)", 1).alias("prefix"),
+        (F.col("key") == "allow").alias("is_allow"),
+        F.col("val").rlike(r"[*$]").alias("__wild"),
+    ).where(
+        # drop wildcard allows; keep truncated wildcard disallows
+        ~(F.col("__wild") & F.col("is_allow")) & (F.col("prefix") != "")
+    ).drop("__wild").distinct()
+    return paths.join(_delays(rules), "host", "full").select(
+        "host", "prefix", "is_allow", "crawl_delay_ms"
+    )
 
 
 def robots_rules_from_corpus(pages_df: DataFrame) -> DataFrame:

@@ -89,3 +89,51 @@ def test_robots_pages_extraction_and_politeness_wiring(spark):
     )
     picked = select_wave(frontier, wave_seconds=600, robots_df=delay_only)
     assert picked.where("selected").count() == 10
+
+
+RFC_TXT = """\
+User-agent: *
+Disallow: /shop
+Allow: /shop/public
+Disallow: /shop/public/secret
+Allow: /shop/public/secret        # equal-length tie: Allow wins (RFC 9309)
+Disallow: /cgi*/scripts
+Allow: /wild*/card
+Crawl-delay: 1
+"""
+
+
+def test_parse_robots_rfc_rules_and_wildcards(spark):
+    from crawler_spark.operators.robots import parse_robots_rfc
+
+    rules = parse_robots_rfc(_robots_df(spark, text=RFC_TXT)).collect()
+    got = {(r["prefix"], r["is_allow"]) for r in rules}
+    assert ("/shop", False) in got
+    assert ("/shop/public", True) in got
+    # wildcard disallow truncated to its literal prefix (conservative)
+    assert ("/cgi", False) in got
+    # wildcard allow dropped entirely (over-allowing is impolite)
+    assert not any(p.startswith("/wild") for p, _ in got)
+    assert all(r["crawl_delay_ms"] == 1000 for r in rules)
+
+
+def test_apply_robots_rfc_longest_match(spark):
+    from crawler_spark.operators.politeness import apply_robots_rfc
+    from crawler_spark.operators.robots import parse_robots_rfc
+
+    rules = parse_robots_rfc(_robots_df(spark, host="h", text=RFC_TXT))
+    urls = spark.createDataFrame(
+        [(f"https://h{p}",) for p in (
+            "/shop/item",             # blocked by /shop
+            "/shop/public/item",      # re-allowed by longer /shop/public
+            "/shop/public/secret/x",  # equal-length allow+disallow: allowed
+            "/cgi-bin/scripts/x",     # blocked by truncated /cgi
+            "/elsewhere",             # unmatched: allowed
+        )], "url string",
+    ).withColumn("host", F.lit("h"))
+    kept = {r["url"] for r in apply_robots_rfc(urls, rules).collect()}
+    assert kept == {
+        "https://h/shop/public/item",
+        "https://h/shop/public/secret/x",
+        "https://h/elsewhere",
+    }
