@@ -34,7 +34,12 @@ def apply_robots(frontier_df: DataFrame, robots_df: DataFrame) -> DataFrame:
     relative to the frontier.  Path-prefix match on the url's path part.
     """
     rules = F.broadcast(robots_df.select("host", "disallow_prefix"))
-    path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+    # parse_url returns '' (not NULL) for a bare-host url, so nullif —
+    # otherwise 'https://host' never matches even 'Disallow: /'
+    path = F.coalesce(
+        F.nullif(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("")),
+        F.lit("/"),
+    )
     hit = (
         frontier_df.withColumn("__path", path)
         .join(rules, "host", "inner")
@@ -59,7 +64,11 @@ def apply_robots_rfc(frontier_df: DataFrame, rules_df: DataFrame) -> DataFrame:
         rules_df.where(F.col("prefix").isNotNull())
         .select("host", "prefix", "is_allow")
     )
-    path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+    # nullif: parse_url yields '' (not NULL) for bare-host urls — map to '/'
+    path = F.coalesce(
+        F.nullif(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("")),
+        F.lit("/"),
+    )
     w = Window.partitionBy("url").orderBy(
         F.length("prefix").desc(), F.col("is_allow").desc()
     )

@@ -116,18 +116,24 @@ def parse_robots_rfc(robots_df: DataFrame) -> DataFrame:
     Wildcard handling is CONSERVATIVE (the polite direction of RFC 9309
     §2.2.3's ``*``/``$`` patterns, which prefix matching can't express
     exactly): a ``Disallow`` containing ``*`` or ``$`` is truncated to its
-    literal prefix before the first metacharacter (over-blocking is safe);
-    an ``Allow`` containing either is dropped (over-allowing is not).
-    Crawl-delay rows carry a NULL prefix exactly as in :func:`parse_robots`.
+    literal prefix before the first metacharacter — and if that leaves
+    nothing (``Disallow: *``), it becomes the block-everything prefix
+    ``/`` (over-blocking is safe); an ``Allow`` containing either is
+    dropped (over-allowing is not).  Crawl-delay rows carry a NULL prefix
+    exactly as in :func:`parse_robots`.
     """
     rules = _star_group_rules(robots_df)
+    literal = F.regexp_extract("val", r"^([^*$]*)", 1)
+    wild = F.col("val").rlike(r"[*$]")
     paths = rules.where(
         F.col("key").isin("allow", "disallow") & (F.col("val") != "")
     ).select(
         "host",
-        F.regexp_extract("val", r"^([^*$]*)", 1).alias("prefix"),
+        # a wildcard disallow whose literal prefix is empty blocks all
+        F.when(wild & (literal == "") & (F.col("key") == "disallow"),
+               F.lit("/")).otherwise(literal).alias("prefix"),
         (F.col("key") == "allow").alias("is_allow"),
-        F.col("val").rlike(r"[*$]").alias("__wild"),
+        wild.alias("__wild"),
     ).where(
         # drop wildcard allows; keep truncated wildcard disallows
         ~(F.col("__wild") & F.col("is_allow")) & (F.col("prefix") != "")

@@ -92,6 +92,12 @@ class SnapshotStore:
             "ts": time.time(),
         }
         if extra:
+            clash = set(extra) & set(line)
+            if clash:
+                raise ValueError(
+                    f"extra keys {sorted(clash)} would clobber reserved "
+                    "snapshot-manifest fields"
+                )
             line.update(extra)
         snaps.append(line)
         self._write_manifest(table, snaps)

@@ -17,9 +17,10 @@ crawl segment).  This module makes that ingestion path concrete:
   the url space, written executor-side inside ``applyInPandas``; returns a
   manifest DataFrame (file, records, bytes) the caller commits alongside
   the data (same idiom as the SnapshotStore manifests).
-* :func:`cdx_rows` — the CDX index projection (SURT urlkey, timestamp,
-  digest, offset, length, file) over the writer's record layout; offsets
-  come from the actual serialized bytes, not arithmetic.
+* :func:`write_warc` with ``index=True`` / :func:`cdx_index` — the CDX
+  index projection (SURT urlkey, timestamp, digest, offset, length, file)
+  over the writer's record layout; offsets come from the actual
+  serialized bytes, not arithmetic.
 
 Record serialization is canonical and deterministic (fixed header order,
 CRLF discipline, uuid5 record ids), so byte offsets are reproducible
@@ -43,6 +44,7 @@ from __future__ import annotations
 import gzip
 import hashlib
 import io
+import os
 import uuid
 import zlib
 from datetime import datetime
@@ -139,22 +141,24 @@ def parse_warc(data: bytes, offset_base: int = 0) -> list[dict]:
 
     Each dict: ``url, warc_date (str), rec_type, rec_id, payload (bytes),
     http_status (int|None), offset, length``.  For compressed archives
-    offset/length describe the COMPRESSED region (the thing a ranged read
-    fetches); for plain archives, the record's own bytes.
+    offset/length describe the COMPRESSED gzip-member region containing
+    the record (the thing a ranged read fetches and can decompress —
+    exact per record under CC's per-record-member layout, the whole file
+    under single-member whole-file gzip); for plain archives, the
+    record's own bytes.
     """
     if data[:2] == b"\x1f\x8b":
+        # every record in a gzip member reports the MEMBER's compressed
+        # region as its (offset, length): that is the unit a ranged read
+        # can actually fetch and decompress.  CC's per-record-member
+        # layout therefore gets exact per-record offsets; a whole-file
+        # single-member archive gets (0, file length) on every record.
         out: list[dict] = []
-        members = list(_gunzip_members(data))
-        if not members:
-            return []  # corrupt gzip prologue: skip the archive
-        if len(members) > 1:
-            for blob, moff, mlen in members:
-                for r in parse_warc(blob):
-                    r["offset"], r["length"] = offset_base + moff, mlen
-                    out.append(r)
-            return out
-        blob, _, _ = members[0]
-        return parse_warc(blob, offset_base)
+        for blob, moff, mlen in _gunzip_members(data):
+            for r in parse_warc(blob):
+                r["offset"], r["length"] = offset_base + moff, mlen
+                out.append(r)
+        return out
     recs = []
     pos = 0
     n = len(data)
@@ -172,6 +176,9 @@ def parse_warc(data: bytes, offset_base: int = 0) -> list[dict]:
             clen = int(headers.get("content-length", ""))
         except ValueError:
             break
+        if clen < 0:
+            break  # malicious/corrupt length: rec_end would go backwards
+            # and the walk would loop forever on the same record
         body_start = hdr_end + 4
         body = data[body_start:body_start + clen]
         if len(body) < clen:
@@ -283,15 +290,31 @@ def _writer_src(df: DataFrame, shards: int, shard) -> DataFrame:
     )
 
 
+def _sort_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Content-deterministic total order within a shard: (url, date,
+    payload bytes).  Sorting by url alone left intra-url order to the
+    shuffle, so a recrawl corpus with the same url at two timestamps could
+    serialize in different orders across runs (and between a write job and
+    an index job) — breaking reproducible offsets."""
+    return pdf.sort_values(["url", "wdate", "html"], kind="mergesort")
+
+
 def write_warc(df: DataFrame, out_dir: str, shards: int = 8,
                gzip_records: bool = False,
                http_envelope: bool = False,
                rec_type: str = "response",
-               ext: str | None = None) -> DataFrame:
+               ext: str | None = None,
+               index: bool = False) -> DataFrame:
     """Distributed WARC sink: shard rows by ``pmod(xxhash64(url), shards)``,
-    one archive file per shard written executor-side, records ordered by
-    url within the shard (deterministic bytes → reproducible offsets).
-    Input needs (url, warc_ts, html); returns the manifest DataFrame.
+    one archive file per shard written executor-side, records in a
+    content-deterministic order within the shard (reproducible bytes →
+    reproducible offsets, duplicate urls included).  Input needs
+    (url, warc_ts, html); returns the manifest DataFrame — or, with
+    ``index=True``, the CDX index rows (:data:`CDX_SCHEMA`) measured from
+    the bytes AS WRITTEN, which makes the index correct by construction
+    for every option combination (gzip members → compressed member
+    offsets, envelopes, alternate rec_type/ext) with no second
+    serialization pass over the payloads.
 
     Scale: ``shards`` plays the role of Iceberg's bucket count — size it so
     each shard lands near CC's ~1 GB/file.  Each shard is one task; skewed
@@ -299,6 +322,7 @@ def write_warc(df: DataFrame, out_dir: str, shards: int = 8,
     its own gzip member (CC layout, ranged reads stay possible).  A
     ``mime`` column, when present, becomes each record's Content-Type and
     survives the round trip (``read_warc`` exposes ``content_type``).
+    Digests (index mode) are md5-hex of the pre-envelope payload.
     """
     src = _writer_src(df, shards, None)
 
@@ -306,13 +330,17 @@ def write_warc(df: DataFrame, out_dir: str, shards: int = 8,
 
     def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])
-        pdf = pdf.sort_values("url", kind="mergesort")
-        path = f"{out_dir}/part-{shard:05d}{suffix}"
+        pdf = _sort_shard(pdf)
+        os.makedirs(out_dir, exist_ok=True)
+        fname = f"part-{shard:05d}{suffix}"
+        path = f"{out_dir}/{fname}"
         total = 0
+        idx_rows = []
         with open(path, "wb") as f:
             for url, wdate, html, mime in zip(
                     pdf["url"], pdf["wdate"], pdf["html"], pdf["mime"]):
-                rec = warc_record_bytes(url, wdate, bytes(html),
+                payload = bytes(html)
+                rec = warc_record_bytes(url, wdate, payload,
                                         rec_type=rec_type,
                                         http_envelope=http_envelope,
                                         content_type=mime)
@@ -321,14 +349,32 @@ def write_warc(df: DataFrame, out_dir: str, shards: int = 8,
                     with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
                         g.write(rec)
                     rec = buf.getvalue()
+                if index:
+                    idx_rows.append((
+                        None,
+                        wdate.replace("-", "").replace(":", "")
+                        .replace("T", "").replace("Z", ""),
+                        url, hashlib.md5(payload).hexdigest(),
+                        total, len(rec), fname,
+                    ))
                 f.write(rec)
                 total += len(rec)
+        if index:
+            return pd.DataFrame(idx_rows, columns=[
+                "urlkey", "cdx_ts", "url", "digest",
+                "warc_offset", "warc_length", "warc_file",
+            ])
         return pd.DataFrame(
             [(path, shard, len(pdf), total)],
             columns=["warc_file", "shard", "records", "bytes"],
         )
 
-    return src.groupBy("shard").applyInPandas(write_shard, MANIFEST_SCHEMA)
+    out_schema = CDX_SCHEMA if index else MANIFEST_SCHEMA
+    out = src.groupBy("shard").applyInPandas(write_shard, out_schema)
+    if index:
+        # urlkey is a pure column function — fill it JVM-side, post-kernel
+        out = out.withColumn("urlkey", surt_urlkey(F.col("url")))
+    return out
 
 
 CDX_SCHEMA = (
@@ -350,10 +396,14 @@ def surt_urlkey(url):
 
 
 def cdx_index(df: DataFrame, shards: int = 8, shard=None) -> DataFrame:
-    """CDX index rows for the archives :func:`write_warc` would produce
-    from ``df`` (url, warc_ts, html) — offsets/lengths measured from the
-    ACTUAL canonical serialization inside the kernel, not re-derived
-    arithmetic; the SQL oracle is what re-derives them independently.
+    """CDX index rows for the CANONICAL layout only (plain ``.warc``,
+    response records, no envelope) — the dry-run twin of
+    ``write_warc(index=True)``, which is the production path: when the
+    archives are actually written, pass ``index=True`` there and get
+    offsets measured from the bytes as written for ANY option combination.
+    This function exists for the byte-accounting oracle (``warc_cdx``) and
+    for indexing a corpus without writing it; it re-serializes every
+    record, so it costs a full second pass over the payloads.
 
     ``shard`` overrides the default ``pmod(xxhash64(url), shards)`` bucket
     expression (the Iceberg bucket transform is likewise pluggable); pass a
@@ -366,7 +416,7 @@ def cdx_index(df: DataFrame, shards: int = 8, shard=None) -> DataFrame:
 
     def index_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])
-        pdf = pdf.sort_values("url", kind="mergesort")
+        pdf = _sort_shard(pdf)
         fname = f"part-{shard:05d}.warc"
         rows, off = [], 0
         for url, wdate, html, mime in zip(

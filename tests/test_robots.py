@@ -137,3 +137,29 @@ def test_apply_robots_rfc_longest_match(spark):
         "https://h/shop/public/secret/x",
         "https://h/elsewhere",
     }
+
+
+def test_wildcard_disallow_star_blocks_everything(spark):
+    from crawler_spark.operators.politeness import apply_robots_rfc
+    from crawler_spark.operators.robots import parse_robots_rfc
+
+    rules = parse_robots_rfc(_robots_df(
+        spark, host="h", text="User-agent: *\nDisallow: *\n"))
+    assert [(r["prefix"], r["is_allow"]) for r in rules.collect()] == [("/", False)]
+    urls = spark.createDataFrame(
+        [("https://h/anything",), ("https://h",)], "url string"
+    ).withColumn("host", F.lit("h"))
+    # both a deep path and the bare-host url (path '' → '/') are blocked
+    assert apply_robots_rfc(urls, rules).count() == 0
+
+
+def test_bare_host_url_blocked_by_root_disallow(spark):
+    from crawler_spark.operators.politeness import apply_robots
+
+    robots = spark.createDataFrame(
+        [("h", "/", None)],
+        "host string, disallow_prefix string, crawl_delay_ms long")
+    urls = spark.createDataFrame(
+        [("https://h",), ("https://h/deep",)], "url string"
+    ).withColumn("host", F.lit("h"))
+    assert apply_robots(urls, robots).count() == 0

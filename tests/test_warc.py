@@ -264,3 +264,78 @@ def test_read_warc_skips_warcinfo_and_filters_rec_types(spark, tmp_path):
     only_resp = W.read_warc(spark, str(tmp_path / "mixed.warc"),
                             rec_types=("response",)).collect()
     assert [r["url"] for r in only_resp] == ["https://a/x"]
+
+
+# ------------------------------------------------- review-finding regressions
+
+def test_parse_rejects_negative_content_length():
+    # a corrupt/malicious negative length must not loop forever
+    date = "2024-01-01T00:00:07Z"
+    good = W.warc_record_bytes("https://a/ok", date, b"fine")
+    evil = (b"WARC/1.0\r\nWARC-Target-URI: https://a/evil\r\n"
+            b"WARC-Date: " + date.encode() + b"\r\n"
+            b"Content-Length: -67\r\n\r\n")
+    got = W.parse_warc(good + evil)
+    assert [r["url"] for r in got] == ["https://a/ok"]
+
+
+def test_whole_file_gzip_offsets_are_the_member_region():
+    date = "2024-01-01T00:00:07Z"
+    r1 = W.warc_record_bytes("https://a/1", date, b"one")
+    r2 = W.warc_record_bytes("https://a/2", date, b"two")
+    data = gzip.compress(r1 + r2, mtime=0)
+    got = W.parse_warc(data)
+    # both records report the single member's compressed region — the unit
+    # a ranged read can actually fetch and decompress
+    assert [(r["offset"], r["length"]) for r in got] == [(0, len(data))] * 2
+
+
+def test_write_warc_index_mode_gzip_ranged_reads(spark, sf_dir, tmp_path):
+    src = _docs_df(spark, sf_dir, n=40)
+    out = str(tmp_path / "fresh" / "nested")  # dir does not exist: writer mkdirs
+    idx = W.write_warc(src, out, shards=2, gzip_records=True,
+                       index=True).collect()
+    assert len(idx) == 40
+    for row in idx[:8]:
+        with open(f"{out}/{row['warc_file']}", "rb") as f:
+            f.seek(row["warc_offset"])
+            blob = f.read(row["warc_length"])
+        (rec,) = W.parse_warc(blob)  # compressed member decompresses alone
+        assert rec["url"] == row["url"]
+        assert hashlib.md5(rec["payload"]).hexdigest() == row["digest"]
+        assert row["urlkey"].startswith("example,corpus)/")
+
+
+def test_duplicate_urls_write_deterministically(spark, tmp_path):
+    import pyspark.sql.functions as SF
+
+    rows = [("https://h/x", 1704067200, b"payload-A"),
+            ("https://h/x", 1704067200, b"payload-B"),
+            ("https://h/y", 1704067300, b"other")]
+    df = spark.createDataFrame(
+        [(u, SFts, bytearray(p)) for u, SFts, p in rows],
+        "url string, ts long, html binary",
+    ).select("url", SF.timestamp_seconds("ts").alias("warc_ts"), "html")
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    # repartition differently so shuffle arrival order differs between runs
+    W.write_warc(df.repartition(1), d1, shards=1).collect()
+    W.write_warc(df.repartition(3), d2, shards=1).collect()
+    b1 = (tmp_path / "a" / "part-00000.warc").read_bytes()
+    b2 = (tmp_path / "b" / "part-00000.warc").read_bytes()
+    assert b1 == b2  # content-deterministic order, duplicate urls included
+    # and the dry-run index agrees with the written bytes
+    idx = W.cdx_index(df, shards=1).collect()
+    for row in idx:
+        (rec,) = W.parse_warc(
+            b1[row["warc_offset"]:row["warc_offset"] + row["warc_length"]])
+        assert hashlib.md5(rec["payload"]).hexdigest() == row["digest"]
+
+
+def test_store_commit_rejects_reserved_extra_keys(spark, tmp_path):
+    from crawler_spark.sources.store import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path))
+    df = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises(ValueError, match="reserved"):
+        store.commit("t", df, extra={"dirs": ["evil"]})
+    assert store.commit("t", df, extra={"watermark": [1]}) == 0

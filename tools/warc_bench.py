@@ -59,6 +59,10 @@ def busy():
     return sum(vals), idle
 
 
+import os
+NCPU = os.cpu_count() or 1
+
+
 from crawler_spark.session import get_spark
 from crawler_spark.sources.warc import pages_from_warc
 spark = get_spark("warc-read", cores={cpus}, shuffle_partitions={cpus})
@@ -68,7 +72,7 @@ pages_from_warc(spark, {glob!r}, mime=True).count()  # untimed warm-up:
 t0, (b0, i0) = time.time(), busy()
 n = pages_from_warc(spark, {glob!r}, mime=True).count()
 dt, (b1, i1) = time.time() - t0, busy()
-cores_busy = ((b1 - b0) - (i1 - i0)) / max(b1 - b0, 1) * 64
+cores_busy = ((b1 - b0) - (i1 - i0)) / max(b1 - b0, 1) * NCPU
 print(json.dumps({{"cpus": {cpus}, "sec": round(dt, 2), "rows": n,
                    "rows_per_sec": round(n / dt, 1),
                    "cpu_busy_cores": round(cores_busy, 1)}}))
