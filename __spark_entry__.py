@@ -1366,6 +1366,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["robots_longest_match"] = robots_longest_match
 
+    def warc_revisit_dedup(spark, sf_dir):
+        # digest-based capture dedup (sources/warc.mark_revisits — CC's
+        # revisit semantics): recrawl corpus = two captures per document;
+        # docs with doc_id%3==0 recapture unchanged (→ revisit of capture
+        # 1), others change (→ new response).  The documents table's exact
+        # duplicate texts also dedup ACROSS urls.  Relational shape:
+        # groupBy(digest) min(struct(ts,url)) + join-back (map-side
+        # combinable — no per-digest sort window); the oracle re-derives
+        # the same ranking with a window.
+        from crawler_spark.sources.warc import mark_revisits
+
+        docs = _t(spark, sf_dir, "documents")
+        url = F.concat(F.lit("https://ex.org/d/"),
+                       F.col("doc_id").cast("string"))
+        first = docs.select(
+            url.alias("url"), F.col("doc_id").cast("long").alias("warc_ts"),
+            F.col("text").alias("html"))
+        second = docs.select(
+            url.alias("url"),
+            (F.col("doc_id") + 1000000).cast("long").alias("warc_ts"),
+            F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+            .otherwise(F.concat(F.col("text"), F.lit(" v2"))).alias("html"))
+        marked = mark_revisits(first.unionByName(second))
+        return marked.select(
+            "url", F.col("warc_ts").alias("cap_ts"), "digest", "rec_type",
+            "refers_to_url", F.col("refers_to_ts").alias("refers_ts"))
+
+    q["warc_revisit_dedup"] = warc_revisit_dedup
+
+    def warc_wat_payload(spark, sf_dir):
+        # WAT metadata sidecar (sources/warc.wat_metadata): per-page JSON
+        # carrying payload digest/length and the document-order out-link
+        # list — all native (md5/length on the binary, codegen regexp link
+        # scan, collect_list+array_sort, to_json with fixed field order).
+        # The oracle rebuilds the JSON byte-for-byte by string
+        # concatenation, so field order, separators, and every value are
+        # all under test.
+        from crawler_spark.sources.warc import wat_metadata
+
+        _utc(spark)
+        docs = _t(spark, sf_dir, "documents")
+        html = F.concat(
+            F.lit('<p><a href="https://ex.org/d/'),
+            F.col("doc_id").cast("string"),
+            F.lit('">doc '), F.col("doc_id").cast("string"),
+            F.lit('</a> and <a href="https://ex.org/s/'), F.col("source"),
+            F.lit('" class="x"> src link </a></p>'),
+        )
+        pages = docs.select(
+            F.concat(F.lit("https://ex.org/d/"),
+                     F.col("doc_id").cast("string")).alias("url"),
+            F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id"))
+            .alias("warc_ts"),
+            F.encode(html, "utf-8").alias("html"),
+        )
+        return wat_metadata(pages).select(
+            "url", "digest", "payload_len", "wat_json")
+
+    q["warc_wat_payload"] = warc_wat_payload
+
     return q
 
 
@@ -2625,6 +2685,56 @@ def oracle_sql() -> dict[str, str]:
            warc_length,
            printf('part-%05d.warc', shard::int) AS warc_file
     FROM sized
+    """
+
+    o["warc_revisit_dedup"] = """
+    WITH caps AS (
+      SELECT 'https://ex.org/d/' || doc_id::varchar AS url,
+             doc_id::BIGINT AS cap_ts, text AS payload
+      FROM documents
+      UNION ALL
+      SELECT 'https://ex.org/d/' || doc_id::varchar,
+             (doc_id + 1000000)::BIGINT,
+             CASE WHEN doc_id % 3 = 0 THEN text ELSE text || ' v2' END
+      FROM documents
+    ),
+    d AS (SELECT url, cap_ts, md5(payload) AS digest FROM caps),
+    r AS (
+      SELECT url, cap_ts, digest,
+             row_number() OVER w AS rn,
+             first_value(url) OVER w AS fu,
+             first_value(cap_ts) OVER w AS ft
+      FROM d
+      WINDOW w AS (PARTITION BY digest ORDER BY cap_ts, url)
+    )
+    SELECT url, cap_ts, digest,
+           CASE WHEN rn = 1 THEN 'response' ELSE 'revisit' END AS rec_type,
+           CASE WHEN rn > 1 THEN fu END AS refers_to_url,
+           CASE WHEN rn > 1 THEN ft END AS refers_ts
+    FROM r
+    """
+
+    o["warc_wat_payload"] = """
+    WITH src AS (
+      SELECT 'https://ex.org/d/' || doc_id::varchar AS url,
+             strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id),
+                      '%Y-%m-%dT%H:%M:%SZ') AS ts,
+             '<p><a href="https://ex.org/d/' || doc_id::varchar
+               || '">doc ' || doc_id::varchar
+               || '</a> and <a href="https://ex.org/s/' || source
+               || '" class="x"> src link </a></p>' AS html,
+             'https://ex.org/d/' || doc_id::varchar AS link1,
+             'https://ex.org/s/' || source AS link2
+      FROM documents
+    )
+    SELECT url, md5(html) AS digest,
+           octet_length(encode(html))::bigint AS payload_len,
+           '{"url":"' || url || '","ts":"' || ts
+             || '","digest":"' || md5(html)
+             || '","payload_len":' || octet_length(encode(html))::varchar
+             || ',"links":["' || link1 || '","' || link2 || '"]}'
+             AS wat_json
+    FROM src
     """
 
     o["robots_longest_match"] = """

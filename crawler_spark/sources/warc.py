@@ -85,7 +85,9 @@ def record_id(url: str, date: str) -> str:
 def warc_record_bytes(url: str, date: str, payload: bytes,
                       rec_type: str = "response",
                       http_envelope: bool = False,
-                      content_type: str | None = None) -> bytes:
+                      content_type: str | None = None,
+                      extra_headers: list[tuple[str, str]] | None = None,
+                      ) -> bytes:
     """One canonical WARC/1.0 record.  ``date`` is the 20-byte
     ``YYYY-MM-DDTHH:MM:SSZ`` form.  With ``http_envelope`` the payload is
     wrapped in a minimal HTTP/1.1 response (Common Crawl's actual layout
@@ -93,7 +95,10 @@ def warc_record_bytes(url: str, date: str, payload: bytes,
     ``content_type`` overrides the payload mime (default text/html) — the
     size formula's ``_HEADER_CONST`` describes the default; other types
     shift it by the length difference, which :func:`cdx_index` measures
-    from the real bytes anyway."""
+    from the real bytes anyway.  ``extra_headers`` are emitted verbatim in
+    the given order between WARC-Target-URI and Content-Type (the revisit
+    writer's WARC-Refers-To-* / WARC-Payload-Digest fields); callers must
+    pass a deterministic sequence to keep archives byte-reproducible."""
     mime = content_type or _HTML_CT
     if http_envelope:
         body = (
@@ -104,12 +109,16 @@ def warc_record_bytes(url: str, date: str, payload: bytes,
     else:
         body = payload
         ctype = mime
+    extras = "".join(
+        f"{k}: {v}{_CRLF}" for k, v in (extra_headers or [])
+    )
     header = (
         f"WARC/1.0{_CRLF}"
         f"WARC-Type: {rec_type}{_CRLF}"
         f"WARC-Record-ID: <urn:uuid:{record_id(url, date)}>{_CRLF}"
         f"WARC-Date: {date}{_CRLF}"
         f"WARC-Target-URI: {url}{_CRLF}"
+        f"{extras}"
         f"Content-Type: {ctype}{_CRLF}"
         f"Content-Length: {len(body)}{_CRLF}"
         f"{_CRLF}"
@@ -210,6 +219,9 @@ def parse_warc(data: bytes, offset_base: int = 0) -> list[dict]:
             "content_type": ctype,
             "offset": offset_base + pos,
             "length": rec_end - pos,
+            "refers_to_uri": headers.get("warc-refers-to-target-uri"),
+            "refers_to_date": headers.get("warc-refers-to-date"),
+            "payload_digest": headers.get("warc-payload-digest"),
         })
         pos = rec_end
     return recs
@@ -222,8 +234,15 @@ READ_SCHEMA = (
 )
 
 
+REVISIT_COLS = (
+    "rec_type string, refers_to_uri string, refers_to_date string, "
+    "payload_digest string"
+)
+
+
 def read_warc(spark: SparkSession, path_glob: str | list[str],
-              rec_types: tuple[str, ...] | None = None) -> DataFrame:
+              rec_types: tuple[str, ...] | None = None,
+              revisits: bool = False) -> DataFrame:
     """WARC archives → ``pages``-shaped DataFrame.
 
     ``binaryFile`` gives (path, content) with no decode and one partition
@@ -236,12 +255,22 @@ def read_warc(spark: SparkSession, path_glob: str | list[str],
     — real CC archives open with a ``warcinfo`` record that has neither,
     and one housekeeping record must not kill a task.  ``rec_types``
     optionally restricts to specific WARC-Types (e.g. ``("response",)``;
-    default keeps every addressed record).
+    default keeps every addressed record).  ``revisits=True`` appends the
+    :data:`REVISIT_COLS` (rec_type + WARC-Refers-To-*/payload digest) for
+    deduped archives — feed that shape to :func:`resolve_revisits`.
     """
     paths = path_glob if isinstance(path_glob, list) else [path_glob]
     files = spark.read.format("binaryFile").load(paths).select(
         "path", "content"
     )
+    base_cols = [
+        "url", "warc_ts", "html", "http_status", "content_type",
+        "warc_file", "warc_offset", "warc_length",
+    ]
+    cols = base_cols + (
+        ["rec_type", "refers_to_uri", "refers_to_date", "payload_digest"]
+        if revisits else [])
+    schema = READ_SCHEMA + (", " + REVISIT_COLS if revisits else "")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -256,17 +285,18 @@ def read_warc(spark: SparkSession, path_glob: str | list[str],
                         ts = datetime.strptime(r["warc_date"], _DATE_FMT)
                     except ValueError:
                         continue  # unparseable date: skip, don't die
-                    rows.append((
+                    row = (
                         r["url"], ts,
                         r["payload"], r["http_status"], r["content_type"],
                         path, r["offset"], r["length"],
-                    ))
-            yield pd.DataFrame(rows, columns=[
-                "url", "warc_ts", "html", "http_status", "content_type",
-                "warc_file", "warc_offset", "warc_length",
-            ])
+                    )
+                    if revisits:
+                        row += (r["rec_type"], r["refers_to_uri"],
+                                r["refers_to_date"], r["payload_digest"])
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
 
-    return files.mapInPandas(kernel, READ_SCHEMA)
+    return files.mapInPandas(kernel, schema)
 
 
 MANIFEST_SCHEMA = "warc_file string, shard int, records long, bytes long"
@@ -458,6 +488,210 @@ def write_wet(pages: DataFrame, out_dir: str, shards: int = 8,
     suffix = ".warc.wet.gz" if gzip_records else ".warc.wet"
     return write_warc(src, out_dir, shards=shards,
                       gzip_records=gzip_records, rec_type="conversion",
+                      ext=suffix)
+
+
+# ------------------------------------------------------------ revisit dedup
+
+DEDUP_MANIFEST_SCHEMA = (
+    "warc_file string, shard int, records long, revisits long, "
+    "bytes long, payload_bytes_saved long"
+)
+
+_REVISIT_PROFILE = (
+    "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
+)
+
+
+def mark_revisits(captures: DataFrame) -> DataFrame:
+    """Digest-based capture dedup — the Common Crawl ``revisit`` semantics:
+    the FIRST capture of each distinct payload (by (warc_ts, url)) is the
+    ``response`` record; every later capture of the same bytes becomes a
+    ``revisit`` that references the original instead of storing the payload
+    again.  Input ``(url, warc_ts, html)``; output adds ``digest``,
+    ``rec_type`` and, on revisit rows only, ``refers_to_url`` /
+    ``refers_to_ts``.
+
+    Relational shape chosen for scale: a ``groupBy(digest)`` +
+    ``min(struct(ts, url))`` (full map-side combine — a boilerplate page
+    duplicated 10^6 times still sends ONE partial row per map task) and a
+    join back on digest, instead of a per-digest sort window (which would
+    funnel each hot digest through a single task's sort).  Digest is
+    md5-hex of the raw payload bytes — the same digest the CDX index
+    records, so the two layers join.  Exact duplicate captures (same url,
+    ts AND bytes) are the same logical record (their uuid5 record ids
+    collide too) and both rank as the response row.
+    """
+    d = captures.withColumn("digest", F.md5("html"))
+    firsts = d.groupBy("digest").agg(
+        F.min(F.struct(F.col("warc_ts").alias("ts"),
+                       F.col("url").alias("u"))).alias("__f")
+    )
+    joined = d.join(firsts, "digest")
+    is_first = (F.col("warc_ts") == F.col("__f.ts")) & \
+               (F.col("url") == F.col("__f.u"))
+    return joined.select(
+        "url", "warc_ts", "html", "digest",
+        F.when(is_first, F.lit("response"))
+        .otherwise(F.lit("revisit")).alias("rec_type"),
+        F.when(~is_first, F.col("__f.u")).alias("refers_to_url"),
+        F.when(~is_first, F.col("__f.ts")).alias("refers_to_ts"),
+    )
+
+
+def write_warc_deduped(captures: DataFrame, out_dir: str, shards: int = 8,
+                       gzip_records: bool = False) -> DataFrame:
+    """WARC sink with identical-payload-digest dedup: responses store the
+    payload once; revisits are payload-free records carrying
+    ``WARC-Refers-To-Target-URI`` / ``WARC-Refers-To-Date`` /
+    ``WARC-Payload-Digest`` and the netpreserve revisit profile header.
+    (Divergence from CC: digests are md5-hex, matching this module's CDX
+    digests, not sha1-base32.)  Returns a manifest with the per-shard
+    revisit count and payload bytes saved.  Same determinism contract as
+    :func:`write_warc`; read back with ``read_warc(..., revisits=True)``
+    and rejoin payloads with :func:`resolve_revisits`."""
+    marked = mark_revisits(captures)
+    date_fmt = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+    src = marked.select(
+        "url",
+        F.date_format("warc_ts", date_fmt).alias("wdate"),
+        "html", "digest", "rec_type",
+        F.col("refers_to_url").alias("rurl"),
+        F.date_format("refers_to_ts", date_fmt).alias("rdate"),
+        F.pmod(F.xxhash64("url"), F.lit(shards)).cast("int").alias("shard"),
+    )
+    suffix = ".warc.gz" if gzip_records else ".warc"
+
+    def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        pdf = _sort_shard(pdf)
+        os.makedirs(out_dir, exist_ok=True)
+        path = f"{out_dir}/part-{shard:05d}{suffix}"
+        total = revisits = saved = 0
+        with open(path, "wb") as f:
+            for url, wdate, html, digest, rtype, rurl, rdate in zip(
+                    pdf["url"], pdf["wdate"], pdf["html"], pdf["digest"],
+                    pdf["rec_type"], pdf["rurl"], pdf["rdate"]):
+                if rtype == "revisit":
+                    rec = warc_record_bytes(
+                        url, wdate, b"", rec_type="revisit",
+                        extra_headers=[
+                            ("WARC-Refers-To-Target-URI", rurl),
+                            ("WARC-Refers-To-Date", rdate),
+                            ("WARC-Payload-Digest", f"md5:{digest}"),
+                            ("WARC-Profile", _REVISIT_PROFILE),
+                        ])
+                    revisits += 1
+                    saved += len(bytes(html))
+                else:
+                    rec = warc_record_bytes(
+                        url, wdate, bytes(html),
+                        extra_headers=[
+                            ("WARC-Payload-Digest", f"md5:{digest}"),
+                        ])
+                if gzip_records:
+                    buf = io.BytesIO()
+                    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+                        g.write(rec)
+                    rec = buf.getvalue()
+                f.write(rec)
+                total += len(rec)
+        return pd.DataFrame(
+            [(path, shard, len(pdf), revisits, total, saved)],
+            columns=["warc_file", "shard", "records", "revisits",
+                     "bytes", "payload_bytes_saved"],
+        )
+
+    return src.groupBy("shard").applyInPandas(write_shard,
+                                              DEDUP_MANIFEST_SCHEMA)
+
+
+def resolve_revisits(recs: DataFrame) -> DataFrame:
+    """Inverse of the dedup: rows from ``read_warc(..., revisits=True)``
+    → every capture with its payload restored.  Responses pass through;
+    each revisit joins its original response on
+    (``refers_to_uri``, ``refers_to_date``) and takes that payload.
+    Relational (one equi-join on the refers key); at scale the join
+    shuffles on (url, ts) — the same key the archives are sharded by, so a
+    bucketed layout makes it exchange-free on the big side.  Output:
+    ``(url, warc_ts, html)``, losslessly equal to the pre-dedup captures.
+    """
+    resp = recs.where(F.col("rec_type") == "response").select(
+        "url", "warc_ts", "html")
+    revs = recs.where(F.col("rec_type") == "revisit").select(
+        "url", "warc_ts",
+        F.col("refers_to_uri").alias("__ru"),
+        F.to_timestamp(F.col("refers_to_date"),
+                       "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("__rt"),
+    )
+    restored = revs.join(
+        resp.select(F.col("url").alias("__ru"),
+                    F.col("warc_ts").alias("__rt"), "html"),
+        ["__ru", "__rt"],
+    ).select("url", "warc_ts", "html")
+    return resp.unionByName(restored)
+
+
+# ----------------------------------------------------------------- WAT export
+
+def wat_metadata(pages: DataFrame) -> DataFrame:
+    """The WAT projection (CC's metadata sidecar, simplified to its
+    load-bearing fields): per response record — payload digest + length and
+    the out-link list, serialized as one deterministic compact JSON per
+    url.  Everything is native Catalyst: md5/length on the binary column,
+    the codegen regexp link scan (:func:`operators.web.extract_links`),
+    ``collect_list(struct(pos, href))`` + ``array_sort`` to restore
+    document order under the shuffle, ``to_json`` with a fixed struct
+    field order.  Output ``(url, warc_ts, wat_json)`` plus the unserialized
+    ``digest`` / ``payload_len`` / ``links`` columns.
+
+    Scale: one groupBy(url) with map-side combine over the link edges and
+    one join back; the page payload column is read once (digest and length
+    come from the same scan) and never shuffled — only urls and hrefs move.
+    """
+    from ..functions.parse_udfs import decode_text
+    from ..operators.web import extract_links
+
+    links_src = extract_links(
+        pages.select("url", decode_text(F.col("html")).alias("html")),
+        "html", ("url",))
+    per_url = links_src.groupBy("url").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "href"))).alias("__lp"))
+    base = pages.select(
+        "url", "warc_ts",
+        F.md5("html").alias("digest"),
+        F.length("html").cast("long").alias("payload_len"),
+    )
+    date_fmt = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+    joined = base.join(per_url, "url", "left").withColumn(
+        "links",
+        F.coalesce(F.transform(F.col("__lp"), lambda x: x["href"]),
+                   F.array().cast("array<string>")),
+    )
+    return joined.select(
+        "url", "warc_ts", "digest", "payload_len", "links",
+        F.to_json(F.struct(
+            F.col("url"),
+            F.date_format("warc_ts", date_fmt).alias("ts"),
+            F.col("digest"), F.col("payload_len"), F.col("links"),
+        )).alias("wat_json"),
+    )
+
+
+def write_wat(pages: DataFrame, out_dir: str, shards: int = 8,
+              gzip_records: bool = False) -> DataFrame:
+    """WAT companion archives: ``metadata`` records (application/json)
+    produced by :func:`wat_metadata`, one per response record, through the
+    shared deterministic writer — CC's WARC/WAT/WET triple is complete.
+    Readable back with :func:`read_warc` (payload = the JSON)."""
+    src = wat_metadata(pages).select(
+        "url", "warc_ts",
+        F.encode("wat_json", "utf-8").alias("html"),
+        F.lit("application/json").alias("mime"),
+    )
+    suffix = ".warc.wat.gz" if gzip_records else ".warc.wat"
+    return write_warc(src, out_dir, shards=shards,
+                      gzip_records=gzip_records, rec_type="metadata",
                       ext=suffix)
 
 

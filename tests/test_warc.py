@@ -331,6 +331,89 @@ def test_duplicate_urls_write_deterministically(spark, tmp_path):
         assert hashlib.md5(rec["payload"]).hexdigest() == row["digest"]
 
 
+# ------------------------------------------------- revisit dedup + WAT
+
+def _captures_df(spark):
+    """A recrawl corpus: /x captured 3× (unchanged bytes), /y twice with a
+    change in between, /z once."""
+    rows = [
+        ("https://h/x", 100, b"same-x"), ("https://h/x", 200, b"same-x"),
+        ("https://h/x", 300, b"same-x"),
+        ("https://h/y", 100, b"old-y"), ("https://h/y", 400, b"new-y"),
+        ("https://h/z", 250, b"only-z"),
+    ]
+    return spark.createDataFrame(
+        [(u, t, bytearray(p)) for u, t, p in rows],
+        "url string, t long, html binary",
+    ).select("url", F.timestamp_seconds(F.lit(1704067200) + F.col("t"))
+             .alias("warc_ts"), "html")
+
+
+def test_mark_revisits_semantics(spark):
+    got = {(r["url"], r["warc_ts"].second if False else str(r["warc_ts"])):
+           (r["rec_type"], r["refers_to_url"])
+           for r in W.mark_revisits(_captures_df(spark)).collect()}
+    by_url = [(u.rsplit("/", 1)[1], rt, ref and ref.rsplit("/", 1)[1])
+              for (u, _), (rt, ref) in sorted(got.items())]
+    assert by_url == [
+        ("x", "response", None), ("x", "revisit", "x"), ("x", "revisit", "x"),
+        ("y", "response", None), ("y", "response", None),  # y changed: 2 payloads
+        ("z", "response", None),
+    ]
+
+
+def test_write_warc_deduped_lossless_roundtrip(spark, tmp_path):
+    caps = _captures_df(spark)
+    out = str(tmp_path / "dedup")
+    manifest = W.write_warc_deduped(caps, out, shards=2).collect()
+    assert sum(m["revisits"] for m in manifest) == 2
+    assert sum(m["payload_bytes_saved"] for m in manifest) == 2 * len(b"same-x")
+    recs = W.read_warc(spark, f"{out}/*.warc", revisits=True)
+    # revisit records are payload-free on disk and carry the digest header
+    revs = recs.where(F.col("rec_type") == "revisit").collect()
+    assert len(revs) == 2
+    for r in revs:
+        assert bytes(r["html"]) == b""
+        assert r["payload_digest"] == "md5:" + hashlib.md5(b"same-x").hexdigest()
+        assert r["refers_to_uri"] == "https://h/x"
+    # resolve restores every capture byte-for-byte
+    restored = {(r["url"], str(r["warc_ts"]), bytes(r["html"]))
+                for r in W.resolve_revisits(recs).collect()}
+    original = {(r["url"], str(r["warc_ts"]), bytes(r["html"]))
+                for r in caps.collect()}
+    assert restored == original
+
+
+def test_wat_metadata_and_write(spark, tmp_path):
+    import json
+
+    html = (b'<p><a href="https://b/1">one</a> text '
+            b'<a href="https://a/2" class="x">two</a></p>')
+    pages = spark.createDataFrame(
+        [("https://h/p", 0, bytearray(html)),
+         ("https://h/empty", 1, bytearray(b"<p>no links</p>"))],
+        "url string, t long, html binary",
+    ).select("url", F.timestamp_seconds(F.lit(1704067200) + F.col("t"))
+             .alias("warc_ts"), "html")
+    meta = {r["url"]: r for r in W.wat_metadata(pages).collect()}
+    assert meta["https://h/p"]["links"] == ["https://b/1", "https://a/2"]
+    assert meta["https://h/empty"]["links"] == []
+    assert meta["https://h/p"]["digest"] == hashlib.md5(html).hexdigest()
+    j = json.loads(meta["https://h/p"]["wat_json"])
+    assert j["payload_len"] == len(html) and j["links"] == ["https://b/1",
+                                                            "https://a/2"]
+    # through the shared writer: metadata records, JSON payload survives
+    out = str(tmp_path / "wat")
+    W.write_wat(pages, out, shards=1).collect()
+    got = W.read_warc(spark, f"{out}/*.warc.wat", revisits=True).collect()
+    assert {r["rec_type"] for r in got} == {"metadata"}
+    assert {r["content_type"] for r in got} == {"application/json"}
+    back = {r["url"]: json.loads(bytes(r["html"]).decode())
+            for r in got}
+    assert back["https://h/p"]["digest"] == meta["https://h/p"]["digest"]
+    assert back["https://h/empty"]["links"] == []
+
+
 def test_store_commit_rejects_reserved_extra_keys(spark, tmp_path):
     from crawler_spark.sources.store import SnapshotStore
 
