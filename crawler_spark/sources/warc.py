@@ -329,12 +329,37 @@ def _sort_shard(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf.sort_values(["url", "wdate", "html"], kind="mergesort")
 
 
+def warcinfo_record_bytes(filename: str, date: str) -> bytes:
+    """The housekeeping record real CC archives open with: WARC-Type
+    warcinfo, no Target-URI, application/warc-fields body naming the
+    writer and format.  Deterministic (uuid5 over filename+date, fixed
+    body) so archives stay byte-reproducible."""
+    body = (
+        f"software: crawler-spark/1.0{_CRLF}"
+        f"format: WARC File Format 1.0{_CRLF}"
+        f"isPartOf: {filename}{_CRLF}"
+    ).encode("utf-8")
+    rid = uuid.uuid5(uuid.NAMESPACE_URL, f"warcinfo {filename} {date}")
+    header = (
+        f"WARC/1.0{_CRLF}"
+        f"WARC-Type: warcinfo{_CRLF}"
+        f"WARC-Record-ID: <urn:uuid:{rid}>{_CRLF}"
+        f"WARC-Date: {date}{_CRLF}"
+        f"WARC-Filename: {filename}{_CRLF}"
+        f"Content-Type: application/warc-fields{_CRLF}"
+        f"Content-Length: {len(body)}{_CRLF}"
+        f"{_CRLF}"
+    ).encode("utf-8")
+    return header + body + b"\r\n\r\n"
+
+
 def write_warc(df: DataFrame, out_dir: str, shards: int = 8,
                gzip_records: bool = False,
                http_envelope: bool = False,
                rec_type: str = "response",
                ext: str | None = None,
-               index: bool = False) -> DataFrame:
+               index: bool = False,
+               warcinfo: bool = False) -> DataFrame:
     """Distributed WARC sink: shard rows by ``pmod(xxhash64(url), shards)``,
     one archive file per shard written executor-side, records in a
     content-deterministic order within the shard (reproducible bytes →
@@ -353,6 +378,10 @@ def write_warc(df: DataFrame, out_dir: str, shards: int = 8,
     ``mime`` column, when present, becomes each record's Content-Type and
     survives the round trip (``read_warc`` exposes ``content_type``).
     Digests (index mode) are md5-hex of the pre-envelope payload.
+    ``warcinfo=True`` opens each archive with the CC-style housekeeping
+    record (dated from the shard's earliest capture — content-derived, so
+    bytes stay reproducible); ``read_warc`` skips it, and index-mode
+    offsets are measured after it, so both stay exact.
     """
     src = _writer_src(df, shards, None)
 
@@ -367,6 +396,15 @@ def write_warc(df: DataFrame, out_dir: str, shards: int = 8,
         total = 0
         idx_rows = []
         with open(path, "wb") as f:
+            if warcinfo:
+                info = warcinfo_record_bytes(fname, min(pdf["wdate"]))
+                if gzip_records:
+                    buf = io.BytesIO()
+                    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+                        g.write(info)
+                    info = buf.getvalue()
+                f.write(info)
+                total += len(info)
             for url, wdate, html, mime in zip(
                     pdf["url"], pdf["wdate"], pdf["html"], pdf["mime"]):
                 payload = bytes(html)

@@ -331,6 +331,24 @@ def test_duplicate_urls_write_deterministically(spark, tmp_path):
         assert hashlib.md5(rec["payload"]).hexdigest() == row["digest"]
 
 
+def test_write_warc_warcinfo_header_record(spark, tmp_path):
+    src = _docs_df(spark, "/root/testdata/sf0.001", n=12)
+    out = str(tmp_path / "wi")
+    idx = W.write_warc(src, out, shards=1, gzip_records=True,
+                       warcinfo=True, index=True).collect()
+    data = (tmp_path / "wi" / "part-00000.warc.gz").read_bytes()
+    recs = W.parse_warc(data)
+    assert recs[0]["rec_type"] == "warcinfo" and recs[0]["url"] is None
+    # warcinfo is dated from the shard's earliest capture (deterministic)
+    assert recs[0]["warc_date"] == min(r["warc_date"] for r in recs[1:])
+    # reader skips it; index offsets (measured after it) still ranged-read
+    assert W.read_warc(spark, f"{out}/*.warc.gz").count() == 12
+    for row in idx[:3]:
+        (rec,) = W.parse_warc(
+            data[row["warc_offset"]:row["warc_offset"] + row["warc_length"]])
+        assert rec["url"] == row["url"]
+
+
 # ------------------------------------------------- revisit dedup + WAT
 
 def _captures_df(spark):
