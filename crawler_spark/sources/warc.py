@@ -568,8 +568,10 @@ def mark_revisits(captures: DataFrame) -> DataFrame:
     joined = d.join(firsts, "digest")
     is_first = (F.col("warc_ts") == F.col("__f.ts")) & \
                (F.col("url") == F.col("__f.u"))
+    extra = [c for c in captures.columns
+             if c not in ("url", "warc_ts", "html")]  # e.g. mime: passthrough
     return joined.select(
-        "url", "warc_ts", "html", "digest",
+        "url", "warc_ts", "html", *extra, "digest",
         F.when(is_first, F.lit("response"))
         .otherwise(F.lit("revisit")).alias("rec_type"),
         F.when(~is_first, F.col("__f.u")).alias("refers_to_url"),
@@ -586,14 +588,18 @@ def write_warc_deduped(captures: DataFrame, out_dir: str, shards: int = 8,
     (Divergence from CC: digests are md5-hex, matching this module's CDX
     digests, not sha1-base32.)  Returns a manifest with the per-shard
     revisit count and payload bytes saved.  Same determinism contract as
-    :func:`write_warc`; read back with ``read_warc(..., revisits=True)``
-    and rejoin payloads with :func:`resolve_revisits`."""
+    :func:`write_warc`; a ``mime`` column, when present, becomes the
+    response records' Content-Type (revisits carry no payload, so none).
+    Read back with ``read_warc(..., revisits=True)`` and rejoin payloads
+    with :func:`resolve_revisits`."""
     marked = mark_revisits(captures)
     date_fmt = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+    mime = (F.col("mime") if "mime" in marked.columns
+            else F.lit(None).cast("string"))
     src = marked.select(
         "url",
         F.date_format("warc_ts", date_fmt).alias("wdate"),
-        "html", "digest", "rec_type",
+        "html", mime.alias("mime"), "digest", "rec_type",
         F.col("refers_to_url").alias("rurl"),
         F.date_format("refers_to_ts", date_fmt).alias("rdate"),
         F.pmod(F.xxhash64("url"), F.lit(shards)).cast("int").alias("shard"),
@@ -607,9 +613,10 @@ def write_warc_deduped(captures: DataFrame, out_dir: str, shards: int = 8,
         path = f"{out_dir}/part-{shard:05d}{suffix}"
         total = revisits = saved = 0
         with open(path, "wb") as f:
-            for url, wdate, html, digest, rtype, rurl, rdate in zip(
-                    pdf["url"], pdf["wdate"], pdf["html"], pdf["digest"],
-                    pdf["rec_type"], pdf["rurl"], pdf["rdate"]):
+            for url, wdate, html, mime, digest, rtype, rurl, rdate in zip(
+                    pdf["url"], pdf["wdate"], pdf["html"], pdf["mime"],
+                    pdf["digest"], pdf["rec_type"], pdf["rurl"],
+                    pdf["rdate"]):
                 if rtype == "revisit":
                     rec = warc_record_bytes(
                         url, wdate, b"", rec_type="revisit",
@@ -623,7 +630,7 @@ def write_warc_deduped(captures: DataFrame, out_dir: str, shards: int = 8,
                     saved += len(bytes(html))
                 else:
                     rec = warc_record_bytes(
-                        url, wdate, bytes(html),
+                        url, wdate, bytes(html), content_type=mime,
                         extra_headers=[
                             ("WARC-Payload-Digest", f"md5:{digest}"),
                         ])
@@ -648,25 +655,30 @@ def resolve_revisits(recs: DataFrame) -> DataFrame:
     """Inverse of the dedup: rows from ``read_warc(..., revisits=True)``
     → every capture with its payload restored.  Responses pass through;
     each revisit joins its original response on
-    (``refers_to_uri``, ``refers_to_date``) and takes that payload.
-    Relational (one equi-join on the refers key); at scale the join
-    shuffles on (url, ts) — the same key the archives are sharded by, so a
-    bucketed layout makes it exchange-free on the big side.  Output:
-    ``(url, warc_ts, html)``, losslessly equal to the pre-dedup captures.
+    (``refers_to_uri``, ``refers_to_date``) and takes that payload (and
+    its ``content_type``, when the column is present — a revisit record
+    describes no payload of its own).  Every other column (http_status,
+    warc_file/offset/length lineage, …) stays the ROW's own — a revisit's
+    lineage points at the revisit record, which is where that capture
+    lives in the archive.  Relational (one equi-join on the refers key);
+    at scale the join shuffles on (url, ts) — the same key the archives
+    are sharded by, so a bucketed layout makes it exchange-free on the
+    big side.  Output is losslessly equal to the pre-dedup captures.
     """
-    resp = recs.where(F.col("rec_type") == "response").select(
-        "url", "warc_ts", "html")
+    meta = ("rec_type", "refers_to_uri", "refers_to_date", "payload_digest")
+    payload = ["html"] + (["content_type"]
+                          if "content_type" in recs.columns else [])
+    own = [c for c in recs.columns if c not in meta and c not in payload]
+    resp = recs.where(F.col("rec_type") == "response").select(*own, *payload)
     revs = recs.where(F.col("rec_type") == "revisit").select(
-        "url", "warc_ts",
+        *own,
         F.col("refers_to_uri").alias("__ru"),
         F.to_timestamp(F.col("refers_to_date"),
                        "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("__rt"),
     )
-    restored = revs.join(
-        resp.select(F.col("url").alias("__ru"),
-                    F.col("warc_ts").alias("__rt"), "html"),
-        ["__ru", "__rt"],
-    ).select("url", "warc_ts", "html")
+    lookup = recs.where(F.col("rec_type") == "response").select(
+        F.col("url").alias("__ru"), F.col("warc_ts").alias("__rt"), *payload)
+    restored = revs.join(lookup, ["__ru", "__rt"]).select(*own, *payload)
     return resp.unionByName(restored)
 
 
@@ -735,7 +747,8 @@ def write_wat(pages: DataFrame, out_dir: str, shards: int = 8,
 
 def pages_from_warc(spark: SparkSession, path_glob: str | list[str],
                     lineage: bool = False, mime: bool = False,
-                    text_mode: str = "decode") -> DataFrame:
+                    text_mode: str = "decode",
+                    dedup: bool = False) -> DataFrame:
     """The ingestion composition: WARC glob → the exact BASELINE input_hint
     shape ``(url, warc_ts, html, text, lang)``; lang via the n-gram
     heuristic, all native expressions.
@@ -750,12 +763,18 @@ def pages_from_warc(spark: SparkSession, path_glob: str | list[str],
     every stored page can be traced to (and re-read from) its archive
     bytes — the per-partition lineage the snapshot ingest persists.
     ``mime=True`` appends the record Content-Type as ``mime`` — the column
-    the crawl's photo pipeline consumes, preserved through the archive."""
+    the crawl's photo pipeline consumes, preserved through the archive.
+    ``dedup=True`` ingests archives written by :func:`write_warc_deduped`:
+    revisit records are resolved back to their original payloads
+    (:func:`resolve_revisits`) before the projection, so the crawl sees
+    every capture whole."""
     from ..functions.parse_udfs import decode_text
     from ..functions.text import lang_id
     from ..operators.web import html_visible_text
 
-    raw = read_warc(spark, path_glob)
+    raw = read_warc(spark, path_glob, revisits=dedup)
+    if dedup:
+        raw = resolve_revisits(raw)
     text_col = (decode_text(F.col("html")) if text_mode == "decode"
                 else html_visible_text(F.col("html").cast("string")))
     with_text = raw.withColumn("text", text_col)

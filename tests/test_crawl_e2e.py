@@ -583,3 +583,44 @@ def test_e2e_crawl_over_warc_ingested_pages_matches(
             da.select(cols).exceptAll(db.select(cols)).count() == 0
             and db.select(cols).exceptAll(da.select(cols)).count() == 0
         ), f"{getter} differs between WARC-ingested and direct runs"
+
+
+def test_e2e_crawl_over_deduped_archives_matches(
+        crawl_result, spark, tmp_path_factory):
+    """Same fidelity bar through the revisit-dedup layer: the universe plus
+    a time-shifted recapture of every 5th url (identical bytes → genuine
+    revisit records on disk) is written with write_warc_deduped, ingested
+    with pages_from_warc(dedup=True) (resolve restores payload + mime from
+    the original response), the recaptures filtered back out, and the
+    crawl must land byte-identical to the reference run."""
+    from crawler_spark.sources.warc import pages_from_warc, write_warc_deduped
+
+    ref_job, _, _ = crawl_result
+    recap = ref_job.pages.where(F.xxhash64("url") % 5 == 0).withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 7300 DAYS"))
+    n_recap = recap.count()
+    assert n_recap > 0
+    arch = tmp_path_factory.mktemp("warc_dedup_universe")
+    manifest = write_warc_deduped(
+        ref_job.pages.unionByName(recap), str(arch), shards=8).collect()
+    assert sum(m["revisits"] for m in manifest) == n_recap
+    assert sum(m["payload_bytes_saved"] for m in manifest) > 0
+
+    pages = pages_from_warc(spark, str(arch) + "/*.warc", mime=True,
+                            dedup=True)
+    pages = pages.where(F.year("warc_ts") < 2040)  # drop the recaptures
+
+    job = CrawlJob(
+        spark, str(tmp_path_factory.mktemp("wdstore")), pages,
+        wave_seconds=10**9, prewarm=False,
+    )
+    job.seed_frontier(ref_job.store.read(spark, "frontier", as_of=0))
+    job.crawl(max_waves=10)
+
+    for getter in ("cards", "seen_set", "missing_set"):
+        da, db = getattr(ref_job, getter)(), getattr(job, getter)()
+        cols = [c for c in da.columns if c != "wave"]
+        assert (
+            da.select(cols).exceptAll(db.select(cols)).count() == 0
+            and db.select(cols).exceptAll(da.select(cols)).count() == 0
+        ), f"{getter} differs between dedup-archived and direct runs"
