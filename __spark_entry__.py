@@ -1426,6 +1426,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["warc_wat_payload"] = warc_wat_payload
 
+    def link_crawl_bfs(spark, sf_dir):
+        # generic link-following BFS crawl (plans/link_crawl.link_crawl):
+        # per wave one fetch join + codegen link scan + distinct + seen
+        # anti-join; bounded driver loop, per-wave persist.  Graph: doc k
+        # links to (2k mod 500) and (3k+7 mod 500); seeds = docs 0-4;
+        # output = min-hop closure within 4 hops — the oracle re-derives
+        # it with a recursive CTE, so first-reach semantics, cycle
+        # handling, and the hop bound are all under test.
+        from crawler_spark.plans.link_crawl import link_crawl
+
+        docs = _t(spark, sf_dir, "documents")
+        url = F.concat(F.lit("https://ex.org/d/"),
+                       F.col("doc_id").cast("string"))
+        e1 = ((F.col("doc_id") * 2) % 500).cast("string")
+        e2 = ((F.col("doc_id") * 3 + 7) % 500).cast("string")
+        html = F.concat(
+            F.lit('<a href="https://ex.org/d/'), e1, F.lit('">a</a>'),
+            F.lit('<a href="https://ex.org/d/'), e2, F.lit('">b</a>'))
+        pages = docs.select(url.alias("url"),
+                            F.encode(html, "utf-8").alias("html"))
+        seeds = docs.where(F.col("doc_id") < 5).select(url.alias("url"))
+        return link_crawl(spark, pages, seeds, max_hops=4)
+
+    q["link_crawl_bfs"] = link_crawl_bfs
+
     return q
 
 
@@ -2735,6 +2760,28 @@ def oracle_sql() -> dict[str, str]:
              || ',"links":["' || link1 || '","' || link2 || '"]}'
              AS wat_json
     FROM src
+    """
+
+    o["link_crawl_bfs"] = """
+    WITH RECURSIVE edges AS (
+      SELECT 'https://ex.org/d/' || doc_id::varchar AS src,
+             'https://ex.org/d/' || ((doc_id * 2) % 500)::varchar AS dst
+      FROM documents
+      UNION ALL
+      SELECT 'https://ex.org/d/' || doc_id::varchar,
+             'https://ex.org/d/' || ((doc_id * 3 + 7) % 500)::varchar
+      FROM documents
+    ),
+    bfs AS (
+      SELECT 'https://ex.org/d/' || doc_id::varchar AS url, 0 AS hop
+      FROM documents WHERE doc_id < 5
+      UNION
+      SELECT e.dst, b.hop + 1
+      FROM bfs b JOIN edges e ON e.src = b.url
+      WHERE b.hop < 4
+    )
+    SELECT url, min(hop)::int AS hop, 'ex.org' AS host
+    FROM bfs GROUP BY url
     """
 
     o["robots_longest_match"] = """
