@@ -1451,6 +1451,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["link_crawl_bfs"] = link_crawl_bfs
 
+    # ---------------- corpus layer, round-3 additions ----------------------
+
+    def doc_keepfirst_dedup(spark, sf_dir):
+        # keep-FIRST line dedup (one canonical copy per distinct line);
+        # paragraph breaks synthesized by newlining every 4th word gap
+        from crawler_spark.operators.corpus import dedup_lines_keep_first
+
+        docs = _docs_text_double(spark, sf_dir).select(
+            "doc_id",
+            F.regexp_replace(
+                F.col("text"), r"((\S+ ){3}\S+) ", "$1\n"
+            ).alias("text"),
+        )
+        return dedup_lines_keep_first(docs)
+
+    q["doc_keepfirst_dedup"] = doc_keepfirst_dedup
+
+    def doc_bigram_nll(spark, sf_dir):
+        # discounted interpolated bigram-LM NLL, self-trained on the corpus
+        from crawler_spark.operators.corpus import bigram_logprob
+
+        return bigram_logprob(_docs_text_double(spark, sf_dir))
+
+    q["doc_bigram_nll"] = doc_bigram_nll
+
+    def doc_dsir_weights(spark, sf_dir):
+        # DSIR hashed-ngram importance weights; target domain = the
+        # deterministic doc_id % 5 == 0 slice of the same corpus
+        from crawler_spark.operators.corpus import dsir_importance
+
+        docs = _docs_text_double(spark, sf_dir)
+        target = docs.where(F.col("doc_id") % 5 == 0)
+        return dsir_importance(docs, target, n_buckets=512)
+
+    q["doc_dsir_weights"] = doc_dsir_weights
+
+    def url_quality_filter(spark, sf_dir):
+        # RefinedWeb-style URL filtering over deterministically synthesized
+        # URLs (each doc_id residue class exercises one flag)
+        from crawler_spark.operators.web import url_quality_flags
+
+        d = _docs_text_double(spark, sf_dir)
+        sid = F.col("doc_id").cast("string")
+        m = F.col("doc_id") % 9
+        url = (
+            F.when(m == 1, F.concat(F.lit("http://spam-casino.example/win/"), sid))
+            .when(m == 2, F.concat(F.lit("https://sub.badsite.example/p"), sid))
+            .when(
+                m == 3,
+                F.concat(
+                    F.lit("https://ok.org/page?a=1&p1=1&p2=2&p3=3&p4=4"
+                          "&p5=5&p6=6&p7=7&p8=8&p9=9&z="),
+                    sid,
+                ),
+            )
+            .when(m == 4, F.concat(F.lit("https://ok.org/"), F.repeat(F.lit("x"), 600), sid))
+            .when(m == 5, F.concat(F.lit("ftp://files.org/pub/"), sid))
+            .when(m == 6, F.concat(F.lit("https://ok.org/watch-casino-stream/"), sid))
+            .when(m == 7, F.concat(F.lit("https://ok.org/id/"), F.repeat(sid, 12)))
+            .otherwise(F.concat(F.lit("https://good.example.org/article/"), sid))
+        )
+        return url_quality_flags(d.select("doc_id", url.alias("url")))
+
+    q["url_quality_filter"] = url_quality_filter
+
+    def page_main_content(spark, sf_dir):
+        # boilerpipe-style block extraction: nav/footer/script are link-dense
+        # or stripped, the two content paragraphs survive
+        from crawler_spark.operators.web import main_content_blocks
+
+        d = _docs_text_double(spark, sf_dir)
+        html = F.concat(
+            F.lit('<html><body><nav><a href="/">home</a> <a href="/a">about'
+                  '</a> <a href="/c">contact</a></nav><p>'),
+            F.col("text"),
+            F.lit(' plus a <a href="/r">ref link</a> tail</p><p>short</p>'
+                  '<footer><a href="/t">terms</a> <a href="/p">privacy</a>'
+                  '</footer><script>var x=1;</script></body></html>'),
+        )
+        return main_content_blocks(
+            d.select("doc_id", html.alias("html"))
+        )
+
+    q["page_main_content"] = page_main_content
+
     return q
 
 
@@ -2810,6 +2895,220 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT url FROM urls
     WHERE url NOT IN (SELECT url FROM m WHERE rn = 1 AND NOT is_allow)
+    """
+
+    # ---------------- corpus layer, round-3 additions ----------------------
+
+    # keep-first line dedup: winner per line = min(doc_id, pos); paragraph
+    # breaks synthesized exactly like the Spark side (every 4th word gap)
+    o["doc_keepfirst_dedup"] = r"""
+    WITH lined AS (
+      SELECT doc_id,
+             regexp_replace(text, '((\S+ ){3}\S+) ', '\1' || chr(10), 'g')
+               AS text
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, unnest(arr) AS line,
+             unnest(range(1, len(arr) + 1)) - 1 AS pos
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS arr FROM lined)
+    ),
+    winners AS (
+      SELECT line, min(struct_pack(doc_id := doc_id, pos := pos)) AS w
+      FROM lines GROUP BY line
+    ),
+    kept AS (
+      SELECT l.doc_id, l.pos, l.line
+      FROM lines l JOIN winners w USING (line)
+      WHERE l.doc_id = w.w.doc_id AND l.pos = w.w.pos
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+             count(*)::bigint AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           len(string_split(d.text, chr(10)))::bigint AS n_lines,
+           coalesce(r.n_kept, 0)::bigint AS n_kept
+    FROM lined d LEFT JOIN rebuilt r USING (doc_id)
+    """
+
+    # discounted interpolated bigram LM — identical factoring and the exact
+    # Python-double constants the Spark plan uses
+    _lam, _disc, _one_minus_lam = 0.9, 0.75, 1.0 - 0.9
+    o["doc_bigram_nll"] = f"""
+    WITH base AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    inst AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+            FROM base WHERE len(t) >= 2)
+    ),
+    c12 AS (SELECT w1, w2, count(*)::bigint AS c12 FROM inst GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*)::bigint AS c1 FROM inst GROUP BY w1),
+    uni AS (SELECT unnest(t) AS w2 FROM base),
+    c2 AS (SELECT w2, count(*)::bigint AS c2 FROM uni GROUP BY w2),
+    n AS (SELECT count(*)::bigint AS n_total FROM uni)
+    SELECT i.doc_id, count(*)::bigint AS n_bigrams,
+           round(-avg(ln(
+             {_lam!r} * greatest(c12::double - {_disc!r}, 0.0) / c1::double
+             + {_one_minus_lam!r} * c2::double / n_total::double
+           )), 6) AS nll
+    FROM inst i
+    JOIN c12 USING (w1, w2) JOIN c1 USING (w1) JOIN c2 USING (w2)
+    CROSS JOIN n
+    GROUP BY i.doc_id
+    """
+
+    # DSIR hashed-ngram importance weights; feature = '1|'+tok and
+    # '2|'+bigram, bucket = h32(feat) % 512; add-one smoothed models;
+    # target slice = doc_id % 5 = 0
+    _feats = (
+        "list_concat("
+        "list_transform(toks, x -> '1|' || x), "
+        "list_transform(range(1, greatest(len(toks) - 1, 1) + 1), "
+        "i -> '2|' || array_to_string(toks[i:i+1], ' ')))"
+    )
+    o["doc_dsir_weights"] = f"""
+    WITH rawi AS (
+      SELECT doc_id, {_h32("feat")} % 512 AS bucket
+      FROM (SELECT doc_id, unnest({_feats}) AS feat
+            FROM (SELECT doc_id, {_TOKS} AS toks FROM documents))
+    ),
+    tgti AS (
+      SELECT doc_id, {_h32("feat")} % 512 AS bucket
+      FROM (SELECT doc_id, unnest({_feats}) AS feat
+            FROM (SELECT doc_id, {_TOKS} AS toks FROM documents
+                  WHERE doc_id % 5 = 0))
+    ),
+    rmodel AS (SELECT bucket, count(*)::bigint AS cr FROM rawi GROUP BY bucket),
+    tmodel AS (SELECT bucket, count(*)::bigint AS ct FROM tgti GROUP BY bucket),
+    rt AS (SELECT count(*)::bigint AS raw_total FROM rawi),
+    tt AS (SELECT count(*)::bigint AS tgt_total FROM tgti)
+    SELECT i.doc_id, count(*)::bigint AS n_feats,
+           round(sum(
+             ln((coalesce(t.ct, 0) + 1)::double
+                / (tt.tgt_total + 512)::double)
+             - ln((coalesce(r.cr, 0) + 1)::double
+                  / (rt.raw_total + 512)::double)
+           ), 6) AS logw
+    FROM rawi i
+    LEFT JOIN rmodel r USING (bucket)
+    LEFT JOIN tmodel t USING (bucket)
+    CROSS JOIN rt CROSS JOIN tt
+    GROUP BY i.doc_id
+    """
+
+    # RefinedWeb-style URL filtering over the same synthesized URLs
+    o["url_quality_filter"] = r"""
+    WITH urls AS (
+      SELECT doc_id,
+        CASE doc_id % 9
+          WHEN 1 THEN 'http://spam-casino.example/win/' || doc_id::varchar
+          WHEN 2 THEN 'https://sub.badsite.example/p' || doc_id::varchar
+          WHEN 3 THEN 'https://ok.org/page?a=1&p1=1&p2=2&p3=3&p4=4&p5=5&p6=6&p7=7&p8=8&p9=9&z=' || doc_id::varchar
+          WHEN 4 THEN 'https://ok.org/' || repeat('x', 600) || doc_id::varchar
+          WHEN 5 THEN 'ftp://files.org/pub/' || doc_id::varchar
+          WHEN 6 THEN 'https://ok.org/watch-casino-stream/' || doc_id::varchar
+          WHEN 7 THEN 'https://ok.org/id/' || repeat(doc_id::varchar, 12)
+          ELSE 'https://good.example.org/article/' || doc_id::varchar
+        END AS url
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, url,
+        lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+          AS scheme,
+        lower(regexp_extract(
+          regexp_replace(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', ''),
+          '^([^/?#:]*)', 1)) AS host,
+        len(list_filter(string_split(
+          regexp_extract(url, '[?]([^#]*)', 1), '&'), p -> p <> ''))::bigint
+          AS n_params,
+        round(len(regexp_replace(url, '[^0-9]', '', 'g'))::double
+              / len(url)::double, 6) AS digit_frac
+      FROM urls
+    ),
+    g AS (
+      SELECT *,
+        regexp_matches(host,
+          '(^|\.)(badsite\.example|spam\-casino\.example|tracker\.example)$')
+          AS host_blocked,
+        regexp_matches(lower(url), '(casino|viagra|xxx|porn|webcam)')
+          AS bad_word_in_url,
+        len(url) > 512 AS too_long,
+        n_params > 8 AS too_many_params,
+        digit_frac > 0.4 AS digit_heavy,
+        scheme NOT IN ('http', 'https') AS non_http
+      FROM f
+    )
+    SELECT doc_id, url, host, n_params, digit_frac, host_blocked,
+           bad_word_in_url, too_long, too_many_params, digit_heavy, non_http,
+           (NOT host_blocked AND NOT bad_word_in_url AND NOT too_long
+            AND NOT too_many_params AND NOT digit_heavy AND NOT non_http)
+             AS url_keep
+    FROM g
+    """
+
+    # boilerpipe-style block extraction: same synthesized page, same block
+    # split / per-block text cleanup / link-density arithmetic
+    o["page_main_content"] = r"""
+    WITH pages AS (
+      SELECT doc_id,
+        '<html><body><nav><a href="/">home</a> <a href="/a">about</a> '
+        || '<a href="/c">contact</a></nav><p>' || text
+        || ' plus a <a href="/r">ref link</a> tail</p><p>short</p>'
+        || '<footer><a href="/t">terms</a> <a href="/p">privacy</a></footer>'
+        || '<script>var x=1;</script></body></html>' AS html
+      FROM documents
+    ),
+    nf AS (
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(html,
+          '(?s)<!--.*?-->', ' ', 'g'),
+          '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+          '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS h
+      FROM pages
+    ),
+    blocks AS (
+      SELECT doc_id, unnest(arr) AS raw_block,
+             unnest(range(1, len(arr) + 1)) - 1 AS pos
+      FROM (SELECT doc_id, string_split_regex(h,
+              '(?i)</?(?:p|div|li|ul|ol|h[1-6]|td|tr|table|article|section|nav|header|footer|aside|br)[^>]*>')
+              AS arr FROM nf)
+    ),
+    scored AS (
+      SELECT doc_id, pos,
+        trim(regexp_replace(regexp_replace(raw_block, '<[^>]*>', ' ', 'g'),
+             '\s+', ' ', 'g')) AS btext,
+        coalesce(list_sum(list_transform(
+          regexp_extract_all(raw_block, '(?is)<a[^>]*>(.*?)</a>', 1),
+          a -> len(trim(regexp_replace(a, '<[^>]*>', ' ', 'g'))))), 0)
+          AS link_chars
+      FROM blocks
+    ),
+    s2 AS (
+      SELECT doc_id, pos, btext,
+        (CASE WHEN btext = '' THEN 0
+              ELSE len(string_split_regex(btext, '\s+')) END)::bigint
+          AS n_words,
+        CASE WHEN len(btext) = 0 THEN 0.0
+             ELSE round(link_chars::double / len(btext)::double, 6)
+        END AS link_density
+      FROM scored
+    ),
+    kept AS (SELECT * FROM s2 WHERE n_words >= 5 AND link_density <= 0.33),
+    reb AS (
+      SELECT doc_id, count(*)::bigint AS n_kept,
+             string_agg(btext, chr(10) ORDER BY pos) AS content_text
+      FROM kept GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, count(*)::bigint AS n_blocks FROM s2 GROUP BY doc_id)
+    SELECT t.doc_id, t.n_blocks,
+           coalesce(r.n_kept, 0)::bigint AS n_kept,
+           coalesce(r.content_text, '') AS content_text,
+           len(coalesce(r.content_text, ''))::bigint AS n_chars_main
+    FROM tot t LEFT JOIN reb r USING (doc_id)
     """
 
     return o

@@ -779,3 +779,223 @@ def inverted_index(docs: DataFrame, text_col: str = "text",
         )
         .where(F.col("df") >= min_df)
     )
+
+
+def dedup_lines_keep_first(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           sep: str = "\n") -> DataFrame:
+    """Corpus-wide keep-FIRST line dedup: every line that appears anywhere
+    in the corpus survives in exactly one place — its first occurrence in
+    (document id, line position) order — and is dropped everywhere else.
+
+    This is the other C4-family line policy: :func:`remove_frequent_lines`
+    deletes a frequent line from *all* documents (boilerplate removal);
+    this keeps one canonical copy (content preservation under syndication —
+    the same article pasted into 40 pages keeps its text once).
+
+    Relational, window-free: one ``posexplode``, one ``groupBy(line)``
+    computing the winning ``min(struct(id, pos))`` — map-side combined, so
+    a boilerplate line occurring 10^7 times sends one partial per task, no
+    skewed window rank — then an equi-join back on the line restricted to
+    the winner coordinates, and the same bounded per-document reassembly
+    as :func:`remove_frequent_lines`.
+
+    Returns (id_col, clean_text, n_lines, n_kept); documents whose every
+    line lost survive with ``clean_text = ''`` (membership preserved).
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("pos", "line"),
+    )
+    winners = lines.groupBy("line").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("w")
+    )
+    kept = (
+        lines.join(winners, "line")
+        .where(
+            (F.col(id_col) == F.col(f"w.{id_col}"))
+            & (F.col("pos") == F.col("w.pos"))
+        )
+        .select(id_col, "pos", "line")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.size(F.split(F.col(text_col), sep, -1)).cast("long").alias("n_lines"),
+        )
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            "n_lines",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
+def bigram_logprob(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", lam: float = 0.9,
+                   discount: float = 0.75) -> DataFrame:
+    """Discounted, interpolated bigram-LM negative log-likelihood per
+    document, self-trained on the corpus — the next quality rung above
+    :func:`unigram_logprob` (CCNet scores with a KenLM 5-gram; a smoothed
+    bigram is the largest order whose model stays a well-conditioned
+    relational aggregate without external artifacts).
+
+    ``p(w2|w1) = lam * (c(w1 w2) - discount)/c(w1 ·) + (1-lam) * c(w2)/N``
+    — absolute discounting (Ney et al. 1994) interpolated with the corpus
+    unigram.  The discount matters when a model scores its own training
+    data: without it every singleton bigram gets ``c12/c1 = 1`` and gibberish
+    scores as *certain*; with it a once-seen transition keeps only
+    ``1 - discount`` of its mass and the unigram term dominates, so rare
+    junk ranks below common prose (tested).  Probability is never zero for
+    in-corpus tokens because the unigram term is corpus-supported.
+
+    Plan: adjacent-pair instances from ONE explode (struct array built in
+    the projection, so a document's instances stay in one partition), then
+    three model aggregates — bigram counts, left-context counts, unigram
+    counts — each a map-side-combined ``groupBy`` on a text key, joined
+    back to the instance stream, one ``groupBy(doc)``.  The corpus token
+    total joins as a broadcast scalar after aggregation (same factoring as
+    :func:`unigram_logprob`).  Documents with fewer than 2 tokens have no
+    bigram positions and are excluded (mirrored in the oracle).
+
+    Returns (id_col, n_bigrams, nll) with ``nll = -avg ln p`` rounded to 6.
+    """
+    from ..functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    starts = F.sequence(F.lit(1), F.size(toks) - 1)
+    inst = (
+        docs.where(F.size(toks) >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    starts,
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("w1"),
+                        F.element_at(toks, i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .select(id_col, "bg.w1", "bg.w2")
+    )
+    c12 = inst.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = inst.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    uni = docs.select(F.explode(tokens(F.col(text_col))).alias("w2"))
+    c2 = uni.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    total = uni.agg(F.count(F.lit(1)).alias("n_total"))
+    p = (
+        F.lit(lam)
+        * F.greatest(F.col("c12").cast("double") - discount, F.lit(0.0))
+        / F.col("c1").cast("double")
+        + F.lit(1.0 - lam)
+        * F.col("c2").cast("double")
+        / F.col("n_total").cast("double")
+    )
+    return (
+        inst.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(F.col(id_col), F.log(p).alias("ln_p"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(-F.avg("ln_p"), 6).alias("nll"),
+        )
+    )
+
+
+def dsir_importance(docs: DataFrame, target: DataFrame,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    n_buckets: int = 1024) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw document
+    by ``log p_target(x) / p_raw(x)`` under two hashed-ngram bag models, so
+    a pretraining pipeline can resample raw web text toward a target
+    domain (e.g. books/wiki) with one relational pass.
+
+    Features are word unigrams and bigrams hashed into ``n_buckets`` via
+    the portable ``h32`` (salted '1|'/'2|' so the orders don't collide).
+    Both bucket models are add-one smoothed:
+    ``p(b) = (c_b + 1) / (total + n_buckets)``.
+
+    Plan discipline: the two feature orders are built in ONE projection
+    (concat of two transforms) and exploded once, so a document's feature
+    instances never leave their partition; the bucket models are tiny
+    (≤ n_buckets rows) and join as **broadcasts**, so the per-doc
+    ``sum(log-ratio)`` aggregates map-side with one partial per document —
+    no instance shuffle anywhere.  At 100 TB the raw-side model build is
+    one map-side-combined groupBy on a uniformly-hashed int key.
+
+    Returns (id_col, n_feats, logw) with logw rounded to 6; positive means
+    target-like.  Resample = rank by logw (see :func:`dsir_topk`).
+    """
+    from ..functions.text import h32, tokens
+
+    def feats(col):
+        toks = tokens(col)
+        starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1)))
+        unis = F.transform(toks, lambda t: F.concat(F.lit("1|"), t))
+        bis = F.transform(
+            starts,
+            lambda i: F.concat(
+                F.lit("2|"), F.array_join(F.slice(toks, i, 2), " ")
+            ),
+        )
+        return F.concat(unis, bis)
+
+    def bucket_instances(df):
+        return df.select(
+            F.col(id_col), F.explode(feats(F.col(text_col))).alias("feat")
+        ).select(F.col(id_col), (h32(F.col("feat")) % n_buckets).alias("bucket"))
+
+    raw_inst = bucket_instances(docs)
+    raw_model = raw_inst.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tgt_model = (
+        bucket_instances(target)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    raw_total = raw_inst.count()
+    tgt_total = bucket_instances(target).count()
+    log_ratio = F.log(
+        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+        / F.lit(float(tgt_total + n_buckets))
+    ) - F.log(
+        (F.coalesce(F.col("cr"), F.lit(0)) + 1).cast("double")
+        / F.lit(float(raw_total + n_buckets))
+    )
+    return (
+        raw_inst.join(F.broadcast(raw_model), "bucket", "left")
+        .join(F.broadcast(tgt_model), "bucket", "left")
+        .select(F.col(id_col), log_ratio.alias("lr"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.round(F.sum("lr"), 6).alias("logw"),
+        )
+    )
+
+
+def dsir_topk(weights: DataFrame, k: int, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic DSIR selection: the k most target-like documents by
+    (logw desc, id asc) — Catalyst executes the order+limit as
+    TakeOrderedAndProject (per-partition heaps, k-row driver merge, never
+    a global sort).  DSIR's sampled variant (Gumbel-top-k on logw) drops
+    in by adding a salted-h32 perturbation column; the deterministic rank
+    is what the oracle checks."""
+    return weights.orderBy(F.col("logw").desc(), F.col(id_col)).limit(k)

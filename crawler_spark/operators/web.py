@@ -212,3 +212,186 @@ def anchor_text_profile(links: DataFrame, href_col: str = "href",
     return per_href.join(top, "href").select(
         "href", "n_links", "n_distinct_anchors", "top_anchor"
     )
+
+
+# Default URL-filter lists (RefinedWeb §3.1 / UT1-style, public-knowledge
+# categories only; callers pass their real blocklists).  Kept tiny here —
+# the operator broadcasts whatever it is given.
+URL_BLOCKLIST_DEFAULT = ("badsite.example", "spam-casino.example",
+                         "tracker.example")
+URL_BADWORDS_DEFAULT = ("casino", "viagra", "xxx", "porn", "webcam")
+
+
+def url_quality_flags(df: DataFrame, url_col: str = "url",
+                      blocklist: tuple = URL_BLOCKLIST_DEFAULT,
+                      badwords: tuple = URL_BADWORDS_DEFAULT,
+                      max_len: int = 512, max_params: int = 8,
+                      max_digit_frac: float = 0.4) -> DataFrame:
+    """RefinedWeb-style URL filtering (Penedo et al. 2023 §3.1): per-URL
+    quality flags plus the combined keep verdict, as pure codegen column
+    expressions — at 100 TB this is a scan-stage filter that prunes fetches
+    *before* any byte is downloaded, the cheapest quality lever a crawl has.
+
+    Flags:
+
+    * ``host_blocked``   — registrable host (or any suffix-matching parent
+      domain) is on the blocklist;
+    * ``bad_word_in_url``— any fragment-word from ``badwords`` appears in
+      the lowercased URL;
+    * ``too_long``       — total URL length > ``max_len``;
+    * ``too_many_params``— query parameter count > ``max_params``;
+    * ``digit_heavy``    — digit fraction of the URL > ``max_digit_frac``
+      (session-id / tracking-hash shaped URLs);
+    * ``non_http``       — scheme is neither http nor https.
+
+    ``url_keep`` is the conjunction of none-of-the-above.  The blocklist
+    and badword alternations compile into single RLIKE literals (RE2 ∩
+    Java subset, oracle-portable); a production list with 10^6 entries
+    would instead broadcast-anti-join on the registrable domain — same
+    semantics, and the host column this emits is the join key for that.
+
+    Returns df + (host, n_params, digit_frac, the 6 flags, url_keep).
+    """
+    import re as _re
+
+    u = F.col(url_col)
+    lu = F.lower(u)
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    host = F.lower(
+        F.regexp_extract(F.regexp_replace(u, _SCHEME_RE, ""), "^([^/?#:]*)", 1)
+    )
+    block_alt = "|".join(_re.escape(b) for b in blocklist)
+    host_blocked = host.rlike(f"(^|\\.)({block_alt})$")
+    bad_alt = "|".join(_re.escape(w) for w in badwords)
+    bad_word = lu.rlike(f"({bad_alt})")
+    query = F.regexp_extract(u, "[?]([^#]*)", 1)
+    n_params = F.size(F.filter(F.split(query, "&"), lambda p: p != ""))
+    n_digits = F.length(F.regexp_replace(u, "[^0-9]", ""))
+    digit_frac = F.round(
+        n_digits.cast("double") / F.length(u).cast("double"), 6
+    )
+    too_long = F.length(u) > max_len
+    too_many = n_params > max_params
+    digit_heavy = digit_frac > max_digit_frac
+    non_http = ~scheme.isin("http", "https")
+    return df.select(
+        "*",
+        host.alias("host"),
+        n_params.cast("long").alias("n_params"),
+        digit_frac.alias("digit_frac"),
+        host_blocked.alias("host_blocked"),
+        bad_word.alias("bad_word_in_url"),
+        too_long.alias("too_long"),
+        too_many.alias("too_many_params"),
+        digit_heavy.alias("digit_heavy"),
+        non_http.alias("non_http"),
+        (
+            ~host_blocked & ~bad_word & ~too_long & ~too_many
+            & ~digit_heavy & ~non_http
+        ).alias("url_keep"),
+    )
+
+
+# Block-level boundary tags for main-content segmentation.  Splitting on
+# these leaves inline markup (<a>, <b>, <span>…) inside each block, which
+# is exactly what the link-density signal needs.
+_BLOCK_TAG_RE = ("(?i)</?(?:p|div|li|ul|ol|h[1-6]|td|tr|table|article|"
+                 "section|nav|header|footer|aside|br)[^>]*>")
+
+
+def main_content_blocks(pages: DataFrame, html_col: str = "html",
+                        id_col: str = "doc_id", min_words: int = 5,
+                        max_link_density: float = 0.33) -> DataFrame:
+    """Boilerpipe-style main-content extraction (Kohlschütter et al., WSDM
+    2010: word count + link density are the two dominant features): split
+    each page into block-level segments, score every block, keep content
+    blocks, and reassemble the page's main text in document order.
+
+    A block survives iff its visible word count ≥ ``min_words`` AND its
+    link density (characters inside ``<a>…</a>`` / total visible
+    characters) ≤ ``max_link_density`` — navigation, headers, footers and
+    related-links rails are short and link-dense, body prose is neither.
+
+    All native expressions: one regex split on block boundary tags →
+    ``posexplode`` (a narrow generator), per-block regex text cleanup and
+    the two scores in the same projection, one bounded per-document
+    reassembly aggregate.  No UDF, no corpus-wide shuffle — the only
+    exchange is the final groupBy(doc), keyed on the document id.
+
+    Returns (id_col, n_blocks, n_kept, content_text, n_chars_main).
+    """
+    script_free = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col(html_col), "(?s)<!--.*?-->", " "),
+            "(?is)<script[^>]*>.*?</script>", " ",
+        ),
+        "(?is)<style[^>]*>.*?</style>", " ",
+    )
+    blocks = pages.select(
+        F.col(id_col),
+        F.posexplode(F.split(script_free, _BLOCK_TAG_RE, -1)).alias(
+            "pos", "raw_block"
+        ),
+    )
+    link_chars = F.aggregate(
+        F.regexp_extract_all(
+            F.col("raw_block"), F.lit("(?is)<a[^>]*>(.*?)</a>"), 1
+        ),
+        F.lit(0),
+        lambda acc, a: acc
+        + F.length(F.trim(F.regexp_replace(a, "<[^>]*>", " "))).cast("int"),
+    )
+    btext = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw_block"), "<[^>]*>", " "), r"\s+", " "
+        )
+    )
+    scored = blocks.select(
+        id_col,
+        "pos",
+        btext.alias("btext"),
+        F.when(btext == "", F.lit(0))
+        .otherwise(F.size(F.split(btext, r"\s+")))
+        .cast("long")
+        .alias("n_words"),
+        link_chars.cast("long").alias("link_chars"),
+    ).select(
+        "*",
+        F.when(
+            F.length("btext") == 0, F.lit(0.0)
+        )
+        .otherwise(
+            F.round(
+                F.col("link_chars").cast("double")
+                / F.length("btext").cast("double"),
+                6,
+            )
+        )
+        .alias("link_density"),
+    )
+    kept = scored.where(
+        (F.col("n_words") >= min_words)
+        & (F.col("link_density") <= max_link_density)
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "btext"))),
+                lambda s: s["btext"],
+            ),
+            "\n",
+        ).alias("content_text"),
+    )
+    totals = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks")
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_blocks",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("content_text"), F.lit("")).alias("content_text"),
+        F.length(F.coalesce(F.col("content_text"), F.lit(""))).cast("long").alias(
+            "n_chars_main"
+        ),
+    )

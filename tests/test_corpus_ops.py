@@ -366,3 +366,127 @@ def test_inverted_index_postings_sorted_and_min_df(spark):
     assert set(rows) == {"spark", "join"}
     assert rows["spark"]["df"] == 3 and rows["spark"]["postings"] == "1,2,3"
     assert rows["join"]["df"] == 2 and rows["join"]["postings"] == "1,2"
+
+
+# ---------------------------------------------------------------------------
+# keep-first line dedup
+# ---------------------------------------------------------------------------
+
+def test_dedup_lines_keep_first_semantics(spark):
+    from crawler_spark.operators.corpus import dedup_lines_keep_first
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha\nshared line\nbeta"),
+            (1, "shared line\ngamma"),          # loses 'shared line' to doc 0
+            (2, "shared line"),                  # loses everything
+            (3, "delta\ndelta"),                 # in-doc repeat: first pos wins
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_lines_keep_first(docs).collect()}
+    assert out[0]["clean_text"] == "alpha\nshared line\nbeta"
+    assert out[1]["clean_text"] == "gamma"
+    assert out[2]["clean_text"] == "" and out[2]["n_kept"] == 0
+    # first occurrence within a doc wins; the later copy is dropped
+    assert out[3]["clean_text"] == "delta"
+    assert out[3]["n_lines"] == 2 and out[3]["n_kept"] == 1
+    # corpus-wide: every distinct line survives exactly once
+    kept_lines = [
+        ln
+        for r in out.values()
+        if r["clean_text"]
+        for ln in r["clean_text"].split("\n")
+    ]
+    assert sorted(kept_lines) == sorted(set(kept_lines))
+    assert set(kept_lines) == {"alpha", "shared line", "beta", "gamma", "delta"}
+
+
+# ---------------------------------------------------------------------------
+# bigram LM NLL
+# ---------------------------------------------------------------------------
+
+def test_bigram_logprob_values(spark):
+    import math
+
+    from crawler_spark.operators.corpus import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c"), (2, "x")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_logprob(docs, lam=0.9).collect()}
+    # doc 2 has a single token -> no bigram positions -> excluded
+    assert 2 not in out
+    # corpus: tokens a,b,a,b,a,b,c,x  -> N=8; c(a)=3 c(b)=3 c(c)=1 c(x)=1
+    # bigram instances: (a,b)x3, (b,a)x1, (b,c)x1
+    # left-context counts over instances: c1(a)=3, c1(b)=2
+    def p(c12, c1, c2, n=8, lam=0.9, d=0.75):
+        return lam * max(c12 - d, 0.0) / c1 + (1 - lam) * c2 / n
+
+    exp0 = -(2 * math.log(p(3, 3, 3)) + math.log(p(1, 2, 3))) / 3
+    assert out[0]["n_bigrams"] == 3
+    assert abs(out[0]["nll"] - round(exp0, 6)) < 1e-9
+    exp1 = -(math.log(p(3, 3, 3)) + math.log(p(1, 2, 1))) / 2
+    assert out[1]["n_bigrams"] == 2
+    assert abs(out[1]["nll"] - round(exp1, 6)) < 1e-9
+
+
+def test_bigram_logprob_ranks_typical_text_lower(spark):
+    from crawler_spark.operators.corpus import bigram_logprob
+
+    rows = [(i, "the cat sat on the mat") for i in range(8)]
+    rows.append((99, "zq xv qj zz kk"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["nll"] for r in bigram_logprob(docs).collect()}
+    assert out[0] < out[99]  # repeated common text scores as more probable
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------------
+
+def test_dsir_importance_directionality(spark):
+    from crawler_spark.operators.corpus import dsir_importance, dsir_topk
+
+    raw = spark.createDataFrame(
+        [
+            (0, "science method experiment result analysis"),
+            (1, "science theory experiment evidence data"),
+            (2, "buy cheap pills online casino bonus"),
+            (3, "click here free offer deal now"),
+        ],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [
+            (100, "science experiment analysis evidence theory"),
+            (101, "method result data experiment science"),
+        ],
+        "doc_id long, text string",
+    )
+    w = dsir_importance(raw, target, n_buckets=256)
+    out = {r["doc_id"]: r for r in w.collect()}
+    assert set(out) == {0, 1, 2, 3}
+    # target-like docs outweigh spam under the target model
+    assert min(out[0]["logw"], out[1]["logw"]) > max(
+        out[2]["logw"], out[3]["logw"]
+    )
+    # n_feats = unigrams + bigrams = n + (n-1) for n>=2
+    assert out[0]["n_feats"] == 5 + 4
+    top = dsir_topk(w, 2).collect()
+    assert {r["doc_id"] for r in top} == {0, 1}
+
+
+def test_dsir_importance_single_token_doc(spark):
+    from crawler_spark.operators.corpus import dsir_importance
+
+    raw = spark.createDataFrame(
+        [(0, "word"), (1, "two words")], "doc_id long, text string"
+    )
+    target = spark.createDataFrame([(9, "word")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dsir_importance(raw, target).collect()}
+    # 1-token doc: the bigram transform degrades to the full token string
+    # (greatest(n-1,1) start sequence) -> 1 unigram + 1 "bigram" feature
+    assert out[0]["n_feats"] == 2
+    assert out[1]["n_feats"] == 3

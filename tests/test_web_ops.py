@@ -154,3 +154,84 @@ def test_anchor_text_profile_dominant_and_ties(spark):
     assert out["t1"].top_anchor == "buy now"
     assert out["t2"].top_anchor == "a"        # tie broken deterministically
     assert out["t3"].n_links == 1 and out["t3"].top_anchor == "solo"
+
+
+# ---------------------------------------------------------------------------
+# RefinedWeb-style URL filtering
+# ---------------------------------------------------------------------------
+
+def test_url_quality_flags(spark):
+    from crawler_spark.operators.web import url_quality_flags
+
+    urls = [
+        (0, "https://good.example.org/article/how-to-train"),
+        (1, "http://spam-casino.example/win"),                  # blocked host
+        (2, "https://sub.badsite.example/page"),                # blocked parent
+        (3, "https://ok.org/page?a=1&" + "&".join(f"p{i}={i}" for i in range(9))),
+        (4, "https://ok.org/" + "x" * 600),                     # too long
+        (5, "ftp://files.org/pub"),                             # non-http
+        (6, "https://ok.org/watch-free-casino-stream"),         # bad word
+        (7, "https://ok.org/" + "1234567890" * 8),              # digit heavy
+        (8, "https://notbadsite.example/x"),  # suffix must match on a dot
+    ]
+    df = spark.createDataFrame(urls, "doc_id long, url string")
+    out = {r["doc_id"]: r for r in url_quality_flags(df).collect()}
+    assert out[0]["url_keep"] is True
+    assert out[1]["host_blocked"] and not out[1]["url_keep"]
+    assert out[2]["host_blocked"]          # *.badsite.example
+    assert out[8]["host_blocked"] is False  # 'notbadsite.example' ≠ suffix
+    assert out[3]["too_many_params"] and out[3]["n_params"] == 10
+    assert out[4]["too_long"]
+    assert out[5]["non_http"]
+    assert out[6]["bad_word_in_url"]
+    assert out[7]["digit_heavy"] and out[7]["digit_frac"] > 0.4
+    assert all(not out[i]["url_keep"] for i in (1, 2, 3, 4, 5, 6, 7))
+
+
+# ---------------------------------------------------------------------------
+# boilerpipe-style main-content extraction
+# ---------------------------------------------------------------------------
+
+def test_main_content_blocks(spark):
+    from crawler_spark.operators.web import main_content_blocks
+
+    nav = '<a href="/">home</a> <a href="/a">about</a> <a href="/c">contact</a>'
+    body1 = ("this is the long main article paragraph with many plain words "
+             "and a single <a href='/ref'>reference link</a> inside it")
+    body2 = "a second substantial content paragraph follows the first one here"
+    footer = '<a href="/t">terms</a> <a href="/p">privacy</a>'
+    html = (f"<html><body><nav>{nav}</nav><p>{body1}</p><p>{body2}</p>"
+            f"<footer>{footer}</footer><script>var x=1;</script></body></html>")
+    pages = spark.createDataFrame([(0, html)], "doc_id long, html string")
+    out = main_content_blocks(pages).collect()[0]
+    assert out["n_kept"] == 2
+    txt = out["content_text"]
+    assert "main article paragraph" in txt and "content paragraph" in txt
+    assert "reference link" in txt          # inline anchors keep their text
+    assert "home" not in txt and "privacy" not in txt  # nav/footer dropped
+    assert "var x=1" not in txt             # script stripped before splitting
+    assert out["n_chars_main"] == len(txt)
+
+
+def test_main_content_blocks_link_density_boundary(spark):
+    from crawler_spark.operators.web import main_content_blocks
+
+    # a block that is ALL link text (density 1.0) must drop even when long
+    all_links = " ".join(f'<a href="/{i}">w{i} word{i}</a>' for i in range(6))
+    prose = "plain prose block with more than five simple words in it"
+    html = f"<p>{all_links}</p><p>{prose}</p>"
+    pages = spark.createDataFrame([(0, html)], "doc_id long, html string")
+    out = main_content_blocks(pages).collect()[0]
+    assert out["content_text"] == prose
+    assert out["n_kept"] == 1
+
+
+def test_main_content_blocks_empty_page(spark):
+    from crawler_spark.operators.web import main_content_blocks
+
+    pages = spark.createDataFrame(
+        [(0, "<html><body><nav><a href='/'>x</a></nav></body></html>")],
+        "doc_id long, html string",
+    )
+    out = main_content_blocks(pages).collect()[0]
+    assert out["n_kept"] == 0 and out["content_text"] == ""
