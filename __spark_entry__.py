@@ -1536,6 +1536,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["page_main_content"] = page_main_content
 
+    def crawl_budget_allocate(spark, sf_dir):
+        # largest-remainder (Hamilton) apportionment of a 997-fetch wave
+        # budget across hosts weighted by per-source byte mass
+        from crawler_spark.operators.politeness import allocate_crawl_budget
+
+        hosts = (
+            _docs_text_double(spark, sf_dir)
+            .groupBy(F.col("source").alias("host"))
+            .agg(F.sum("n_chars").cast("long").alias("weight"))
+        )
+        return allocate_crawl_budget(hosts, 997)
+
+    q["crawl_budget_allocate"] = crawl_budget_allocate
+
+    def doc_lr_quality(spark, sf_dir):
+        # relationally trained logistic-regression quality filter (6 full-
+        # batch rounds, in-engine 12-d.p. weight quantization)
+        from crawler_spark.operators.corpus import lr_quality_classifier
+
+        return lr_quality_classifier(
+            _docs_text_double(spark, sf_dir), iters=6
+        )
+
+    q["doc_lr_quality"] = doc_lr_quality
+
     return q
 
 
@@ -3110,5 +3135,71 @@ def oracle_sql() -> dict[str, str]:
            len(coalesce(r.content_text, ''))::bigint AS n_chars_main
     FROM tot t LEFT JOIN reb r USING (doc_id)
     """
+
+    # largest-remainder budget apportionment: floor pass + the `leftover`
+    # largest fractional remainders get +1 (ties by host ascending)
+    o["crawl_budget_allocate"] = """
+    WITH hosts AS (
+      SELECT source AS host, sum(n_chars)::bigint AS weight
+      FROM documents GROUP BY source
+    ),
+    t AS (SELECT sum(weight::double) AS w_total FROM hosts),
+    based AS (
+      SELECT host, weight,
+             floor(997.0 * weight::double / w_total)::bigint AS base,
+             (997.0 * weight::double / w_total
+              - floor(997.0 * weight::double / w_total)) AS frac
+      FROM hosts CROSS JOIN t
+    ),
+    lo AS (SELECT (997 - sum(base))::bigint AS leftover FROM based),
+    ranked AS (
+      SELECT host, row_number() OVER (ORDER BY frac DESC, host) AS rn
+      FROM based
+    )
+    SELECT b.host, b.weight, b.base,
+           (CASE WHEN r.rn <= lo.leftover THEN 1 ELSE 0 END)::bigint AS bonus,
+           (b.base
+            + CASE WHEN r.rn <= lo.leftover THEN 1 ELSE 0 END)::bigint
+             AS quota
+    FROM based b JOIN ranked r USING (host) CROSS JOIN lo
+    """
+
+    # relationally trained LR quality filter: unrolled fixed-iteration
+    # gradient ascent, weights quantized to 12 d.p. in-engine each round
+    # (the kmeans-proven Spark F.round / DuckDB round pairing), lr = 4.0
+    # (a power of two, so lr*g is exact)
+    _SW = "('the','a','an','and','or','of','to','in','is','on')"
+    _LR_X = (
+        f"SELECT doc_id, 1.0 AS x0, ln(1.0 + len(toks)::double) AS x1, "
+        f"len(list_filter(toks, t -> t IN {_SW}))::double "
+        f"/ len(toks)::double AS x2, "
+        f"list_sum(list_transform(toks, t -> len(t)))::double "
+        f"/ len(toks)::double / 10.0 AS x3, "
+        f"CASE WHEN q >= 0.65 THEN 1.0 ELSE 0.0 END AS y "
+        f"FROM (SELECT doc_id, {_TOKS} AS toks, {_QUALITY_SQL} AS q "
+        f"FROM documents)"
+    )
+    _lr_iters, _lr_rate = 6, 4.0
+    _z = "(w.w0 * x0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3)"
+    _p = f"(1.0 / (1.0 + exp(-{_z})))"
+    _ctes = [f"base AS ({_LR_X})",
+             "w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"]
+    for _i in range(_lr_iters):
+        _upd = ", ".join(
+            f"round(w.w{_j} + {_lr_rate!r} * "
+            f"round(avg(x{_j} * (y - {_p})), 12), 12) AS w{_j}"
+            for _j in range(4)
+        )
+        _ctes.append(
+            f"w{_i + 1} AS (SELECT {_upd} FROM base CROSS JOIN w{_i} w "
+            f"GROUP BY w.w0, w.w1, w.w2, w.w3)"
+        )
+    o["doc_lr_quality"] = (
+        "WITH " + ",\n    ".join(_ctes) + f"""
+    SELECT doc_id, round({_p}, 6) AS p_keep,
+           round({_p}, 6) >= 0.5 AS lr_keep
+    FROM base CROSS JOIN w{_lr_iters} w
+    """
+    )
 
     return o

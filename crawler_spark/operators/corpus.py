@@ -999,3 +999,119 @@ def dsir_topk(weights: DataFrame, k: int, id_col: str = "doc_id") -> DataFrame:
     in by adding a salted-h32 perturbation column; the deterministic rank
     is what the oracle checks."""
     return weights.orderBy(F.col("logw").desc(), F.col(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# learned quality filter (logistic regression trained relationally)
+# ---------------------------------------------------------------------------
+
+def _lr_features(text_col: str):
+    """The 4 LR features as column expressions, built from exact integer
+    counts so both engines compute identical IEEE doubles: bias, log token
+    count, stopword instance fraction, mean word length / 10."""
+    from ..functions.text import STOPWORDS, tokens
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks).cast("double")
+    x1 = F.log(F.lit(1.0) + n)
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    ).cast("double")
+    x2 = n_stop / n
+    sum_len = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda a, x: a + x
+    ).cast("double")
+    x3 = sum_len / n / F.lit(10.0)
+    return F.lit(1.0), x1, x2, x3
+
+
+def _sigmoid(z):
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def train_lr_quality(docs: DataFrame, text_col: str = "text",
+                     iters: int = 20, lr: float = 4.0,
+                     label_threshold: float = 0.65) -> list:
+    """Train a tiny logistic-regression quality classifier ON the corpus —
+    the relational analog of the fastText/linear quality filters used by
+    LLaMA/RefinedWeb-style pipelines, with the corpus's own heuristic
+    ``quality_score >= label_threshold`` as the (weak) training label so no
+    external model artifact is needed.
+
+    Fixed-iteration full-batch gradient ascent (the deterministic,
+    oracle-checkable variant — same discipline as ``kmeans_refine``):
+    per round one aggregate computes ``g_j = avg(x_j * (y - sigmoid(w·x)))``
+    for the 4 features and folds it into
+    ``w_j ← round(w_j + lr * round(g_j, 12), 12)`` — the rounds run
+    IN-ENGINE (Spark ``F.round`` / DuckDB ``round``, the pairing
+    ``kmeans_refine`` already proved bit-stable) so no Python decimal
+    rounding enters the loop; 12 d.p. sits far above summation-order ulp
+    noise and far below signal.  ``lr`` should be a power of two
+    (default 4.0) so ``lr * g`` is exact in IEEE doubles.  Only 4 updated
+    weights leave the cluster per round, and each round is one scan of the
+    persisted 5-column feature frame (features derive from exact integer
+    counts, so both engines see identical doubles).
+
+    Returns the weight list [w0..w3].
+    """
+    from ..functions.text import quality_score
+
+    x = _lr_features(text_col)
+    y = F.when(
+        quality_score(F.col(text_col)) >= label_threshold, F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    feat = docs.select(
+        *[c.alias(f"x{j}") for j, c in enumerate(x)], y.alias("y")
+    )
+    from pyspark import StorageLevel
+
+    feat = feat.persist(StorageLevel.MEMORY_AND_DISK)
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(iters):
+        z = sum(
+            (F.lit(w[j]) * F.col(f"x{j}") for j in range(1, 4)),
+            F.lit(w[0]) * F.col("x0"),
+        )
+        resid = F.col("y") - _sigmoid(z)
+        updated = feat.agg(
+            *[
+                F.round(
+                    F.lit(w[j])
+                    + F.lit(lr) * F.round(F.avg(F.col(f"x{j}") * resid), 12),
+                    12,
+                ).alias(f"w{j}")
+                for j in range(4)
+            ]
+        ).collect()[0]
+        w = [updated[f"w{j}"] for j in range(4)]
+    feat.unpersist(False)
+    return w
+
+
+def lr_quality_scores(docs: DataFrame, weights: list,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      keep_threshold: float = 0.5) -> DataFrame:
+    """Score documents with trained LR weights: p_keep = sigmoid(w·x)
+    rounded to 6, lr_keep = p_keep >= keep_threshold.  Pure projection —
+    at 100 TB this is a scan-stage filter like the heuristic it learns
+    from."""
+    x = _lr_features(text_col)
+    z = sum(
+        (F.lit(weights[j]) * x[j] for j in range(1, 4)),
+        F.lit(weights[0]) * x[0],
+    )
+    p = F.round(_sigmoid(z), 6)
+    return docs.select(
+        F.col(id_col),
+        p.alias("p_keep"),
+        (p >= keep_threshold).alias("lr_keep"),
+    )
+
+
+def lr_quality_classifier(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", iters: int = 20,
+                          lr: float = 4.0, label_threshold: float = 0.65,
+                          keep_threshold: float = 0.5) -> DataFrame:
+    """Train + score in one call (see :func:`train_lr_quality`)."""
+    w = train_lr_quality(docs, text_col, iters, lr, label_threshold)
+    return lr_quality_scores(docs, w, text_col, id_col, keep_threshold)

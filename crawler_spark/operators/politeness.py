@@ -158,3 +158,72 @@ def select_wave_salted(frontier_df: DataFrame, wave_seconds: int = 60,
     if robots_df is not None:
         hot_sel = hot_sel.drop("crawl_delay_ms")
     return cold_sel.unionByName(hot_sel)
+
+
+def allocate_crawl_budget(hosts: DataFrame, budget: int,
+                          host_col: str = "host",
+                          weight_col: str = "weight",
+                          cap: int | None = None) -> DataFrame:
+    """Integer per-host fetch-quota allocation by the largest-remainder
+    (Hamilton) method: split a global wave ``budget`` across hosts
+    proportionally to ``weight_col`` so the quotas are integers, sum
+    exactly to the budget, and the rounding error lands on the hosts with
+    the largest fractional remainders — the standard apportionment a
+    crawl scheduler runs between the frontier-priority rollup (how much
+    does each host deserve) and the politeness wave (what may actually be
+    fetched).  Extends the reference's single global budget
+    (CrawlerPet911/Utils.fs:13-14) to a per-host division of it.
+
+    ``quota_j = floor(budget * w_j / W) (+1 for the `leftover` hosts with
+    the largest fractional parts, ties broken by host ascending)``.
+
+    Scale discipline: no global window anywhere.  The floor pass is a
+    projection; the bonus set has at most ``leftover < n_hosts`` (and
+    ≤ budget) members, selected with ``orderBy(...).limit(leftover)`` —
+    Catalyst runs that as TakeOrderedAndProject (per-partition heaps, a
+    k-row driver merge) and the result joins back as a **broadcast**
+    semi-join.  Weights should be exact integers (doc counts, priority
+    ranks): then every double here (budget*w/W) is the same IEEE value on
+    any engine and the apportionment is bit-deterministic.
+
+    ``cap`` (optional) clamps each quota after apportionment — the
+    politeness ceiling wins over proportionality, so the capped total may
+    be < budget (documented, not re-distributed: re-distribution loops
+    until fixpoint, which a scheduler re-running every wave gets for free
+    by re-weighting next wave).
+
+    Returns (host_col, weight_col, base, bonus, quota).
+    """
+    w = F.col(weight_col).cast("double")
+    total = hosts.agg(F.sum(w).alias("w_total"))
+    ideal = F.lit(float(budget)) * w / F.col("w_total")
+    based = (
+        hosts.crossJoin(F.broadcast(total))
+        .select(
+            F.col(host_col),
+            F.col(weight_col),
+            F.floor(ideal).cast("long").alias("base"),
+            (ideal - F.floor(ideal)).alias("frac"),
+        )
+    )
+    agg = based.agg(F.sum("base").alias("sum_base")).collect()[0]
+    leftover = int(budget - (agg["sum_base"] or 0))
+    bonus_hosts = (
+        based.orderBy(F.col("frac").desc(), F.col(host_col))
+        .limit(max(leftover, 0))
+        .select(host_col)
+    )
+    out = based.join(
+        F.broadcast(bonus_hosts.withColumn("__bonus", F.lit(1))),
+        host_col,
+        "left",
+    ).select(
+        host_col,
+        weight_col,
+        "base",
+        F.coalesce(F.col("__bonus"), F.lit(0)).cast("long").alias("bonus"),
+    )
+    quota = F.col("base") + F.col("bonus")
+    if cap is not None:
+        quota = F.least(quota, F.lit(int(cap)))
+    return out.withColumn("quota", quota.cast("long"))

@@ -490,3 +490,50 @@ def test_dsir_importance_single_token_doc(spark):
     # (greatest(n-1,1) start sequence) -> 1 unigram + 1 "bigram" feature
     assert out[0]["n_feats"] == 2
     assert out[1]["n_feats"] == 3
+
+
+# ---------------------------------------------------------------------------
+# LR quality classifier (relational training)
+# ---------------------------------------------------------------------------
+
+def test_lr_quality_classifier_learns_the_gate(spark):
+    from crawler_spark.functions.text import quality_score
+    from crawler_spark.operators.corpus import (
+        lr_quality_scores,
+        train_lr_quality,
+    )
+
+    good = ("the quick brown fox jumps over the lazy dog and runs on "
+            "through the field of green grass to find a warm home") * 2
+    junk = "@@## $$%% !!?? ;;:: ^^&&"
+    docs = spark.createDataFrame(
+        [(i, good + f" tail{i}") for i in range(20)]
+        + [(100 + i, junk + f" x{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    w = train_lr_quality(docs)
+    assert len(w) == 4
+    scored = lr_quality_scores(docs, w)
+    labels = docs.select(
+        "doc_id",
+        (quality_score(F.col("text")) >= 0.65).alias("y"),
+    )
+    joined = scored.join(labels, "doc_id").collect()
+    acc = sum(r["lr_keep"] == r["y"] for r in joined) / len(joined)
+    assert acc >= 0.9
+    # the two classes actually separate in p_keep
+    p_good = [r["p_keep"] for r in joined if r["doc_id"] < 100]
+    p_junk = [r["p_keep"] for r in joined if r["doc_id"] >= 100]
+    assert min(p_good) > max(p_junk)
+
+
+def test_lr_training_is_deterministic(spark):
+    from crawler_spark.operators.corpus import train_lr_quality
+
+    docs = spark.createDataFrame(
+        [(i, f"some words the and of text number {i} run") for i in range(30)],
+        "doc_id long, text string",
+    )
+    w1 = train_lr_quality(docs, iters=3)
+    w2 = train_lr_quality(docs.repartition(7), iters=3)
+    assert w1 == w2  # 12-d.p. gradient quantization kills partition order

@@ -235,3 +235,39 @@ def test_main_content_blocks_empty_page(spark):
     )
     out = main_content_blocks(pages).collect()[0]
     assert out["n_kept"] == 0 and out["content_text"] == ""
+
+
+# ---------------------------------------------------------------------------
+# largest-remainder crawl-budget allocation
+# ---------------------------------------------------------------------------
+
+def test_allocate_crawl_budget_hamilton(spark):
+    from crawler_spark.operators.politeness import allocate_crawl_budget
+
+    hosts = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 1), ("d", 1), ("e", 0)],
+        "host string, weight long",
+    )
+    out = {r["host"]: r for r in allocate_crawl_budget(hosts, 7).collect()}
+    # ideal = [3.5, 2.1, 0.7, 0.7, 0]; floors sum 5, two bonuses go to the
+    # largest remainders (c, d at .7)
+    assert [out[h]["quota"] for h in "abcde"] == [3, 2, 1, 1, 0]
+    assert sum(r["quota"] for r in out.values()) == 7
+
+
+def test_allocate_crawl_budget_tie_break_and_cap(spark):
+    from crawler_spark.operators.politeness import allocate_crawl_budget
+
+    hosts = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 1), ("d", 1), ("e", 0)],
+        "host string, weight long",
+    )
+    out = {r["host"]: r for r in allocate_crawl_budget(hosts, 6).collect()}
+    # ideal = [3.0, 1.8, 0.6, 0.6, 0]; leftover 2 -> b (.8) then the c/d
+    # tie at .6 breaks by host ascending -> c
+    assert [out[h]["quota"] for h in "abcde"] == [3, 2, 1, 0, 0]
+    assert sum(r["quota"] for r in out.values()) == 6
+    # cap clamps after apportionment (total may undershoot, documented)
+    capped = {r["host"]: r["quota"]
+              for r in allocate_crawl_budget(hosts, 7, cap=2).collect()}
+    assert capped["a"] == 2 and max(capped.values()) <= 2
