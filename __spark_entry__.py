@@ -1561,6 +1561,118 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_lr_quality"] = doc_lr_quality
 
+    def doc_decontaminate_bloom(spark, sf_dir):
+        # scale path of doc_decontaminate: ShardedBloom prefilter on the
+        # eval gram set + exact semi-join backstop on the maybe band only;
+        # output is identical to the exact operator (same oracle)
+        from crawler_spark.operators.corpus import decontaminate_bloom
+
+        docs = _docs_text_double(spark, sf_dir)
+        return decontaminate_bloom(
+            docs.where(F.col("doc_id") % 37 != 0),
+            docs.where(F.col("doc_id") % 37 == 0),
+            n=8,
+        )
+
+    q["doc_decontaminate_bloom"] = doc_decontaminate_bloom
+
+    def page_metadata_extract(spark, sf_dir):
+        # title/description/og:title/canonical/h1 extraction, incl. the
+        # reversed-attribute-order arms (doc_id parity flips the order)
+        from crawler_spark.operators.web import extract_page_metadata
+
+        d = _docs_text_double(spark, sf_dir)
+        sid = F.col("doc_id").cast("string")
+        first_word = F.regexp_extract(F.col("text"), r"^(\S+)", 1)
+        desc_tag = F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit('<meta name="description" content="D '), sid,
+                     F.lit(' &amp; more">')),
+        ).otherwise(
+            F.concat(F.lit('<meta content="D '), sid,
+                     F.lit(' &amp; more" name="description">')),
+        )
+        og_tag = F.when(
+            F.col("doc_id") % 3 == 0, F.lit("")
+        ).otherwise(
+            F.concat(F.lit('<meta property="og:title" content="OG '),
+                     first_word, F.lit('">')),
+        )
+        html = F.concat(
+            F.lit("<html><head><title>T "), sid,
+            F.lit(" &quot;q&quot;</title>"), desc_tag, og_tag,
+            F.lit('<link rel="canonical" href="https://c.example/d/'), sid,
+            F.lit('"></head><body><h1>H1 '), first_word,
+            F.lit("</h1><h1>second</h1><p>"), F.col("text"),
+            F.lit("</p></body></html>"),
+        )
+        return extract_page_metadata(d.select("doc_id", html.alias("html")))
+
+    q["page_metadata_extract"] = page_metadata_extract
+
+    def sitemap_index_expand(spark, sf_dir):
+        # nested sitemap-index resolution: per source a root index points
+        # at a leaf urlset (even doc_ids) and a nested index -> second
+        # leaf (odd doc_ids); the join loop must find every page url at
+        # the right depth under every root
+        from crawler_spark.operators.web import expand_sitemap_index
+
+        d = _docs_text_double(spark, sf_dir)
+        purl = F.concat(F.lit("https://"), F.col("source"),
+                        F.lit(".example/p"), F.col("doc_id").cast("string"))
+        pages = d.select(
+            "source", purl.alias("purl"), (F.col("doc_id") % 2).alias("half")
+        )
+        urlsets = pages.groupBy("source", "half").agg(
+            F.concat(
+                F.lit('<?xml version="1.0"?><urlset>'),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.col("purl"))),
+                        lambda u: F.concat(F.lit("<loc>"), u, F.lit("</loc>")),
+                    ),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("sitemap_xml"),
+        )
+        s = F.col("source")
+        leaf_a = urlsets.where(F.col("half") == 0).select(
+            F.concat(F.lit("https://"), s, F.lit(".example/a.xml")).alias("url"),
+            "sitemap_xml",
+        )
+        leaf_c = urlsets.where(F.col("half") == 1).select(
+            F.concat(F.lit("https://"), s, F.lit(".example/c.xml")).alias("url"),
+            "sitemap_xml",
+        )
+        hosts = d.select("source").distinct()
+        idx_b = hosts.select(
+            F.concat(F.lit("https://"), s, F.lit(".example/b.xml")).alias("url"),
+            F.concat(
+                F.lit('<?xml version="1.0"?><sitemapindex><sitemap><loc>'
+                      "https://"),
+                s, F.lit(".example/c.xml</loc></sitemap></sitemapindex>"),
+            ).alias("sitemap_xml"),
+        )
+        idx_root = hosts.select(
+            F.concat(F.lit("https://"), s, F.lit(".example/root.xml")).alias(
+                "url"
+            ),
+            F.concat(
+                F.lit('<?xml version="1.0"?><sitemapindex><sitemap><loc>'
+                      "https://"),
+                s,
+                F.lit(".example/a.xml</loc></sitemap><sitemap><loc>https://"),
+                s, F.lit(".example/b.xml</loc></sitemap></sitemapindex>"),
+            ).alias("sitemap_xml"),
+        )
+        sitemaps = leaf_a.unionByName(leaf_c).unionByName(idx_b).unionByName(
+            idx_root
+        )
+        return expand_sitemap_index(sitemaps)
+
+    q["sitemap_index_expand"] = sitemap_index_expand
+
     return q
 
 
@@ -3201,5 +3313,87 @@ def oracle_sql() -> dict[str, str]:
     FROM base CROSS JOIN w{_lr_iters} w
     """
     )
+
+    # the bloom prefilter is an implementation detail — the output contract
+    # is identical to the exact decontamination, so the oracle is too
+    o["doc_decontaminate_bloom"] = o["doc_decontaminate"]
+
+    # page metadata extraction: same synthesized head/meta/link/h1 markup,
+    # same first-match + entity-decode + whitespace-collapse pipeline
+    def _meta_first(pat: str) -> str:
+        x = f"regexp_extract(html, '{pat.replace(chr(39), chr(39) * 2)}', 1)"
+        for ent, rep in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                         ("&#39;", "''"), ("&nbsp;", " ")):
+            x = f"replace({x}, '{ent}', '{rep}')"
+        x = f"replace({x}, '&amp;', '&')"
+        return f"trim(regexp_replace({x}, '\\s+', ' ', 'g'))"
+
+    _m_nc = (r'(?is)<meta[^>]*\bname\s*=\s*["\']description["\'][^>]*'
+             r'\bcontent\s*=\s*["\']([^"\']*)["\']')
+    _m_cn = (r'(?is)<meta[^>]*\bcontent\s*=\s*["\']([^"\']*)["\'][^>]*'
+             r'\bname\s*=\s*["\']description["\']')
+    _og_a = (r'(?is)<meta[^>]*\bproperty\s*=\s*["\']og:title["\'][^>]*'
+             r'\bcontent\s*=\s*["\']([^"\']*)["\']')
+    _og_b = (r'(?is)<meta[^>]*\bcontent\s*=\s*["\']([^"\']*)["\'][^>]*'
+             r'\bproperty\s*=\s*["\']og:title["\']')
+    _cn_a = (r'(?is)<link[^>]*\brel\s*=\s*["\']canonical["\'][^>]*'
+             r'\bhref\s*=\s*["\']([^"\']*)["\']')
+    _cn_b = (r'(?is)<link[^>]*\bhref\s*=\s*["\']([^"\']*)["\'][^>]*'
+             r'\brel\s*=\s*["\']canonical["\']')
+    o["page_metadata_extract"] = f"""
+    WITH pages AS (
+      SELECT doc_id,
+        '<html><head><title>T ' || doc_id::varchar
+        || ' &quot;q&quot;</title>'
+        || CASE WHEN doc_id % 2 = 0
+             THEN '<meta name="description" content="D ' || doc_id::varchar
+                  || ' &amp; more">'
+             ELSE '<meta content="D ' || doc_id::varchar
+                  || ' &amp; more" name="description">' END
+        || CASE WHEN doc_id % 3 = 0 THEN ''
+             ELSE '<meta property="og:title" content="OG ' || fw || '">' END
+        || '<link rel="canonical" href="https://c.example/d/'
+        || doc_id::varchar || '">'
+        || '</head><body><h1>H1 ' || fw || '</h1><h1>second</h1><p>'
+        || text || '</p></body></html>' AS html
+      FROM (SELECT doc_id, text,
+                   regexp_extract(text, '^(\\S+)', 1) AS fw
+            FROM documents)
+    )
+    SELECT doc_id,
+      {_meta_first(r"(?is)<title[^>]*>(.*?)</title>")} AS title,
+      CASE WHEN {_meta_first(_m_nc)} <> '' THEN {_meta_first(_m_nc)}
+           ELSE {_meta_first(_m_cn)} END AS meta_description,
+      CASE WHEN {_meta_first(_og_a)} <> '' THEN {_meta_first(_og_a)}
+           ELSE {_meta_first(_og_b)} END AS og_title,
+      CASE WHEN {_meta_first(_cn_a)} <> '' THEN {_meta_first(_cn_a)}
+           ELSE {_meta_first(_cn_b)} END AS canonical_url,
+      {_meta_first(r"(?is)<h1[^>]*>(.*?)</h1>")} AS h1
+    FROM pages
+    """
+
+    # nested sitemap expansion: the oracle re-derives the expected
+    # (root_url, url, depth) closure directly from the construction rules,
+    # independently of any XML parsing
+    o["sitemap_index_expand"] = """
+    WITH p AS (
+      SELECT source,
+             'https://' || source || '.example/p' || doc_id::varchar AS url,
+             doc_id % 2 AS half
+      FROM documents
+    )
+    SELECT 'https://' || source || '.example/root.xml' AS root_url, url,
+           (CASE WHEN half = 0 THEN 2 ELSE 3 END)::bigint AS depth
+    FROM p
+    UNION ALL
+    SELECT 'https://' || source || '.example/a.xml', url, 1::bigint
+    FROM p WHERE half = 0
+    UNION ALL
+    SELECT 'https://' || source || '.example/b.xml', url, 2::bigint
+    FROM p WHERE half = 1
+    UNION ALL
+    SELECT 'https://' || source || '.example/c.xml', url, 1::bigint
+    FROM p WHERE half = 1
+    """
 
     return o

@@ -1115,3 +1115,59 @@ def lr_quality_classifier(docs: DataFrame, text_col: str = "text",
     """Train + score in one call (see :func:`train_lr_quality`)."""
     w = train_lr_quality(docs, text_col, iters, lr, label_threshold)
     return lr_quality_scores(docs, w, text_col, id_col, keep_threshold)
+
+
+def decontaminate_bloom(docs: DataFrame, eval_docs: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 8, fpp: float = 0.01) -> DataFrame:
+    """:func:`decontaminate` with a ShardedBloom prefilter in front of the
+    exact gram semi-join — the scale path when the evaluation suite is too
+    large to broadcast as gram *strings* (a 10-GB eval set is ~10^8 distinct
+    8-grams ≈ GBs of strings, but only ~120 MB of 1%-fpp bloom bitmap).
+
+    Reuses the crawl tier's seen-filter machinery end to end
+    (``operators/seen.py``: distributed partial build, type-preserving
+    broadcast, per-worker memoized deserialization): eval grams hash to
+    int64 via the portable ``h32``, the filter routes each training gram
+    instance to definitely-clean (bloom miss — the filter PROVES the gram
+    is not in the eval set) or maybe-contaminated; only the maybe band
+    (|hits| + fpp·|grams|) reaches the exact string semi-join backstop, so
+    false positives cost traffic, never correctness.  Output is identical
+    to :func:`decontaminate` (equivalence-tested).
+
+    Returns (id_col, n_grams, contaminated).
+    """
+    from ..functions.text import h32, shingles
+    from .seen import ShardedBloom, bloom_prefilter_unseen, build_bloom_into
+
+    grams = docs.select(
+        F.col(id_col), shingles(F.col(text_col), n).alias("gs")
+    )
+    eval_grams = (
+        eval_docs.select(F.explode(shingles(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    eval_keys = eval_grams.select(h32(F.col("gram")).alias("gkey"))
+    n_eval = eval_keys.count()
+    bloom = build_bloom_into(
+        eval_keys, ShardedBloom.sized(max(n_eval, 1), fpp), key="gkey"
+    )
+    inst = grams.select(
+        F.col(id_col), F.explode("gs").alias("gram")
+    ).withColumn("gkey", h32(F.col("gram")))
+    flagged = bloom_prefilter_unseen(inst, bloom, key="gkey")
+    maybe = flagged.where(F.col("maybe_seen")).drop("maybe_seen", "gkey")
+    hit = (
+        maybe.join(F.broadcast(eval_grams), "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        grams.select(F.col(id_col), F.size("gs").cast("long").alias("n_grams"))
+        .join(hit, id_col, "left")
+        .select(
+            id_col, "n_grams",
+            F.coalesce(F.col("contaminated"), F.lit(False)).alias("contaminated"),
+        )
+    )

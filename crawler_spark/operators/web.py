@@ -395,3 +395,129 @@ def main_content_blocks(pages: DataFrame, html_col: str = "html",
             "n_chars_main"
         ),
     )
+
+
+def _decode_entities(col: Column) -> Column:
+    for ent, rep in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+        ("&#39;", "'"), ("&nbsp;", " "),
+    ):
+        col = F.replace(col, F.lit(ent), F.lit(rep))
+    return F.replace(col, F.lit("&amp;"), F.lit("&"))
+
+
+def extract_page_metadata(pages: DataFrame, html_col: str = "html",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Page-level metadata a corpus pipeline indexes before any text work:
+    ``<title>``, ``<meta name="description">``, ``og:title``,
+    ``<link rel="canonical">`` href, and the first ``<h1>`` — each as one
+    ``regexp_extract`` (first match, case-insensitive, lazy), entity-decoded
+    and whitespace-collapsed.  Pure codegen: at 100 TB this runs inside the
+    scan, no shuffle, and feeds dedup (canonical URL beats string-normalized
+    URL when present) and quality scoring (title/h1 presence).
+
+    Attribute matching is order-tolerant for the common ``name=…
+    content=…`` / ``content=… name=…`` pair via two alternation arms —
+    the RE2 ∩ Java subset has no lookarounds, so the arms are spelled out.
+
+    Returns (id_col, title, meta_description, og_title, canonical_url, h1).
+    """
+    h = F.col(html_col)
+
+    def first(pattern: str, group: int = 1) -> Column:
+        raw = F.regexp_extract(h, pattern, group)
+        return F.trim(F.regexp_replace(_decode_entities(raw), r"\s+", " "))
+
+    name_then_content = (
+        r'(?is)<meta[^>]*\bname\s*=\s*["\']description["\'][^>]*'
+        r'\bcontent\s*=\s*["\']([^"\']*)["\']'
+    )
+    content_then_name = (
+        r'(?is)<meta[^>]*\bcontent\s*=\s*["\']([^"\']*)["\'][^>]*'
+        r'\bname\s*=\s*["\']description["\']'
+    )
+    og_a = (
+        r'(?is)<meta[^>]*\bproperty\s*=\s*["\']og:title["\'][^>]*'
+        r'\bcontent\s*=\s*["\']([^"\']*)["\']'
+    )
+    og_b = (
+        r'(?is)<meta[^>]*\bcontent\s*=\s*["\']([^"\']*)["\'][^>]*'
+        r'\bproperty\s*=\s*["\']og:title["\']'
+    )
+    canon_a = (
+        r'(?is)<link[^>]*\brel\s*=\s*["\']canonical["\'][^>]*'
+        r'\bhref\s*=\s*["\']([^"\']*)["\']'
+    )
+    canon_b = (
+        r'(?is)<link[^>]*\bhref\s*=\s*["\']([^"\']*)["\'][^>]*'
+        r'\brel\s*=\s*["\']canonical["\']'
+    )
+    meta_desc = F.when(
+        first(name_then_content) != "", first(name_then_content)
+    ).otherwise(first(content_then_name))
+    og_title = F.when(first(og_a) != "", first(og_a)).otherwise(first(og_b))
+    canonical = F.when(first(canon_a) != "", first(canon_a)).otherwise(
+        first(canon_b)
+    )
+    return pages.select(
+        F.col(id_col),
+        first(r"(?is)<title[^>]*>(.*?)</title>").alias("title"),
+        meta_desc.alias("meta_description"),
+        og_title.alias("og_title"),
+        canonical.alias("canonical_url"),
+        first(r"(?is)<h1[^>]*>(.*?)</h1>").alias("h1"),
+    )
+
+
+def expand_sitemap_index(sitemaps: DataFrame, url_col: str = "url",
+                         xml_col: str = "sitemap_xml",
+                         max_depth: int = 3) -> DataFrame:
+    """Resolve nested sitemap *indexes* (``<sitemapindex>`` files whose
+    ``<loc>`` entries point at further sitemap files — the layout every
+    large site uses, and the one :func:`extract_sitemap_urls` alone can't
+    follow) down to the page URLs of the leaf ``<urlset>`` files.
+
+    Per depth round: extract the ``<loc>`` children of the current index
+    set, join them back to the sitemap table by URL to fetch their XML,
+    and split into further indexes vs leaves — a bounded breadth-first
+    join loop (``max_depth`` rounds; real indexes are 2 levels), same
+    shape as the BFS link crawl.  Joins key on the sitemap URL (uniform);
+    nothing is collected to the driver.
+
+    Returns (root_url, url, depth): every page URL found under each root
+    index/sitemap, with the depth it was found at (1 = directly in the
+    root).
+    """
+    is_index = F.col(xml_col).rlike("(?is)<\\s*sitemapindex")
+    # depth-0 frontier: every input sitemap is its own root
+    frontier = sitemaps.select(
+        F.col(url_col).alias("root_url"),
+        F.col(url_col).alias("cur_url"),
+        F.col(xml_col).alias("cur_xml"),
+    )
+    lookup = sitemaps.select(
+        F.col(url_col).alias("cur_url"), F.col(xml_col).alias("cur_xml")
+    )
+    out = None
+    for depth in range(1, max_depth + 1):
+        cur_is_index = F.col("cur_xml").rlike("(?is)<\\s*sitemapindex")
+        leaves = frontier.where(~cur_is_index)
+        leaf_urls = extract_sitemap_urls(
+            leaves.withColumnRenamed("cur_xml", "__xml"),
+            xml_col="__xml",
+            key_cols=("root_url",),
+        ).select("root_url", "url", F.lit(depth).cast("long").alias("depth"))
+        out = leaf_urls if out is None else out.unionByName(leaf_urls)
+        children = (
+            extract_sitemap_urls(
+                frontier.where(cur_is_index).withColumnRenamed(
+                    "cur_xml", "__xml"
+                ),
+                xml_col="__xml",
+                key_cols=("root_url",),
+            )
+            .select("root_url", F.col("url").alias("cur_url"))
+            .join(lookup, "cur_url")  # unresolvable children drop out
+        )
+        frontier = children
+    return out

@@ -537,3 +537,28 @@ def test_lr_training_is_deterministic(spark):
     w1 = train_lr_quality(docs, iters=3)
     w2 = train_lr_quality(docs.repartition(7), iters=3)
     assert w1 == w2  # 12-d.p. gradient quantization kills partition order
+
+
+def test_decontaminate_bloom_equals_exact(spark):
+    from crawler_spark.operators.corpus import decontaminate, decontaminate_bloom
+
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(0, f"prefix words {eval_text} suffix words here"),   # contaminated
+         (1, "totally unrelated text with no overlap at all whatsoever"),
+         (2, eval_text),                                       # exact overlap
+         (3, "short doc")],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(100, eval_text)], "doc_id long, text string"
+    )
+    exact = {r["doc_id"]: r for r in decontaminate(docs, evals).collect()}
+    bloom = {r["doc_id"]: r for r in decontaminate_bloom(docs, evals).collect()}
+    assert exact.keys() == bloom.keys()
+    for k in exact:
+        assert (exact[k]["n_grams"], exact[k]["contaminated"]) == (
+            bloom[k]["n_grams"], bloom[k]["contaminated"]
+        )
+    assert bloom[0]["contaminated"] and bloom[2]["contaminated"]
+    assert not bloom[1]["contaminated"] and not bloom[3]["contaminated"]

@@ -271,3 +271,81 @@ def test_allocate_crawl_budget_tie_break_and_cap(spark):
     capped = {r["host"]: r["quota"]
               for r in allocate_crawl_budget(hosts, 7, cap=2).collect()}
     assert capped["a"] == 2 and max(capped.values()) <= 2
+
+
+# ---------------------------------------------------------------------------
+# page metadata extraction
+# ---------------------------------------------------------------------------
+
+def test_extract_page_metadata(spark):
+    from crawler_spark.operators.web import extract_page_metadata
+
+    html = (
+        "<html><head><title> My &amp; Page \n title </title>"
+        '<meta name="description" content="A fine &quot;doc&quot;">'
+        '<meta content="OG Title Here" property="og:title">'   # reversed attrs
+        '<link rel="canonical" href="https://ex.org/canon">'
+        "</head><body><h1>Main   Heading</h1><h1>second</h1></body></html>"
+    )
+    bare = "<html><body>no metadata at all</body></html>"
+    pages = spark.createDataFrame(
+        [(0, html), (1, bare)], "doc_id long, html string"
+    )
+    out = {r["doc_id"]: r for r in extract_page_metadata(pages).collect()}
+    assert out[0]["title"] == "My & Page title"
+    assert out[0]["meta_description"] == 'A fine "doc"'
+    assert out[0]["og_title"] == "OG Title Here"      # content-first order
+    assert out[0]["canonical_url"] == "https://ex.org/canon"
+    assert out[0]["h1"] == "Main Heading"             # first h1 only
+    assert all(out[1][c] == "" for c in
+               ("title", "meta_description", "og_title", "canonical_url", "h1"))
+
+
+# ---------------------------------------------------------------------------
+# nested sitemap-index expansion
+# ---------------------------------------------------------------------------
+
+def _urlset(*urls):
+    locs = "".join(f"<loc>{u}</loc>" for u in urls)
+    return f'<?xml version="1.0"?><urlset>{locs}</urlset>'
+
+
+def _smindex(*urls):
+    locs = "".join(f"<sitemap><loc>{u}</loc></sitemap>" for u in urls)
+    return f'<?xml version="1.0"?><sitemapindex>{locs}</sitemapindex>'
+
+
+def test_expand_sitemap_index_two_levels(spark):
+    from crawler_spark.operators.web import expand_sitemap_index
+
+    rows = [
+        ("https://h/root.xml", _smindex("https://h/a.xml", "https://h/b.xml",
+                                        "https://h/missing.xml")),
+        ("https://h/a.xml", _urlset("https://h/p1", "https://h/p2")),
+        ("https://h/b.xml", _smindex("https://h/c.xml")),   # nested index
+        ("https://h/c.xml", _urlset("https://h/p3")),
+    ]
+    df = spark.createDataFrame(rows, "url string, sitemap_xml string")
+    out = expand_sitemap_index(df).collect()
+    root = {(r["url"], r["depth"]) for r in out
+            if r["root_url"] == "https://h/root.xml"}
+    # a.xml's pages at depth 2, c.xml's page (via b.xml) at depth 3;
+    # missing.xml silently drops out
+    assert root == {("https://h/p1", 2), ("https://h/p2", 2),
+                    ("https://h/p3", 3)}
+    # every leaf sitemap is also its own root at depth 1
+    a_root = {(r["url"], r["depth"]) for r in out
+              if r["root_url"] == "https://h/a.xml"}
+    assert a_root == {("https://h/p1", 1), ("https://h/p2", 1)}
+
+
+def test_expand_sitemap_index_cycle_terminates(spark):
+    from crawler_spark.operators.web import expand_sitemap_index
+
+    rows = [
+        ("https://h/x.xml", _smindex("https://h/y.xml")),
+        ("https://h/y.xml", _smindex("https://h/x.xml")),   # cycle
+    ]
+    df = spark.createDataFrame(rows, "url string, sitemap_xml string")
+    out = expand_sitemap_index(df, max_depth=3).collect()
+    assert out == []  # bounded depth; no page urls anywhere in the cycle
