@@ -1673,6 +1673,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sitemap_index_expand"] = sitemap_index_expand
 
+    def robots_sitemap_urls(spark, sf_dir):
+        # Sitemap: directive discovery — group-independent, case-insensitive
+        # key, duplicate URLs keep their first position
+        from crawler_spark.operators.robots import robots_sitemaps
+
+        d = _docs_text_double(spark, sf_dir)
+        s = F.col("source")
+        body = F.concat(
+            F.lit("User-agent: googlebot\nDisallow: /private\n"
+                  "sitemap: https://"),
+            s,
+            F.lit(".example/news.xml\nUser-agent: *\nDisallow: /tmp\n"
+                  "Sitemap: https://"),
+            s,
+            F.lit(".example/root.xml\nSITEMAP: https://"),
+            s,
+            F.lit(".example/news.xml\n"),  # duplicate -> first position wins
+        )
+        robots = d.select(s.alias("host"), body.alias("text")).distinct()
+        return robots_sitemaps(robots)
+
+    q["robots_sitemap_urls"] = robots_sitemap_urls
+
+    def fetch_schedule_timeline(spark, sf_dir):
+        # token bucket compiled to explicit per-host fetch timestamps;
+        # robots delays cover the h32-even half of the hosts, the rest
+        # fall back to the default spacing
+        from crawler_spark.functions.text import h32
+        from crawler_spark.operators.politeness import schedule_fetch_times
+
+        d = _docs_text_double(spark, sf_dir)
+        wave = d.select(
+            F.col("source").alias("host"), F.col("doc_id").alias("seq")
+        )
+        robots = (
+            d.select("source").distinct()
+            .where(h32(F.col("source")) % 2 == 0)
+            .select(
+                F.col("source").alias("host"),
+                (700 + (h32(F.col("source")) % 5) * 100).cast("long").alias(
+                    "crawl_delay_ms"
+                ),
+            )
+        )
+        return schedule_fetch_times(
+            wave, base_ts_ms=1_000_000, default_delay_ms=1000,
+            robots_df=robots,
+        )
+
+    q["fetch_schedule_timeline"] = fetch_schedule_timeline
+
+    def corpus_bm25_top10(spark, sf_dir):
+        # BM25 lexical retrieval over the corpus for a fixed query
+        from crawler_spark.operators.corpus import bm25_topk
+
+        return bm25_topk(
+            _docs_text_double(spark, sf_dir), ["spark", "window", "hash"],
+            k=10,
+        )
+
+    q["corpus_bm25_top10"] = corpus_bm25_top10
+
     return q
 
 
@@ -3394,6 +3456,67 @@ def oracle_sql() -> dict[str, str]:
     UNION ALL
     SELECT 'https://' || source || '.example/c.xml', url, 1::bigint
     FROM p WHERE half = 1
+    """
+
+    # Sitemap directives: the oracle enumerates the synthesized bodies'
+    # directives directly — news.xml appears first (line 3), root.xml
+    # second, the duplicate news.xml line keeps position 1
+    o["robots_sitemap_urls"] = """
+    WITH hosts AS (SELECT DISTINCT source AS host FROM documents)
+    SELECT host, 'https://' || host || '.example/news.xml' AS sitemap_url,
+           1::bigint AS pos
+    FROM hosts
+    UNION ALL
+    SELECT host, 'https://' || host || '.example/root.xml', 2::bigint
+    FROM hosts
+    """
+
+    # fetch timeline: rank docs within host by doc_id; delay 700 + 100 *
+    # (h32(host) %% 5) for h32-even hosts, else the 1000ms default
+    o["fetch_schedule_timeline"] = f"""
+    WITH wave AS (SELECT source AS host, doc_id AS seq FROM documents),
+    delays AS (
+      SELECT host, (700 + ({_h32("host")} % 5) * 100)::bigint AS d
+      FROM (SELECT DISTINCT source AS host FROM documents)
+      WHERE {_h32("host")} % 2 = 0
+    ),
+    ranked AS (
+      SELECT w.host, w.seq, coalesce(d.d, 1000)::bigint AS host_delay_ms,
+             row_number() OVER (PARTITION BY w.host ORDER BY w.seq)::bigint
+               AS fetch_rank
+      FROM wave w LEFT JOIN delays d USING (host)
+    )
+    SELECT host, seq, host_delay_ms, fetch_rank,
+           (1000000 + (fetch_rank - 1) * host_delay_ms)::bigint AS fetch_at_ms
+    FROM ranked
+    """
+
+    # BM25: constants interpolated from the SAME Python doubles the Spark
+    # plan embeds (k1+1.0 is NOT the double literal 2.2 — repr round-trip
+    # keeps the engines bit-identical)
+    _k1, _b = 1.2, 0.75
+    o["corpus_bm25_top10"] = f"""
+    WITH inst AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    dlen AS (SELECT doc_id, count(*)::bigint AS dl FROM inst GROUP BY doc_id),
+    stats AS (SELECT count(*)::bigint AS n_docs, sum(dl)::bigint AS sum_dl
+              FROM dlen),
+    q(term) AS (VALUES ('spark'), ('window'), ('hash')),
+    tf AS (SELECT doc_id, term, count(*)::bigint AS tf
+           FROM inst JOIN q USING (term) GROUP BY doc_id, term),
+    dft AS (SELECT term, count(*)::bigint AS df FROM tf GROUP BY term)
+    SELECT doc_id,
+           round(sum(
+             ln(1.0 + (n_docs::double - df::double + 0.5)
+                      / (df::double + 0.5))
+             * tf::double * {_k1 + 1.0!r}
+             / (tf::double + {_k1!r}
+                * ({1.0 - _b!r} + {_b!r} * dl::double
+                   / (sum_dl::double / n_docs::double)))
+           ), 6) AS score
+    FROM tf JOIN dft USING (term) JOIN dlen USING (doc_id) CROSS JOIN stats
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 10
     """
 
     return o

@@ -1171,3 +1171,62 @@ def decontaminate_bloom(docs: DataFrame, eval_docs: DataFrame,
             F.coalesce(F.col("contaminated"), F.lit(False)).alias("contaminated"),
         )
     )
+
+
+def bm25_topk(docs: DataFrame, query_terms: list, k: int = 10,
+              text_col: str = "text", id_col: str = "doc_id",
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25 retrieval over the corpus (Robertson/Spärck Jones): the
+    standard lexical ranker a training-data pipeline runs for eval-set
+    mining, dedup candidate lookup, and retrieval-augmented filtering.
+
+    ``score(d,q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·|d|/avgdl))``
+    with the usual ``idf(t) = ln(1 + (N-df+0.5)/(df+0.5))``.
+
+    Fully relational: one explode → per-(doc,term) tf for the (broadcast)
+    query terms only — the filter on the query set pushes BEFORE the
+    groupBy, so the shuffle carries query-matching instances, not the
+    corpus vocabulary; document lengths come from the same scan; df/N/avgdl
+    join back as broadcast scalars; top-k is TakeOrderedAndProject.  The
+    per-doc score sums ≤ |query| per-row doubles (round 6).
+
+    Returns the k best (id_col, score) by (score desc, id asc).
+    """
+    from ..functions.text import tokens
+
+    spark = docs.sparkSession
+    qdf = F.broadcast(
+        spark.createDataFrame([(t,) for t in query_terms], "term string")
+    )
+    inst = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    dlen = inst.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dlen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        inst.join(qdf, "term")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+    )
+    tf_d = F.col("tf").cast("double")
+    denom = tf_d + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / avgdl
+    )
+    contrib = idf * tf_d * F.lit(k1 + 1.0) / denom
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dlen, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)

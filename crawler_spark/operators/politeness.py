@@ -227,3 +227,47 @@ def allocate_crawl_budget(hosts: DataFrame, budget: int,
     if cap is not None:
         quota = F.least(quota, F.lit(int(cap)))
     return out.withColumn("quota", quota.cast("long"))
+
+
+def schedule_fetch_times(wave_df: DataFrame, base_ts_ms: int,
+                         default_delay_ms: int = 1000,
+                         robots_df: DataFrame | None = None) -> DataFrame:
+    """Compile the per-host token bucket into an explicit fetch timeline:
+    every selected URL gets ``fetch_at_ms = base_ts_ms + (rank-1) *
+    host_delay_ms`` where rank is its crawl-order position (``seq``) within
+    the host's wave queue and the delay is the host's robots crawl-delay
+    (fallback ``default_delay_ms``).  This is the executable form of the
+    politeness budget — a fetcher fleet replays the timeline without any
+    coordination because the schedule is data, not state.
+
+    The window ranks within host over the *selected wave only* — already
+    politeness-bounded to ≤ budget rows per host by ``select_wave``/
+    ``select_wave_salted``, so no partition exceeds the per-wave budget no
+    matter how hot the host (the unbounded-frontier skew lives in wave
+    selection, which already salts it).
+
+    Returns wave_df + (host_delay_ms, fetch_rank, fetch_at_ms), ordered
+    facts only (no sort applied).
+    """
+    df = wave_df
+    if robots_df is not None:
+        delays = F.broadcast(
+            robots_df.where(F.col("crawl_delay_ms").isNotNull())
+            .groupBy("host")
+            .agg(F.min("crawl_delay_ms").alias("__delay"))
+        )
+        df = df.join(delays, "host", "left")
+        delay = F.coalesce(F.col("__delay"), F.lit(default_delay_ms))
+    else:
+        delay = F.lit(default_delay_ms)
+    w = Window.partitionBy("host").orderBy(F.col("seq").asc())
+    out = (
+        df.withColumn("host_delay_ms", delay.cast("long"))
+        .withColumn("fetch_rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "fetch_at_ms",
+            (F.lit(base_ts_ms)
+             + (F.col("fetch_rank") - 1) * F.col("host_delay_ms")).cast("long"),
+        )
+    )
+    return out.drop("__delay") if robots_df is not None else out

@@ -146,3 +146,55 @@ def parse_robots_rfc(robots_df: DataFrame) -> DataFrame:
 def robots_rules_from_corpus(pages_df: DataFrame) -> DataFrame:
     """One-call convenience: corpus → rules table for CrawlJob(robots_df=…)."""
     return parse_robots(robots_pages(pages_df))
+
+
+def robots_sitemaps(robots_df: DataFrame) -> DataFrame:
+    """``Sitemap:`` directive extraction — the third leg of robots.txt
+    (rules + crawl-delay + sitemap discovery).  Per RFC 9309 §2.3 /
+    sitemaps.org, ``Sitemap`` lines are GROUP-INDEPENDENT: they apply to
+    all agents wherever they appear, so unlike the rule parsers this scans
+    every line, not just the wildcard group.
+
+    The URLs feed :func:`..operators.web.expand_sitemap_index` (nested
+    index resolution) and then the frontier.  One narrow generator per
+    robots body; key matching is case-insensitive, values keep their case
+    (URLs are case-sensitive).
+
+    Returns (host, sitemap_url, pos) — pos is the 1-based order of the
+    directive within the host's robots.txt (discovery order matters to
+    schedulers), duplicates within one host dropped on first occurrence.
+    """
+    lines = robots_df.select(
+        "host",
+        F.posexplode(F.split(F.col("text"), "\r?\n")).alias("line_no", "raw"),
+    )
+    url = F.trim(
+        F.regexp_extract(
+            F.regexp_replace("raw", "#.*", ""),
+            r"^\s*[Ss][Ii][Tt][Ee][Mm][Aa][Pp]\s*:\s*(.*?)\s*$",
+            1,
+        )
+    )
+    hits = lines.select("host", "line_no", url.alias("sitemap_url")).where(
+        F.col("sitemap_url") != ""
+    )
+    firsts = hits.groupBy("host", "sitemap_url").agg(
+        F.min("line_no").alias("line_no")
+    )
+    w_rank = (
+        firsts.groupBy("host")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("line_no", "sitemap_url"))).alias(
+                "arr"
+            )
+        )
+        .select(
+            "host",
+            F.posexplode(F.transform(F.col("arr"), lambda s: s["sitemap_url"])).alias(
+                "pos0", "sitemap_url"
+            ),
+        )
+    )
+    return w_rank.select(
+        "host", "sitemap_url", (F.col("pos0") + 1).cast("long").alias("pos")
+    )

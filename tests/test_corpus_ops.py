@@ -562,3 +562,30 @@ def test_decontaminate_bloom_equals_exact(spark):
         )
     assert bloom[0]["contaminated"] and bloom[2]["contaminated"]
     assert not bloom[1]["contaminated"] and not bloom[3]["contaminated"]
+
+
+def test_bm25_topk_ranking(spark):
+    import math
+
+    from crawler_spark.operators.corpus import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(0, "spark spark spark engine"),        # tf=3, short
+         (1, "spark engine " + "filler " * 20),  # tf=1, long
+         (2, "nothing relevant here at all"),
+         (3, "spark")],                          # tf=1, shortest
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, ["spark"], k=10).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 2 not in ids                     # no query term -> never returned
+    assert ids[0] in (0, 3)                 # high-tf or shortest doc leads
+    assert ids.index(1) == len(ids) - 1     # the long tf=1 doc ranks last
+    # hand-check doc 3: dl=1, tf=1, df=3, N=4, avgdl=32/4=8
+    idf = math.log(1 + (4 - 3 + 0.5) / (3 + 0.5))
+    s3 = idf * 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 1 / 8.0))
+    got3 = [r["score"] for r in out if r["doc_id"] == 3][0]
+    assert abs(got3 - round(s3, 6)) < 1e-9
+    # top-k boundary honors (score desc, id asc)
+    top2 = [r["doc_id"] for r in bm25_topk(docs, ["spark"], k=2).collect()]
+    assert top2 == ids[:2]

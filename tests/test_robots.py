@@ -163,3 +163,29 @@ def test_bare_host_url_blocked_by_root_disallow(spark):
         [("https://h",), ("https://h/deep",)], "url string"
     ).withColumn("host", F.lit("h"))
     assert apply_robots(urls, robots).count() == 0
+
+
+def test_robots_sitemaps_extraction(spark):
+    from crawler_spark.operators.robots import robots_sitemaps
+
+    body = (
+        "Sitemap: https://h1.example/root.xml\n"
+        "User-agent: googlebot\n"
+        "Disallow: /private\n"
+        "sitemap: https://h1.example/news.xml  # comment after\n"
+        "User-agent: *\n"
+        "Disallow: /tmp\n"
+        "SITEMAP: https://h1.example/root.xml\n"   # duplicate -> first wins
+    )
+    df = spark.createDataFrame(
+        [("h1.example", body), ("h2.example", "User-agent: *\nDisallow:\n")],
+        "host string, text string",
+    )
+    out = robots_sitemaps(df).collect()
+    rows = sorted((r["host"], r["pos"], r["sitemap_url"]) for r in out)
+    # group-independent: the googlebot-group sitemap line still counts;
+    # the duplicate root.xml keeps its first position
+    assert rows == [
+        ("h1.example", 1, "https://h1.example/root.xml"),
+        ("h1.example", 2, "https://h1.example/news.xml"),
+    ]

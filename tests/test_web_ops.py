@@ -349,3 +349,32 @@ def test_expand_sitemap_index_cycle_terminates(spark):
     df = spark.createDataFrame(rows, "url string, sitemap_xml string")
     out = expand_sitemap_index(df, max_depth=3).collect()
     assert out == []  # bounded depth; no page urls anywhere in the cycle
+
+
+# ---------------------------------------------------------------------------
+# fetch-timeline scheduling
+# ---------------------------------------------------------------------------
+
+def test_schedule_fetch_times(spark):
+    from crawler_spark.operators.politeness import schedule_fetch_times
+
+    wave = spark.createDataFrame(
+        [("a.example", 1, "u1"), ("a.example", 3, "u2"), ("a.example", 2, "u3"),
+         ("b.example", 1, "u4"), ("b.example", 2, "u5")],
+        "host string, seq long, url string",
+    )
+    robots = spark.createDataFrame(
+        [("a.example", 2000)], "host string, crawl_delay_ms long"
+    )
+    out = {r["url"]: r for r in
+           schedule_fetch_times(wave, base_ts_ms=10_000,
+                                default_delay_ms=500,
+                                robots_df=robots).collect()}
+    # a.example: robots delay 2000, crawl order by seq (u1, u3, u2)
+    assert (out["u1"]["fetch_rank"], out["u1"]["fetch_at_ms"]) == (1, 10_000)
+    assert (out["u3"]["fetch_rank"], out["u3"]["fetch_at_ms"]) == (2, 12_000)
+    assert (out["u2"]["fetch_rank"], out["u2"]["fetch_at_ms"]) == (3, 14_000)
+    # b.example: no robots row -> default 500ms spacing
+    assert out["u4"]["fetch_at_ms"] == 10_000
+    assert out["u5"]["fetch_at_ms"] == 10_500
+    assert out["u5"]["host_delay_ms"] == 500
