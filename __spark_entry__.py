@@ -1735,6 +1735,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_bm25_top10"] = corpus_bm25_top10
 
+    def corpus_length_profile(spark, sf_dir):
+        # per-source exact percentile profile of document lengths
+        from crawler_spark.operators.corpus import length_profile
+
+        return length_profile(_docs_text_double(spark, sf_dir))
+
+    q["corpus_length_profile"] = corpus_length_profile
+
+    def corpus_bpe_merges(spark, sf_dir):
+        # 4 rounds of BPE merge training over the corpus vocabulary
+        from crawler_spark.operators.corpus import bpe_train
+
+        return bpe_train(_docs_text_double(spark, sf_dir), merges=4)
+
+    q["corpus_bpe_merges"] = corpus_bpe_merges
+
+    def corpus_bpe_encode(spark, sf_dir):
+        # train 4 merges, then tokenize the same corpus under them
+        from crawler_spark.operators.corpus import bpe_encode, bpe_train
+
+        docs = _docs_text_double(spark, sf_dir)
+        rules = [
+            (r["sym_a"], r["sym_b"])
+            for r in bpe_train(docs, merges=4).collect()
+        ]
+        return bpe_encode(docs, rules)
+
+    q["corpus_bpe_encode"] = corpus_bpe_encode
+
     return q
 
 
@@ -3518,5 +3547,84 @@ def oracle_sql() -> dict[str, str]:
     ORDER BY score DESC, doc_id
     LIMIT 10
     """
+
+    # exact per-source length percentiles — DuckDB quantile_cont and Spark
+    # percentile share linear interpolation (verified bit-equal)
+    o["corpus_length_profile"] = """
+    SELECT source, count(*)::bigint AS n,
+           round(quantile_cont(n_chars, 0.25), 6) AS p25,
+           round(quantile_cont(n_chars, 0.5), 6) AS p50,
+           round(quantile_cont(n_chars, 0.75), 6) AS p75,
+           round(quantile_cont(n_chars, 0.95), 6) AS p95
+    FROM documents GROUP BY source
+    """
+
+    # BPE merge training, 4 unrolled rounds: pair counting over the
+    # weighted vocab, deterministic best-pair pick, greedy left-to-right
+    # list_reduce merge — the same fold the Spark operator runs
+    _bpe_rounds = 4
+    _bpe_ctes = [
+        f"""v0 AS (
+      SELECT word, n, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
+      FROM (
+        SELECT word, count(*)::bigint AS n
+        FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+        WHERE regexp_matches(word, '^[a-z0-9]+$')
+        GROUP BY word
+      )
+    )"""
+    ]
+    for _r in range(1, _bpe_rounds + 1):
+        _bpe_ctes.append(f"""p{_r} AS (
+      SELECT pair, sum(n)::bigint AS c FROM (
+        SELECT n, unnest(list_transform(range(1, len(s)),
+                         i -> s[i] || ' ' || s[i + 1])) AS pair
+        FROM (SELECT n, string_split(seq, ' ') AS s FROM v{_r - 1})
+        WHERE len(s) >= 2
+      ) GROUP BY pair
+    )""")
+        _bpe_ctes.append(
+            f"b{_r} AS (SELECT pair, c FROM p{_r} ORDER BY c DESC, pair "
+            f"LIMIT 1)"
+        )
+        _bpe_ctes.append(f"""v{_r} AS (
+      SELECT word, n,
+        list_reduce(string_split(seq, ' '), (acc, x) -> CASE
+          WHEN (acc = split_part(b.pair, ' ', 1)
+                OR ends_with(acc, ' ' || split_part(b.pair, ' ', 1)))
+               AND x = split_part(b.pair, ' ', 2)
+          THEN substr(acc, 1, len(acc) - len(split_part(b.pair, ' ', 1)))
+               || replace(b.pair, ' ', '')
+          ELSE acc || ' ' || x END) AS seq
+      FROM v{_r - 1} CROSS JOIN b{_r} b
+    )""")
+    _bpe_rows = "\n    UNION ALL\n    ".join(
+        f"SELECT {_r}::bigint AS merge_round, "
+        f"split_part(pair, ' ', 1) AS sym_a, "
+        f"split_part(pair, ' ', 2) AS sym_b, c AS pair_count FROM b{_r}"
+        for _r in range(1, _bpe_rounds + 1)
+    )
+    o["corpus_bpe_merges"] = (
+        "WITH " + ",\n    ".join(_bpe_ctes) + "\n    " + _bpe_rows
+    )
+
+    # encode under the same 4 trained merges: v4 already holds every
+    # trained word's post-merge symbol sequence, so the encoder is a
+    # LEFT JOIN of word instances onto len(seq); untrained words fall
+    # back to one token per character
+    o["corpus_bpe_encode"] = (
+        "WITH " + ",\n    ".join(_bpe_ctes) + f""",
+    inst AS (SELECT doc_id, unnest({_TOKS}) AS word FROM documents),
+    enc AS (SELECT word, len(string_split(seq, ' '))::bigint AS bpe_tokens
+            FROM v{_bpe_rounds})
+    SELECT doc_id, count(*)::bigint AS n_words,
+           sum(coalesce(enc.bpe_tokens, len(word)))::bigint AS n_tokens,
+           round(sum(len(word))::double
+                 / sum(coalesce(enc.bpe_tokens, len(word)))::double,
+                 6) AS compression
+    FROM inst LEFT JOIN enc USING (word)
+    GROUP BY doc_id
+    """
+    )
 
     return o

@@ -1230,3 +1230,185 @@ def bm25_topk(docs: DataFrame, query_terms: list, k: int = 10,
         .agg(F.round(F.sum(contrib), 6).alias("score"))
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def length_profile(docs: DataFrame, value_col: str = "n_chars",
+                   group_col: str = "source") -> DataFrame:
+    """Per-group exact length percentiles (p25/p50/p75/p95) + count — the
+    corpus profiling pass that sizes shard packing, length filters, and
+    truncation budgets.  Spark's exact ``percentile`` and DuckDB's
+    ``quantile_cont`` share linear-interpolation semantics (verified
+    bit-equal on this corpus), so the profile is oracle-checkable; at
+    100 TB you'd swap in ``percentile_approx`` and drop the oracle row,
+    same plan shape (one map-side-combined groupBy).
+
+    Returns (group_col, n, p25, p50, p75, p95).
+    """
+    q = F.expr(
+        f"percentile({value_col}, array(0.25D, 0.5D, 0.75D, 0.95D))"
+    )
+    return docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"), q.alias("__q")
+    ).select(
+        group_col,
+        "n",
+        *[
+            F.round(F.element_at("__q", i + 1), 6).alias(p)
+            for i, p in enumerate(("p25", "p50", "p75", "p95"))
+        ],
+    )
+
+
+def _bpe_merge_fold(seq, a: str, b: str):
+    """One greedy left-to-right non-overlapping merge pass of the symbol
+    pair (a, b) over a space-separated symbol-sequence column — the shared
+    fold of :func:`bpe_train` (per round) and :func:`bpe_encode` (per
+    rule), bit-identical to the DuckDB oracle's ``list_reduce``: the
+    accumulator's last symbol merges with the incoming symbol iff they
+    equal (a, b), so a run like ``a a a a`` under (a, a) becomes
+    ``aa aa``, never the overlapping ``a aa a``."""
+    return F.aggregate(
+        F.split(seq, " ", -1),
+        F.lit(""),
+        lambda acc, x: F.when(acc == "", x)
+        .when(
+            ((acc == a) | acc.endswith(" " + a)) & (x == b),
+            F.concat(
+                F.substring(acc, F.lit(1), F.length(acc) - len(a)),
+                F.lit(a + b),
+            ),
+        )
+        .otherwise(F.concat(acc, F.lit(" "), x)),
+    )
+
+
+def bpe_train(docs: DataFrame, merges: int = 6, text_col: str = "text",
+              top_words: int | None = None) -> DataFrame:
+    """Byte-pair-encoding merge training (Sennrich et al. 2016) as a
+    fixed-round relational job — the vocab-induction step of a tokenizer
+    pipeline, run where the corpus already lives.
+
+    Round r: count adjacent symbol pairs over the weighted word vocabulary
+    (one map-side-combined groupBy, weight = word frequency), pick the most
+    frequent pair (ties by pair text ascending — TakeOrdered, k=1), and
+    merge every non-overlapping left-to-right occurrence in each word's
+    symbol sequence via a greedy ``aggregate`` fold (the same fold the
+    DuckDB oracle runs with ``list_reduce``, so rounds stay bit-identical
+    across engines).  Word-internal BPE, no end-of-word marker (the
+    GPT-2-style boundary convention lives in pre-tokenization); only
+    ``[a-z0-9]+`` words train, so symbols never collide with the space
+    separator.
+
+    Scale notes: the trainer never touches documents after the initial
+    word count — every round runs over the |vocab| table (≤ millions of
+    rows at 100 TB, and ``top_words`` caps it like every production BPE
+    trainer does); pair counting keys on the pair string (uniform); only
+    ONE (pair, count) row reaches the driver per round.
+
+    Returns the merge table (merge_round, sym_a, sym_b, pair_count).
+    """
+    from ..functions.text import tokens
+
+    words = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .where(F.col("word").rlike("^[a-z0-9]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if top_words is not None:
+        words = words.orderBy(F.col("n").desc(), F.col("word")).limit(top_words)
+    vocab = words.select(
+        "word",
+        "n",
+        F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")).alias("seq"),
+    ).persist()
+
+    out_rows = []
+    for r in range(1, merges + 1):
+        syms = F.split(F.col("seq"), " ", -1)
+        starts = F.sequence(F.lit(1), F.size(syms) - 1)
+        pairs = vocab.where(F.size(syms) >= 2).select(
+            "n",
+            F.explode(
+                F.transform(
+                    starts, lambda i: F.array_join(F.slice(syms, i, 2), " ")
+                )
+            ).alias("pair"),
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("n").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, count = best[0]["pair"], int(best[0]["c"])
+        a, b = pair.split(" ")
+        out_rows.append((r, a, b, count))
+        merged = _bpe_merge_fold(F.col("seq"), a, b)
+        new_vocab = vocab.select("word", "n", merged.alias("seq")).persist()
+        vocab.unpersist(False)
+        vocab = new_vocab
+    vocab.unpersist(False)
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        out_rows,
+        "merge_round long, sym_a string, sym_b string, pair_count long",
+    )
+
+
+def bpe_encode(docs: DataFrame, merges: list, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Apply an ordered BPE merge table (:func:`bpe_train`'s output) to the
+    corpus and report per-document token statistics under the learned
+    vocabulary — the "how many tokens is this corpus under my tokenizer"
+    pass that sizes training runs and feeds :func:`pack_token_shards`.
+
+    Scale shape: the rule chain folds once per DISTINCT word (the vocab
+    table — millions of rows at 100 TB, not the trillions of word
+    instances); the instance stream then joins the encoded vocab
+    (broadcast at these sizes, plain hash join beyond) and aggregates per
+    document with map-side partials.  ``len(merges)`` folds compile into
+    one projection — right for the bounded rule counts trained here; a
+    50k-rule production encoder would move the fold into a dict-backed
+    Arrow UDF over the same distinct-vocab table, identical join shape.
+
+    Words outside ``[a-z0-9]+`` (which :func:`bpe_train` never trains on)
+    fall back to one token per character — the byte-fallback analog.
+
+    Returns (id_col, n_words, n_tokens, compression) where compression =
+    total word chars / n_tokens, rounded to 6.
+    """
+    from ..functions.text import tokens
+
+    inst = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
+    )
+    seq = F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 "))
+    for a, b in merges:
+        seq = _bpe_merge_fold(seq, a, b)
+    enc = (
+        inst.select("word")
+        .where(F.col("word").rlike("^[a-z0-9]+$"))
+        .distinct()
+        .select(
+            "word",
+            F.size(F.split(seq, " ", -1)).cast("long").alias("bpe_tokens"),
+        )
+    )
+    per_word = F.coalesce(F.col("bpe_tokens"), F.length("word").cast("long"))
+    return (
+        inst.join(F.broadcast(enc), "word", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(per_word).alias("n_tokens"),
+            F.round(
+                F.sum(F.length("word")).cast("double")
+                / F.sum(per_word).cast("double"),
+                6,
+            ).alias("compression"),
+        )
+    )

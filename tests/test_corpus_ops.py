@@ -589,3 +589,101 @@ def test_bm25_topk_ranking(spark):
     # top-k boundary honors (score desc, id asc)
     top2 = [r["doc_id"] for r in bm25_topk(docs, ["spark"], k=2).collect()]
     assert top2 == ids[:2]
+
+
+def test_length_profile_percentiles(spark):
+    from crawler_spark.operators.corpus import length_profile
+
+    docs = spark.createDataFrame(
+        [("s1", v) for v in (10, 20, 30, 40)] + [("s2", 5)],
+        "source string, n_chars long",
+    )
+    out = {r["source"]: r for r in length_profile(docs).collect()}
+    # linear interpolation: p50 of [10,20,30,40] = 25.0
+    assert out["s1"]["n"] == 4 and out["s1"]["p50"] == 25.0
+    assert out["s1"]["p25"] == 17.5 and out["s1"]["p95"] == 38.5
+    assert out["s2"]["p25"] == out["s2"]["p95"] == 5.0
+
+
+def test_bpe_train_classic_corpus(spark):
+    from crawler_spark.operators.corpus import bpe_train
+
+    text = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    out = bpe_train(docs, merges=4).collect()
+    got = [(r["merge_round"], r["sym_a"], r["sym_b"], r["pair_count"])
+           for r in out]
+    # pair counts weight by word frequency: 'e s' and 's t' both 9, tie
+    # breaks by pair text -> 'e s' first, then the new 'es' pairs with 't'
+    assert got[0] == (1, "e", "s", 9)
+    assert got[1] == (2, "es", "t", 9)
+    # after 'est', 'w e' survives only in lower (2) — newest is now
+    # 'n e w est' — so 'l o' (low 5 + lower 2 = 7) wins round 3, and the
+    # new 'lo' pairs with 'w' for round 4
+    assert got[2] == (3, "l", "o", 7)
+    assert got[3] == (4, "lo", "w", 7)
+    assert len(got) == 4
+
+
+def test_bpe_train_deterministic_under_repartition(spark):
+    from crawler_spark.operators.corpus import bpe_train
+
+    docs = spark.createDataFrame(
+        [(i, "banana bandana ban an a na") for i in range(6)],
+        "doc_id long, text string",
+    )
+    a = bpe_train(docs, merges=3).collect()
+    b = bpe_train(docs.repartition(5), merges=3).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_bpe_encode_classic_corpus(spark):
+    from crawler_spark.operators.corpus import bpe_encode, bpe_train
+
+    train_text = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    train = spark.createDataFrame([(0, train_text)], "doc_id long, text string")
+    rules = [
+        (r["sym_a"], r["sym_b"]) for r in bpe_train(train, merges=4).collect()
+    ]
+    # merges: (e,s) (es,t) (l,o) (lo,w) — low→1 tok, lower→low e r = 3,
+    # newest→n e w est = 4
+    docs = spark.createDataFrame(
+        [(1, "low lower newest"), (2, "low low")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bpe_encode(docs, rules).collect()}
+    assert out[1]["n_words"] == 3 and out[1]["n_tokens"] == 1 + 3 + 4
+    # compression: 14 word chars / 8 tokens
+    assert out[1]["compression"] == 1.75
+    assert out[2]["n_tokens"] == 2 and out[2]["compression"] == 3.0
+
+
+def test_bpe_encode_untrained_word_falls_back_to_chars(spark):
+    from crawler_spark.operators.corpus import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "a-b! see")], "doc_id long, text string"
+    )
+    # no rules: trained-alphabet words split to chars, others to chars via
+    # the fallback — 'a-b!' is 4 chars, 'see' is 3 single-char symbols
+    out = bpe_encode(docs, []).collect()[0]
+    assert out["n_words"] == 2 and out["n_tokens"] == 7
+    assert out["compression"] == 1.0
+
+
+def test_bpe_merge_fold_handles_runs(spark):
+    # 'a a a a' with best pair 'a a' must merge greedily LTR -> 'aa aa',
+    # never the overlapping 'a aa a'
+    from crawler_spark.operators.corpus import bpe_train
+
+    docs = spark.createDataFrame(
+        [(0, "aaaa aaaa aa")], "doc_id long, text string"
+    )
+    out = bpe_train(docs, merges=2).collect()
+    assert (out[0]["sym_a"], out[0]["sym_b"]) == ("a", "a")
+    # round 2: sequences are now 'aa aa' (x2 words) and 'aa' -> best 'aa aa'
+    assert (out[1]["sym_a"], out[1]["sym_b"]) == ("aa", "aa")

@@ -83,3 +83,65 @@ def test_unigram_logprob_partial_agg_no_python(spark, sf_dir):
     plan = plan_of(unigram_logprob(docs))
     assert "EvalPython" not in plan
     assert "partial_count" in plan         # vocab counts combine map-side
+
+
+def test_dsir_models_broadcast_and_instances_never_shuffle(spark, sf_dir):
+    from crawler_spark.operators.corpus import dsir_importance
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.where(F.col("doc_id") % 5 == 0)
+    plan = plan_of(dsir_importance(docs, target, n_buckets=256))
+    assert "EvalPython" not in plan
+    # both bucket models join as broadcasts — the gram instance stream is
+    # never hash-partitioned by bucket
+    assert plan.count("BroadcastHashJoin") >= 2
+    # the per-doc sum aggregates map-side (one partial per doc partition)
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_bm25_pushes_query_filter_and_takeordered(spark, sf_dir):
+    from crawler_spark.operators.corpus import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(bm25_topk(docs, ["spark", "window"], k=10))
+    assert "EvalPython" not in plan
+    # top-k is a TakeOrderedAndProject, never a global Sort+Limit
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [score" not in plan
+    # the query-term restriction joins as a broadcast BEFORE the tf groupBy
+    assert "BroadcastHashJoin" in plan
+
+
+def test_budget_allocator_bonus_is_broadcast_no_global_window(spark):
+    from crawler_spark.operators.politeness import allocate_crawl_budget
+
+    hosts = spark.createDataFrame(
+        [(f"h{i}", i + 1) for i in range(50)], "host string, weight long"
+    )
+    out = allocate_crawl_budget(hosts, 997)
+    plan = plan_of(out)
+    assert "Window" not in plan            # no global row_number rank
+    assert "BroadcastHashJoin" in plan     # bonus set joins broadcast
+    assert "TakeOrderedAndProject" in plan # leftover selection is a heap
+
+
+def test_bpe_encode_vocab_broadcast_no_python(spark, sf_dir):
+    from crawler_spark.operators.corpus import bpe_encode
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(bpe_encode(docs, [("e", "s"), ("es", "t")]))
+    assert "EvalPython" not in plan
+    # the encoded distinct-word vocab joins as a broadcast — word
+    # instances are never shuffled for the lookup
+    assert "BroadcastHashJoin" in plan
+    # the per-doc sums combine map-side
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_lr_scoring_is_pure_projection(spark, sf_dir):
+    from crawler_spark.operators.corpus import lr_quality_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(lr_quality_scores(docs, [0.1, -0.2, 0.3, 0.4]))
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan          # scan-stage filter, no shuffle
