@@ -1764,6 +1764,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_bpe_encode"] = corpus_bpe_encode
 
+    def fetch_circuit_breaker(spark, sf_dir):
+        # per-host failure-rate breaker over a synthetic fetch log: host
+        # h<k> fails every (k%6+2)-th fetch, so hosts with k%6==0 sit at
+        # ~50% failure and trip the 0.4 threshold
+        from crawler_spark.operators.politeness import host_circuit_breaker
+
+        ev = _t(spark, sf_dir, "events")
+        log = ev.select(
+            F.concat(
+                F.lit("h"), (F.col("user_id") % 40).cast("string")
+            ).alias("host"),
+            (
+                (F.col("event_id") % ((F.col("user_id") % 40) % 6 + 2)) != 0
+            ).alias("success"),
+        )
+        return host_circuit_breaker(
+            log, min_attempts=20, max_failure_rate=0.4
+        )
+
+    q["fetch_circuit_breaker"] = fetch_circuit_breaker
+
+    def adaptive_politeness_delay(spark, sf_dir):
+        # politeness auto-tuning: p95 of observed per-host latency, x2,
+        # clamped to [100ms, 30s]
+        from crawler_spark.operators.politeness import adaptive_crawl_delay
+
+        ev = _t(spark, sf_dir, "events")
+        log = ev.select(
+            F.concat(
+                F.lit("h"), (F.col("user_id") % 40).cast("string")
+            ).alias("host"),
+            (
+                F.floor(F.abs(F.col("value")) * 1000)
+                + (F.col("user_id") % 40) * 100
+            ).cast("long").alias("latency_ms"),
+        )
+        return adaptive_crawl_delay(log)
+
+    q["adaptive_politeness_delay"] = adaptive_politeness_delay
+
     return q
 
 
@@ -3626,5 +3666,46 @@ def oracle_sql() -> dict[str, str]:
     GROUP BY doc_id
     """
     )
+
+    # per-host circuit breaker: same synthetic fetch log, same thresholds
+    o["fetch_circuit_breaker"] = """
+    WITH log AS (
+      SELECT 'h' || (user_id % 40)::varchar AS host,
+             (event_id % ((user_id % 40) % 6 + 2)) <> 0 AS success
+      FROM events
+    ),
+    agg AS (
+      SELECT host, count(*)::bigint AS n_attempts,
+             sum(CASE WHEN success THEN 0 ELSE 1 END)::bigint AS n_failures
+      FROM log GROUP BY host
+    )
+    SELECT host, n_attempts, n_failures,
+           round(n_failures::double / n_attempts::double, 6)
+             AS failure_rate,
+           (n_attempts >= 20
+            AND round(n_failures::double / n_attempts::double, 6) >= 0.4)
+             AS tripped
+    FROM agg
+    """
+
+    # adaptive delay: exact p95 (quantile_cont ≡ Spark percentile on the
+    # integer latency column), x2.0, clamped to [100, 30000]
+    o["adaptive_politeness_delay"] = """
+    WITH log AS (
+      SELECT 'h' || (user_id % 40)::varchar AS host,
+             (floor(abs(value) * 1000)::bigint
+              + (user_id % 40) * 100)::bigint AS latency_ms
+      FROM events
+    ),
+    agg AS (
+      SELECT host, count(*)::bigint AS n,
+             round(quantile_cont(latency_ms, 0.95), 6) AS p95_latency_ms
+      FROM log GROUP BY host
+    )
+    SELECT host, n, p95_latency_ms,
+           greatest(100, least(30000,
+             ceil(p95_latency_ms * 2.0)::bigint))::bigint AS delay_ms
+    FROM agg
+    """
 
     return o

@@ -271,3 +271,86 @@ def schedule_fetch_times(wave_df: DataFrame, base_ts_ms: int,
         )
     )
     return out.drop("__delay") if robots_df is not None else out
+
+
+def host_circuit_breaker(fetch_log: DataFrame, min_attempts: int = 20,
+                         max_failure_rate: float = 0.5,
+                         host_col: str = "host",
+                         success_col: str = "success") -> DataFrame:
+    """Per-host failure-rate circuit breaker — the scheduler-side guard a
+    production crawler keeps so a dying or blocking host stops burning the
+    wave budget (the reference retries per-URL with a Fibonacci budget,
+    Downloader.fs:57-126, but has no host-level health signal at all).
+
+    A host *trips* only with enough evidence: ``n_attempts >=
+    min_attempts`` AND ``failure_rate >= max_failure_rate`` — a cold host
+    is never judged on one bad fetch.  One map-side-combined groupBy on
+    the host key; the output is host-cardinality (small), so the
+    enforcement anti-join broadcasts.
+
+    Returns (host_col, n_attempts, n_failures, failure_rate, tripped).
+    """
+    n = F.count(F.lit(1)).cast("long")
+    fails = F.sum(F.when(F.col(success_col), 0).otherwise(1)).cast("long")
+    out = fetch_log.groupBy(host_col).agg(
+        n.alias("n_attempts"), fails.alias("n_failures")
+    ).withColumn(
+        "failure_rate",
+        F.round(
+            F.col("n_failures").cast("double")
+            / F.col("n_attempts").cast("double"),
+            6,
+        ),
+    )
+    return out.withColumn(
+        "tripped",
+        (F.col("n_attempts") >= min_attempts)
+        & (F.col("failure_rate") >= max_failure_rate),
+    )
+
+
+def apply_circuit_breaker(frontier_df: DataFrame,
+                          breaker_df: DataFrame,
+                          host_col: str = "host") -> DataFrame:
+    """Drop frontier rows whose host tripped the breaker.  The tripped set
+    is a fraction of the (already small) host rollup, so it broadcasts —
+    the frontier is never shuffled for enforcement."""
+    tripped = breaker_df.where(F.col("tripped")).select(host_col)
+    return frontier_df.join(F.broadcast(tripped), host_col, "left_anti")
+
+
+def adaptive_crawl_delay(fetch_log: DataFrame, percentile: float = 0.95,
+                         multiplier: float = 2.0,
+                         min_delay_ms: int = 100,
+                         max_delay_ms: int = 30_000,
+                         host_col: str = "host",
+                         latency_col: str = "latency_ms") -> DataFrame:
+    """Politeness auto-tuning from observed behavior: the next wave's
+    per-host delay is ``clamp(ceil(p95_latency × multiplier))`` — a slow
+    host (loaded, rate-limiting, far away) earns a longer gap, a fast one
+    tightens back toward ``min_delay_ms``.  This is the feedback loop that
+    turns :func:`schedule_fetch_times` from static robots compliance into
+    adaptive politeness.
+
+    Exact ``percentile`` over the integer latency column so the DuckDB
+    oracle is bit-equal (the interpolation semantics match — proved by
+    ``corpus_length_profile``); at 100 TB swap ``percentile_approx`` in,
+    same single map-side-combined groupBy.
+
+    Returns (host_col, n, p95_latency_ms, delay_ms).
+    """
+    p95 = F.round(
+        F.expr(f"percentile({latency_col}, {percentile!r}D)"), 6
+    )
+    out = fetch_log.groupBy(host_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        p95.alias("p95_latency_ms"),
+    )
+    delay = F.ceil(F.col("p95_latency_ms") * F.lit(multiplier)).cast("long")
+    return out.withColumn(
+        "delay_ms",
+        F.greatest(
+            F.lit(int(min_delay_ms)),
+            F.least(F.lit(int(max_delay_ms)), delay),
+        ).cast("long"),
+    )

@@ -232,3 +232,25 @@ def test_incremental_dedup_signs_only_the_incoming_batch(spark, sf_dir):
         assert plan.count("Scan parquet") == 2  # docs (incoming) + stored bands
         # exactly one explode-of-shingles chain
         assert plan.count("Generate explode") <= 2  # shingles + band keys, once each
+
+
+def test_circuit_breaker_enforcement_broadcasts_no_python(spark):
+    from crawler_spark.operators.politeness import (
+        apply_circuit_breaker,
+        host_circuit_breaker,
+    )
+
+    log = spark.createDataFrame(
+        [(f"h{i % 9}", i % 3 == 0) for i in range(200)],
+        "host string, success boolean",
+    )
+    frontier = spark.createDataFrame(
+        [(f"h{i % 9}", i) for i in range(500)], "host string, seq long"
+    )
+    plan = plan_of(apply_circuit_breaker(frontier, host_circuit_breaker(log)))
+    assert "EvalPython" not in plan
+    # the tripped-host set joins as a broadcast anti-join — the frontier
+    # side never shuffles for enforcement
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # the health rollup combines map-side
+    assert "partial_count" in plan

@@ -378,3 +378,43 @@ def test_schedule_fetch_times(spark):
     assert out["u4"]["fetch_at_ms"] == 10_000
     assert out["u5"]["fetch_at_ms"] == 10_500
     assert out["u5"]["host_delay_ms"] == 500
+
+
+def test_host_circuit_breaker_trips_with_evidence(spark):
+    from crawler_spark.operators.politeness import (
+        apply_circuit_breaker,
+        host_circuit_breaker,
+    )
+
+    rows = (
+        [("a", False)] * 20 + [("a", True)] * 10
+        + [("b", True)] * 29 + [("b", False)]
+        + [("c", False)] * 5
+    )
+    log = spark.createDataFrame(rows, "host string, success boolean")
+    br = {r["host"]: r for r in host_circuit_breaker(log).collect()}
+    assert br["a"]["tripped"] and br["a"]["failure_rate"] == round(20 / 30, 6)
+    assert not br["b"]["tripped"]        # healthy: 1/30 failures
+    assert not br["c"]["tripped"]        # all-failing but below min_attempts
+    frontier = spark.createDataFrame(
+        [(h, i) for h in "abc" for i in range(3)], "host string, seq long"
+    )
+    kept = apply_circuit_breaker(frontier, host_circuit_breaker(log))
+    assert sorted({r["host"] for r in kept.collect()}) == ["b", "c"]
+
+
+def test_adaptive_crawl_delay_interpolation_and_clamps(spark):
+    from crawler_spark.operators.politeness import adaptive_crawl_delay
+
+    rows = (
+        [("fast", 10)] * 20
+        + [("slow", 100)] * 19 + [("slow", 1000)]
+        + [("huge", 60000)] * 4
+    )
+    log = spark.createDataFrame(rows, "host string, latency_ms long")
+    out = {r["host"]: r for r in adaptive_crawl_delay(log).collect()}
+    # p95 of 19x100 + one 1000: 100 + 0.05*(1000-100) = 145 -> ceil(290)
+    assert out["slow"]["p95_latency_ms"] == 145.0
+    assert out["slow"]["delay_ms"] == 290
+    assert out["fast"]["delay_ms"] == 100      # min clamp
+    assert out["huge"]["delay_ms"] == 30000    # max clamp
