@@ -1804,6 +1804,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["adaptive_politeness_delay"] = adaptive_politeness_delay
 
+    def host_crawl_traps(spark, sf_dir):
+        # per-host crawl-trap detection over a synthetic 30-host url space:
+        # every 5th host is trap-shaped (calendar path + session param +
+        # 3 rotating payloads), the rest serve distinct slugs and content
+        from crawler_spark.operators.web import crawl_trap_score
+
+        docs = _docs_text_double(spark, sf_dir)
+        k = F.col("doc_id") % 30
+        is_trap = (k % 5) == 0
+        host = F.concat(F.lit("h"), k.cast("string"), F.lit(".example"))
+        did = F.col("doc_id").cast("string")
+        slug = F.translate(did, "0123456789", "abcdefghij")
+        url = F.when(
+            is_trap,
+            F.concat(F.lit("https://"), host, F.lit("/cal/"), did,
+                     F.lit("/view?sid="), did),
+        ).otherwise(
+            F.concat(F.lit("https://"), host, F.lit("/article/"), slug)
+        )
+        body = F.when(
+            is_trap,
+            F.concat(F.lit("same-"), (F.col("doc_id") % 3).cast("string")),
+        ).otherwise(F.concat(F.col("text"), F.lit("#"), did))
+        pages = docs.select(url.alias("url"), body.alias("text"))
+        return crawl_trap_score(pages)
+
+    q["host_crawl_traps"] = host_crawl_traps
+
+    def event_type_hits(spark, sf_dir):
+        # hubs/authorities over the per-user event-type transition graph —
+        # 3 fixed L1-normalized rounds, identical arithmetic to the
+        # unrolled-CTE oracle (frontier-prioritization counterpart to
+        # event_type_pagerank)
+        from crawler_spark.operators.graph import hits, transition_edges
+
+        _utc(spark)
+        ev = _t(spark, sf_dir, "events")
+        return hits(transition_edges(ev), weight="w", iters=3).select(
+            F.col("node").alias("event_type"), "hub", "authority"
+        )
+
+    q["event_type_hits"] = event_type_hits
+
     return q
 
 
@@ -3706,6 +3749,104 @@ def oracle_sql() -> dict[str, str]:
            greatest(100, least(30000,
              ceil(p95_latency_ms * 2.0)::bigint))::bigint AS delay_ms
     FROM agg
+    """
+
+    # per-host crawl-trap detection: identical url synthesis, identical
+    # regex extraction (RE2 ∩ Java ∩ PCRE subset), rounded-then-compared
+    # thresholds on both engines
+    o["host_crawl_traps"] = """
+    WITH pages AS (
+      SELECT
+        CASE WHEN (doc_id % 30) % 5 = 0
+          THEN 'https://h' || (doc_id % 30)::varchar || '.example/cal/'
+               || doc_id::varchar || '/view?sid=' || doc_id::varchar
+          ELSE 'https://h' || (doc_id % 30)::varchar || '.example/article/'
+               || translate(doc_id::varchar, '0123456789', 'abcdefghij')
+        END AS url,
+        CASE WHEN (doc_id % 30) % 5 = 0
+          THEN 'same-' || (doc_id % 3)::varchar
+          ELSE text || '#' || doc_id::varchar
+        END AS text
+      FROM documents
+    ),
+    parsed AS (
+      SELECT
+        lower(regexp_extract(
+          regexp_replace(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', ''),
+          '^([^/?#:]*)', 1)) AS host,
+        md5(text) AS ch,
+        regexp_replace(
+          regexp_extract(
+            regexp_replace(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', ''),
+            '^[^/?#]*([^?#]*)', 1),
+          '[0-9]+', 'N', 'g') AS tpl,
+        len(list_filter(
+          string_split(regexp_extract(url, '[?]([^#]*)', 1), '&'),
+          p -> p != ''))::double AS np
+      FROM pages
+    ),
+    agg AS (
+      SELECT host, count(*)::bigint AS n_urls,
+             count(DISTINCT ch)::bigint AS n_distinct_content,
+             count(DISTINCT tpl)::bigint AS n_path_templates,
+             round(avg(np), 6) AS mean_params,
+             round(1.0 - count(DISTINCT ch) / count(*)::double, 6)
+               AS content_dup_ratio,
+             round(count(*)::double / count(DISTINCT tpl), 6)
+               AS urls_per_template
+      FROM parsed GROUP BY host
+    )
+    SELECT host, n_urls, n_distinct_content, n_path_templates,
+           content_dup_ratio, urls_per_template, mean_params,
+           (n_urls >= 20 AND (content_dup_ratio >= 0.5
+                              OR urls_per_template >= 50.0)) AS trapped
+    FROM agg
+    """
+
+    # HITS: 3 unrolled L1-normalized rounds, same edge derivation as
+    # event_type_pagerank, same arithmetic as operators/graph.py hits()
+    _hits_iters = "".join(
+        f""",
+    araw{i} AS (
+      SELECT e.dst AS node, sum(h.score * e.w) AS s
+      FROM edges e JOIN h{i - 1} h ON h.node = e.src GROUP BY e.dst
+    ),
+    a{i} AS (
+      SELECT n.node,
+             coalesce(r.s, 0.0::double) / (SELECT sum(s) FROM araw{i})
+               AS score
+      FROM nodes n LEFT JOIN araw{i} r USING (node)
+    ),
+    hraw{i} AS (
+      SELECT e.src AS node, sum(a.score * e.w) AS s
+      FROM edges e JOIN a{i} a ON a.node = e.dst GROUP BY e.src
+    ),
+    h{i} AS (
+      SELECT n.node,
+             coalesce(r.s, 0.0::double) / (SELECT sum(s) FROM hraw{i})
+               AS score
+      FROM nodes n LEFT JOIN hraw{i} r USING (node)
+    )"""
+        for i in range(1, 4)
+    )
+    o["event_type_hits"] = f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    edges AS (
+      SELECT event_type AS src, next_type AS dst, count(*)::double AS w
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    h0 AS (SELECT node, 1.0::double / (SELECT count(*) FROM nodes) AS score
+           FROM nodes){_hits_iters}
+    SELECT h.node AS event_type, round(h.score, 6) AS hub,
+           round(a.score, 6) AS authority
+    FROM h3 h JOIN a3 a USING (node)
     """
 
     return o

@@ -164,3 +164,72 @@ def recrawl_schedule(seen: DataFrame, key_col: str, ts_col: str,
         (F.col("last_ts_epoch") + iv).alias("next_due_epoch"),
         ((F.col("last_ts_epoch") + iv) <= now).alias("overdue"),
     )
+
+
+def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
+         weight: str | None = None, iters: int = 3) -> DataFrame:
+    """Weighted HITS (Kleinberg hubs/authorities) with a FIXED iteration
+    count and L1 normalization — deterministic, so the oracle unrolls the
+    identical ``iters`` rounds (same shape as :func:`pagerank`).
+
+    Per round: ``auth_raw(v) = Σ_{u→v} w(u,v)·hub(u)`` then L1-normalize;
+    ``hub_raw(u) = Σ_{u→v} w(u,v)·auth(v)`` then L1-normalize.  Each
+    half-round is one hash join of the score vector against the edge list
+    plus a map-side-combined sum; the normalizing total is a 1-row
+    aggregate broadcast back (BroadcastNestedLoopJoin of a scalar — never
+    a global window).  Lineage truncated per round.  At 10^9 nodes:
+    pre-partition edges by the join key per direction; score vectors are
+    O(nodes) DataFrames, never collected.
+
+    Crawl use: authorities ≈ well-linked content pages worth fetch budget,
+    hubs ≈ directory/sitemap-like pages worth re-crawling for discovery —
+    the frontier-prioritization counterpart to :func:`pagerank`.
+
+    Returns (node, hub, authority) rounded to 6 d.p.
+    """
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
+                     w.alias("w")).persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    hub = nodes.withColumn("score", F.lit(1.0 / n))
+    auth = None
+
+    def _push(scores: DataFrame, key: str, out: str) -> DataFrame:
+        # scores flow across edges from `key` side to `out` side, then
+        # L1-normalize via a broadcast 1-row total
+        raw = (
+            e.join(scores, e[key] == scores["node"])
+            .select(F.col(out).alias("node"),
+                    (F.col("score") * F.col("w")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        tot = raw.agg(F.sum("s").alias("t"))
+        return (
+            nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "node",
+                (F.coalesce(F.col("s"), F.lit(0.0))
+                 / F.col("t")).alias("score"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    for _ in range(iters):
+        auth = _push(hub, "src", "dst")
+        hub = _push(auth, "dst", "src")
+    e.unpersist()
+    nodes.unpersist()
+    return (
+        hub.withColumnRenamed("score", "hub")
+        .join(auth.withColumnRenamed("score", "authority"), "node")
+        .select("node", F.round("hub", 6).alias("hub"),
+                F.round("authority", 6).alias("authority"))
+    )

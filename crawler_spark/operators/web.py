@@ -521,3 +521,77 @@ def expand_sitemap_index(sitemaps: DataFrame, url_col: str = "url",
         )
         frontier = children
     return out
+
+
+def crawl_trap_score(pages: DataFrame, url_col: str = "url",
+                     text_col: str = "text", min_urls: int = 20,
+                     max_dup_ratio: float = 0.5,
+                     max_urls_per_template: float = 50.0) -> DataFrame:
+    """Per-host crawl-trap detection — the frontier guard against calendar
+    pages, session-id permutations, and faceted-search explosions that
+    mint unbounded URL spaces over near-constant content.  (The reference
+    crawls one closed id range and cannot be trapped,
+    ``CrawlerPet911/Utils.fs:26-33``; an open-web frontier at 10^10 URLs
+    dies without this signal.)
+
+    Three relational signals per host, one hash-partitioned aggregation:
+
+    * ``content_dup_ratio`` — 1 − distinct(md5(text)) / n_urls: many URLs,
+      few distinct payloads (session ids, print views).
+    * ``urls_per_template`` — n_urls / distinct(digit-normalized path):
+      path templates like ``/2024/01/15/`` collapse to ``/N/N/N/``, so a
+      calendar trap shows thousands of URLs per template.
+    * ``mean_params`` — faceted-search traps carry ever-growing query
+      strings.
+
+    A host is ``trapped`` only with evidence (``n_urls >= min_urls``) AND
+    either dup-ratio or template-fanout past its threshold — matching the
+    circuit breaker's evidence-floor shape
+    (:func:`crawler_spark.operators.politeness.host_circuit_breaker`).
+
+    All expressions are RE2 ∩ Java-regex safe so the DuckDB oracle runs
+    identical patterns.  Scale: one groupBy on host; distinct counts are
+    exact here — swap ``approx_count_distinct`` in at 10^10 with the same
+    plan shape.
+
+    Returns (host, n_urls, n_distinct_content, n_path_templates,
+    content_dup_ratio, urls_per_template, mean_params, trapped).
+    """
+    u = F.col(url_col)
+    host = F.lower(
+        F.regexp_extract(F.regexp_replace(u, _SCHEME_RE, ""), "^([^/?#:]*)", 1)
+    )
+    path = F.regexp_extract(
+        F.regexp_replace(u, _SCHEME_RE, ""), "^[^/?#]*([^?#]*)", 1
+    )
+    template = F.regexp_replace(path, "[0-9]+", "N")
+    query = F.regexp_extract(u, "[?]([^#]*)", 1)
+    n_params = F.size(F.filter(F.split(query, "&"), lambda p: p != ""))
+    per = pages.select(
+        host.alias("host"),
+        F.md5(F.col(text_col)).alias("__ch"),
+        template.alias("__tpl"),
+        n_params.cast("double").alias("__np"),
+    ).groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.countDistinct("__ch").cast("long").alias("n_distinct_content"),
+        F.countDistinct("__tpl").cast("long").alias("n_path_templates"),
+        F.round(F.avg("__np"), 6).alias("mean_params"),
+    )
+    dup = F.round(
+        1.0 - F.col("n_distinct_content") / F.col("n_urls").cast("double"), 6
+    )
+    fanout = F.round(
+        F.col("n_urls").cast("double") / F.col("n_path_templates"), 6
+    )
+    return per.select(
+        "host", "n_urls", "n_distinct_content", "n_path_templates",
+        dup.alias("content_dup_ratio"),
+        fanout.alias("urls_per_template"),
+        "mean_params",
+        (
+            (F.col("n_urls") >= F.lit(int(min_urls)))
+            & ((dup >= F.lit(float(max_dup_ratio)))
+               | (fanout >= F.lit(float(max_urls_per_template))))
+        ).alias("trapped"),
+    )

@@ -120,3 +120,53 @@ def test_recrawl_schedule_rates_and_clamps(spark):
     assert out[3]["interval_s"] == 3600           # clamped up
     assert out[4]["interval_s"] == 30 * 86400     # clamped down
     assert not out[4]["overdue"]                  # Mar 31 obs is after 'now'
+
+
+def test_hits_star_graph_hand_computed(spark):
+    from crawler_spark.operators.graph import hits
+
+    # hub h points at authorities a1, a2; plus a back-edge a1->h.
+    edges = spark.createDataFrame(
+        [("h", "a1"), ("h", "a2"), ("a1", "h")], "src string, dst string"
+    )
+    out = {r["node"]: r for r in hits(edges, iters=1).collect()}
+    # round 1: auth_raw = {a1:1/3, a2:1/3, h:1/3} -> L1 = 1/3 each;
+    # hub_raw = {h: 1/3+1/3, a1: 1/3} -> L1: h=2/3, a1=1/3
+    assert out["h"]["hub"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out["a1"]["hub"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out["a2"]["hub"] == 0.0
+    for n in ("h", "a1", "a2"):
+        assert out[n]["authority"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_hits_weighted_and_l1_invariant(spark):
+    from crawler_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [("a", "b", 3.0), ("a", "c", 1.0), ("d", "b", 4.0)],
+        "src string, dst string, w double",
+    )
+    rows = hits(edges, weight="w", iters=3).collect()
+    hub_sum = sum(r["hub"] for r in rows)
+    auth_sum = sum(r["authority"] for r in rows)
+    assert hub_sum == pytest.approx(1.0, abs=1e-5)
+    assert auth_sum == pytest.approx(1.0, abs=1e-5)
+    out = {r["node"]: r for r in rows}
+    # b receives 3/4 of a's push plus all of d's: strictly dominant authority
+    assert out["b"]["authority"] > out["c"]["authority"]
+    assert out["c"]["hub"] == 0.0 and out["b"]["hub"] == 0.0
+
+
+def test_hits_plan_no_global_window_no_python(spark):
+    from crawler_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [(f"s{i % 7}", f"d{i % 11}") for i in range(100)],
+        "src string, dst string",
+    )
+    df = hits(edges, iters=1)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "extended"
+    ) if False else df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "Window" not in plan  # normalization is a broadcast scalar, not a window

@@ -418,3 +418,51 @@ def test_adaptive_crawl_delay_interpolation_and_clamps(spark):
     assert out["slow"]["delay_ms"] == 290
     assert out["fast"]["delay_ms"] == 100      # min clamp
     assert out["huge"]["delay_ms"] == 30000    # max clamp
+
+
+def test_crawl_trap_score_signals_and_thresholds(spark):
+    from crawler_spark.operators.web import crawl_trap_score
+
+    rows = []
+    # calendar trap: 30 urls, 3 distinct payloads, one digit template
+    for i in range(30):
+        rows.append((f"https://trap.example/cal/2024/{i}/view?sid={i}",
+                     f"same-{i % 3}"))
+    # healthy host: 25 urls, all-distinct content, distinct templates
+    for i in range(25):
+        rows.append((f"https://good.example/article/slug-{chr(97 + i)}",
+                     f"unique content {i}"))
+    # tiny host: trap-shaped but below the evidence floor
+    for i in range(5):
+        rows.append((f"https://tiny.example/p/{i}", "same"))
+    pages = spark.createDataFrame(rows, "url string, text string")
+    out = {r["host"]: r for r in crawl_trap_score(pages).collect()}
+
+    t = out["trap.example"]
+    assert t["n_urls"] == 30 and t["n_distinct_content"] == 3
+    assert t["n_path_templates"] == 1      # /cal/N/N/view
+    assert t["content_dup_ratio"] == 0.9
+    assert t["urls_per_template"] == 30.0
+    assert t["mean_params"] == 1.0
+    assert t["trapped"]
+
+    g = out["good.example"]
+    assert g["content_dup_ratio"] == 0.0 and not g["trapped"]
+    assert g["n_path_templates"] == 25
+
+    tiny = out["tiny.example"]
+    assert tiny["content_dup_ratio"] == 0.8 and not tiny["trapped"]
+
+
+def test_crawl_trap_score_plan_is_one_agg_no_python(spark):
+    from crawler_spark.operators.web import crawl_trap_score
+
+    pages = spark.createDataFrame(
+        [(f"https://h{i % 3}.example/a/{i}?x=1", f"t{i}") for i in range(50)],
+        "url string, text string",
+    )
+    plan = crawl_trap_score(pages)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+    # distinct-count aggregation expands but stays hash-partitioned on host
+    assert "Exchange hashpartitioning(host" in plan
