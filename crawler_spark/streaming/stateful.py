@@ -92,3 +92,110 @@ def run_known_set_tracker(spark, source_dir: str, out_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Per-host token-bucket politeness gate (north_rule: "per-host politeness
+# scheduler ... token-bucket delay budgets") as cross-micro-batch state.
+# The batch CrawlJob enforces budgets per wave (operators/politeness.py);
+# a continuously-running fetcher needs the budget to survive batch
+# boundaries — bucket fill is state, not a per-batch aggregate.
+# ---------------------------------------------------------------------------
+
+GATE_OUTPUT_SCHEMA = (
+    "host string, url string, ts_ms long, admitted boolean, "
+    "tokens_after double"
+)
+GATE_STATE_SCHEMA = "tokens double, last_ms long"
+
+
+def _gate_host(capacity: float, rate_per_s: float):
+    def gate(key: tuple, pdfs: Iterator[pd.DataFrame],
+             state: GroupState) -> Iterator[pd.DataFrame]:
+        (host,) = key
+        if state.exists:
+            tokens, last_ms = float(state.get[0]), int(state.get[1])
+        else:
+            tokens, last_ms = float(capacity), -1
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if not len(rows):
+            state.update((tokens, last_ms))
+            return
+        # deterministic within-batch order: event time, then url — the
+        # stream's own clock, never the wall clock
+        rows = rows.sort_values(["ts_ms", "url"], kind="mergesort")
+        admitted, after = [], []
+        for ts, _url in zip(rows["ts_ms"].astype("int64"), rows["url"]):
+            ts = int(ts)
+            if last_ms >= 0 and ts > last_ms:
+                tokens = min(float(capacity),
+                             tokens + (ts - last_ms) / 1000.0 * rate_per_s)
+            last_ms = max(last_ms, ts)
+            if tokens >= 1.0:
+                tokens -= 1.0
+                admitted.append(True)
+            else:
+                admitted.append(False)
+            after.append(tokens)
+        state.update((tokens, last_ms))
+        yield pd.DataFrame(
+            {
+                "host": host,
+                "url": rows["url"].to_numpy(),
+                "ts_ms": rows["ts_ms"].astype("int64").to_numpy(),
+                "admitted": admitted,
+                "tokens_after": after,
+            }
+        )
+
+    return gate
+
+
+def politeness_gate(fetch_requests: DataFrame, capacity: float = 4.0,
+                    rate_per_s: float = 1.0) -> DataFrame:
+    """Token-bucket admission over a (host, url, ts_ms) fetch-request
+    stream.  Each host's bucket starts full (``capacity``), refills at
+    ``rate_per_s`` tokens/sec of *event time*, and every admitted request
+    costs one token; a drained bucket rejects (``admitted = false``) until
+    event time refills it.  State (tokens, last event ts) persists across
+    micro-batches, so a burst split over two triggers is throttled exactly
+    like the same burst in one — proven by the stream≡batch test.
+
+    Scale: state is two scalars per host, hash-partitioned by host —
+    10^8 hosts ≈ a few GB across the cluster; each group's work is a
+    single Arrow-batched pass over its own rows.
+    """
+    return (
+        fetch_requests.groupBy("host")
+        .applyInPandasWithState(
+            _gate_host(capacity, rate_per_s),
+            outputStructType=GATE_OUTPUT_SCHEMA,
+            stateStructType=GATE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_politeness_gate(spark, source_dir: str, out_dir: str,
+                        checkpoint_dir: str, capacity: float = 4.0,
+                        rate_per_s: float = 1.0,
+                        max_files_per_trigger: int | None = 1):
+    """Stream (host, url, ts_ms) parquet requests through the gate to a
+    parquet sink (availableNow, one file per trigger by default so tests
+    exercise genuine cross-batch state)."""
+    reader = spark.readStream.schema(
+        "host string, url string, ts_ms long"
+    ).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    reqs = reader.load(source_dir)
+    return (
+        politeness_gate(reqs, capacity=capacity, rate_per_s=rate_per_s)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -205,3 +205,61 @@ def test_clean_docs_stream_gates_and_dedups(spark, tmp_path):
     )
     assert sorted(hashes) == sorted(r["h"] for r in batch.collect())
     assert all(r["n_tokens"] > 0 for r in got)
+
+
+def test_politeness_gate_token_bucket_across_batches(spark, tmp_path):
+    """Token-bucket state survives micro-batch boundaries: a burst split
+    over two triggers is throttled exactly like one batch, and event-time
+    refill re-admits later requests."""
+    from crawler_spark.streaming.stateful import run_politeness_gate
+
+    src = str(tmp_path / "req"); out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+
+    # batch 1: 3 simultaneous requests at t=0 against capacity 4
+    batch1 = [("a.example", f"u{i}", 0) for i in range(3)]
+    # batch 2: 3 more at t=0 (burst continues: only 1 token left) plus one
+    # at t=2500 (refill 2.5 tokens -> admitted) and a cold host
+    batch2 = [("a.example", f"v{i}", 0) for i in range(3)] + [
+        ("a.example", "w0", 2500), ("b.example", "x0", 0)]
+    spark.createDataFrame(batch1, "host string, url string, ts_ms long") \
+        .coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(batch2, "host string, url string, ts_ms long") \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    q = run_politeness_gate(spark, src, out, ckpt, capacity=4.0,
+                            rate_per_s=1.0, max_files_per_trigger=1)
+    q.awaitTermination(180)
+
+    rows = {r["url"]: r for r in spark.read.parquet(out).collect()}
+    assert all(rows[f"u{i}"]["admitted"] for i in range(3))   # 4 -> 1 token
+    assert rows["v0"]["admitted"]                             # burns the last
+    assert not rows["v1"]["admitted"] and not rows["v2"]["admitted"]
+    assert rows["w0"]["admitted"]                             # refilled 2.5
+    assert rows["w0"]["tokens_after"] == 1.5
+    assert rows["x0"]["admitted"]                             # cold host full
+
+
+def test_politeness_gate_stream_equals_single_batch(spark, tmp_path):
+    """Stream-over-N-triggers ≡ one batch: same admissions, same final
+    token level (the determinism the checkpoint/resume story rests on)."""
+    from crawler_spark.streaming.stateful import run_politeness_gate
+
+    reqs = [("h.example", f"u{i:02d}", i * 400) for i in range(12)]
+
+    def run(split_files: int, tag: str) -> dict:
+        src = str(tmp_path / f"req{tag}"); out = str(tmp_path / f"out{tag}")
+        ckpt = str(tmp_path / f"ck{tag}")
+        chunk = len(reqs) // split_files
+        for j in range(split_files):
+            part = reqs[j * chunk:(j + 1) * chunk] or reqs[j * chunk:]
+            spark.createDataFrame(
+                part, "host string, url string, ts_ms long"
+            ).coalesce(1).write.mode("append").parquet(src)
+        q = run_politeness_gate(spark, src, out, ckpt, capacity=2.0,
+                                rate_per_s=0.5, max_files_per_trigger=1)
+        q.awaitTermination(180)
+        return {r["url"]: (r["admitted"], r["tokens_after"])
+                for r in spark.read.parquet(out).collect()}
+
+    assert run(1, "one") == run(4, "four")
