@@ -1847,6 +1847,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["event_type_hits"] = event_type_hits
 
+    def url_canonical_aliases(spark, sf_dir):
+        # canonical-URL selection over synthetic alias clusters: groups of
+        # 5 docs share one payload; urls vary in shape/length, shortest wins
+        from crawler_spark.operators.web import url_alias_clusters
+
+        docs = _docs_text_double(spark, sf_dir)
+        did = F.col("doc_id").cast("string")
+        variant = F.col("doc_id") % 5
+        url = F.concat(
+            F.lit("https://ex.example/"),
+            F.when(variant == 0, F.concat(F.lit("p/"), did))
+            .when(variant == 1, F.concat(F.lit("page/"), did, F.lit("?ref=a")))
+            .when(variant == 2, F.concat(F.lit("print/page/"), did))
+            .otherwise(F.concat(F.lit("page/"), did, F.lit("/view?sess="),
+                                did)),
+        )
+        content = F.concat(
+            F.lit("c"), F.expr("doc_id DIV 5").cast("string")
+        )
+        pages = docs.select(url.alias("url"), content.alias("text"))
+        return url_alias_clusters(pages)
+
+    q["url_canonical_aliases"] = url_canonical_aliases
+
     return q
 
 
@@ -3847,6 +3871,35 @@ def oracle_sql() -> dict[str, str]:
     SELECT h.node AS event_type, round(h.score, 6) AS hub,
            round(a.score, 6) AS authority
     FROM h3 h JOIN a3 a USING (node)
+    """
+
+    # canonical-URL alias clusters: identical synthesis; min_by over the
+    # length-prefixed key (lpad(length,10) || url ≡ (length, url) order)
+    o["url_canonical_aliases"] = """
+    WITH pages AS (
+      SELECT
+        'https://ex.example/' || CASE doc_id % 5
+          WHEN 0 THEN 'p/' || doc_id::varchar
+          WHEN 1 THEN 'page/' || doc_id::varchar || '?ref=a'
+          WHEN 2 THEN 'print/page/' || doc_id::varchar
+          ELSE 'page/' || doc_id::varchar || '/view?sess=' || doc_id::varchar
+        END AS url,
+        'c' || (doc_id // 5)::varchar AS text
+      FROM documents
+    ),
+    keyed AS (
+      SELECT md5(text) AS d, url,
+             lpad(length(url)::varchar, 10, '0') || url AS k
+      FROM pages
+    ),
+    clusters AS (
+      SELECT d, min_by(url, k) AS canonical_url,
+             count(*)::bigint AS cluster_size
+      FROM keyed GROUP BY d
+    )
+    SELECT p.url, c.canonical_url, c.cluster_size,
+           (p.url = c.canonical_url) AS is_canonical
+    FROM keyed p JOIN clusters c USING (d)
     """
 
     return o

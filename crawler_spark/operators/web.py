@@ -595,3 +595,42 @@ def crawl_trap_score(pages: DataFrame, url_col: str = "url",
                | (fanout >= F.lit(float(max_urls_per_template))))
         ).alias("trapped"),
     )
+
+
+def url_alias_clusters(pages: DataFrame, url_col: str = "url",
+                       text_col: str = "text") -> DataFrame:
+    """Canonical-URL selection over content-duplicate clusters: every URL
+    serving byte-identical content joins one cluster, and the cluster's
+    canonical member is its shortest URL (ties: lexicographic) — the
+    standard mirror/alias collapse a frontier applies before scheduling
+    (print views, session-id variants, www/non-www mirrors).  Differs from
+    the WARC layer's ``mark_revisits`` (earliest-by-time, archive-format
+    policy): this is the scheduler-side policy — shortest URL is the one
+    worth recrawling.
+
+    One groupBy on ``md5(text)`` with a ``min_by`` over a length-prefixed
+    sort key (lpad(length,10) || url — lexicographic ≡ (length, url), so
+    both engines compare identically), then one equi-join back.  No
+    windows; both stages hash-partition on the digest.
+
+    Returns (url, canonical_url, cluster_size, is_canonical).
+    """
+    u = F.col(url_col)
+    digest = F.md5(F.col(text_col))
+    key = F.concat(F.lpad(F.length(u).cast("string"), 10, "0"), u)
+    clusters = (
+        pages.select(digest.alias("__d"), u.alias("url"), key.alias("__k"))
+        .groupBy("__d")
+        .agg(
+            F.min_by("url", "__k").alias("canonical_url"),
+            F.count(F.lit(1)).cast("long").alias("cluster_size"),
+        )
+    )
+    return (
+        pages.select(digest.alias("__d"), u.alias("url"))
+        .join(clusters, "__d")
+        .select(
+            "url", "canonical_url", "cluster_size",
+            (F.col("url") == F.col("canonical_url")).alias("is_canonical"),
+        )
+    )

@@ -466,3 +466,37 @@ def test_crawl_trap_score_plan_is_one_agg_no_python(spark):
     assert "Window" not in plan
     # distinct-count aggregation expands but stays hash-partitioned on host
     assert "Exchange hashpartitioning(host" in plan
+
+
+def test_url_alias_clusters_shortest_wins(spark):
+    from crawler_spark.operators.web import url_alias_clusters
+
+    pages = spark.createDataFrame(
+        [
+            ("https://ex.com/a", "same"),
+            ("https://ex.com/a?utm=1", "same"),
+            ("https://ex.com/print/a", "same"),
+            ("https://ex.com/b", "other"),
+            ("https://ex.com/ab", "tie"),   # same length as /ac: lexicographic
+            ("https://ex.com/ac", "tie"),
+        ],
+        "url string, text string",
+    )
+    out = {r["url"]: r for r in url_alias_clusters(pages).collect()}
+    assert out["https://ex.com/a?utm=1"]["canonical_url"] == "https://ex.com/a"
+    assert out["https://ex.com/print/a"]["cluster_size"] == 3
+    assert out["https://ex.com/a"]["is_canonical"]
+    assert not out["https://ex.com/a?utm=1"]["is_canonical"]
+    assert out["https://ex.com/b"]["cluster_size"] == 1
+    assert out["https://ex.com/ac"]["canonical_url"] == "https://ex.com/ab"
+
+
+def test_url_alias_clusters_plan_no_window_no_python(spark):
+    from crawler_spark.operators.web import url_alias_clusters
+
+    pages = spark.createDataFrame(
+        [(f"https://h.example/{i}?v={i % 4}", f"c{i % 7}") for i in range(40)],
+        "url string, text string",
+    )
+    plan = url_alias_clusters(pages)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "Window" not in plan
