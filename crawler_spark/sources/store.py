@@ -136,3 +136,57 @@ class SnapshotStore:
                       as_of: int | None = None) -> DataFrame:
         df = self.read(spark, table, as_of=as_of)
         return df if df is not None else spark.createDataFrame([], schema)
+
+    # -- maintenance --------------------------------------------------------
+    def compact(self, spark: SparkSession, table: str,
+                target_partitions: int | None = None) -> int | None:
+        """Rewrite the CURRENT snapshot's data dirs into one new dir and
+        commit it as an overwrite snapshot — Iceberg's
+        ``rewrite_data_files``.  A crawl that commits one snapshot per wave
+        accumulates one dir (and its small files) per wave; without
+        periodic compaction the scan-side file count grows without bound.
+        Readers of older snapshots are unaffected (their dirs are never
+        touched); the latest snapshot afterwards references exactly one
+        dir.  Returns the new snapshot id, or None when there is nothing
+        to compact (empty table or already a single dir).
+        """
+        snaps = self.snapshots(table)
+        if not snaps or len(snaps[-1]["dirs"]) <= 1:
+            return None
+        df = self.read(spark, table)
+        if target_partitions:
+            df = df.coalesce(target_partitions)
+        return self.commit(
+            table, df, mode="overwrite",
+            extra={"compaction_of": snaps[-1]["snapshot"]},
+        )
+
+    def expire_snapshots(self, table: str, keep_last: int = 1) -> dict:
+        """Drop all but the newest ``keep_last`` manifest lines and delete
+        every data dir no surviving snapshot references — Iceberg's
+        ``expire_snapshots``.  The latest snapshot is never expired, so
+        resume (which always reads latest) and incremental consumers whose
+        watermark is at or above the horizon are unaffected; time-travel
+        below the horizon intentionally stops resolving.  The manifest
+        rewrite is the same atomic tmp+rename as ``commit``, and dirs are
+        removed only AFTER the new manifest is durable, so a crash
+        mid-expiry leaves a readable (merely over-retaining) store.
+        Returns {"expired": n_snapshots, "deleted_dirs": n_dirs}.
+        """
+        import shutil
+
+        snaps = self.snapshots(table)
+        if len(snaps) <= keep_last:
+            return {"expired": 0, "deleted_dirs": 0}
+        kept, dropped = snaps[-keep_last:], snaps[:-keep_last]
+        referenced = {d for s in kept for d in s["dirs"]}
+        self._write_manifest(table, kept)  # commit point, then GC
+        deleted = 0
+        for s in dropped:
+            d = f"snap-{s['snapshot']}"
+            if d not in referenced:
+                p = self.root / table / d
+                if p.exists():
+                    shutil.rmtree(p)
+                    deleted += 1
+        return {"expired": len(dropped), "deleted_dirs": deleted}
