@@ -606,6 +606,51 @@ class CrawlJob:
             stats.append(s)
         return stats
 
+    # ------------------------------------------------------------ maintenance
+    def maintain(self, keep_last: int = 1) -> dict:
+        """Between-session store maintenance: compact every table's current
+        snapshot to one dir, then expire history to ``keep_last`` snapshots
+        (Iceberg's routine rewrite_data_files + expire_snapshots pass).  A
+        crawl commits one snapshot per wave per table, so without this the
+        scan-side file count grows linearly with crawl age.
+
+        Ordering is load-bearing for the incremental seen-filter: expiry
+        drops manifest lines, and a filter blob older than the expiry
+        horizon could no longer see those lines' data dirs to top up from —
+        bloom false negatives, i.e. re-crawling seen urls.  So after
+        compacting ``seen`` the filter is REBUILT from the compacted
+        snapshot (one single-dir scan, accurate n_items for the cost gate),
+        persisted, and older blobs are pruned — only then does history
+        expire.  Resume always reads latest, which is never expired.
+
+        Returns {table: {"compacted_to": id|None, "expired": n,
+        "deleted_dirs": n}}.
+        """
+        out = {}
+        for table in self.store.tables():
+            snap = self.store.compact(self.spark, table)
+            if table == "seen" and self.use_bloom and not self._filter_degraded:
+                latest = self.store.latest_snapshot_id("seen")
+                if latest is not None:
+                    df = self.store.read(self.spark, "seen").select("url_hash")
+                    self._bloom = self._filter_new()
+                    self._filter_add(df, n_rows=df.count())
+                    self._bloom_snap = latest
+                    if not self._filter_degraded:
+                        self._persist_bloom()
+                        for p in self._bloom_dir.glob("merged-*.bin"):
+                            try:
+                                sid = int(p.stem.split("-")[1])
+                            except ValueError:
+                                continue
+                            if sid < latest:
+                                p.unlink()
+            out[table] = {
+                "compacted_to": snap,
+                **self.store.expire_snapshots(table, keep_last=keep_last),
+            }
+        return out
+
     # ------------------------------------------------------------------ reads
     def cards(self) -> DataFrame:
         return self._read(

@@ -190,3 +190,9 @@ class SnapshotStore:
                     shutil.rmtree(p)
                     deleted += 1
         return {"expired": len(dropped), "deleted_dirs": deleted}
+
+    def tables(self) -> list[str]:
+        """All table names in this store (dirs holding a manifest)."""
+        return sorted(
+            p.parent.name for p in self.root.glob("*/_snapshots.json")
+        )

@@ -624,3 +624,46 @@ def test_e2e_crawl_over_deduped_archives_matches(
             da.select(cols).exceptAll(db.select(cols)).count() == 0
             and db.select(cols).exceptAll(da.select(cols)).count() == 0
         ), f"{getter} differs between dedup-archived and direct runs"
+
+
+def test_e2e_maintain_compacts_and_resume_stays_exact(
+        spark, sf_dir, tmp_path_factory):
+    """Store maintenance between crawl sessions must not change results:
+    run A crawls range 1 then range 2 straight; run B crawls range 1,
+    maintains (compact + expire, seen-filter rebuilt from the compacted
+    snapshot), then a NEW job seeds range 2 and crawls.  The rebuilt bloom
+    must keep suppressing range 1 (no false negatives after expiry) and
+    admit range 2; final tables identical."""
+    pages = build_pages(spark, sf_dir)
+
+    def run(store, with_maintain):
+        job = CrawlJob(spark, store, pages, wave_seconds=10**9, use_bloom=True)
+        job.seed_range(NUM_BASE, NUM_BASE + 29)
+        job.crawl(max_waves=10)
+        if with_maintain:
+            res = job.maintain(keep_last=1)
+            # the multi-wave tables really were compacted and expired
+            assert res["seen"]["compacted_to"] is not None
+            assert res["seen"]["expired"] >= 2
+            assert len(job.store.snapshots("seen")[-1]["dirs"]) == 1
+            job = CrawlJob(spark, store, pages, wave_seconds=10**9,
+                           use_bloom=True)
+        job.enqueue_frontier(
+            frontier_from_range(spark, NUM_BASE, NUM_BASE + 59)
+        )  # overlaps range 1
+        job.crawl(max_waves=10)
+        return job
+
+    a = run(str(tmp_path_factory.mktemp("a")), with_maintain=False)
+    b = run(str(tmp_path_factory.mktemp("b")), with_maintain=True)
+
+    for getter in ("cards", "seen_set", "missing_set"):
+        da, db = getattr(a, getter)(), getattr(b, getter)()
+        cols = [c for c in da.columns if c != "wave"]
+        assert (
+            da.select(cols).exceptAll(db.select(cols)).count() == 0
+            and db.select(cols).exceptAll(da.select(cols)).count() == 0
+        ), f"{getter} differs between straight and maintained runs"
+    # no re-crawl of range 1: each url fetched exactly once across both runs
+    seen = b.seen_set()
+    assert seen.count() == seen.select("url_hash").distinct().count()
