@@ -77,3 +77,50 @@ def test_expire_never_touches_latest(spark, tmp_path):
     res = store.expire_snapshots("t", keep_last=1)
     assert res == {"expired": 0, "deleted_dirs": 0}
     assert sorted(r["v"] for r in store.read(spark, "t").collect()) == [0, 1, 2, 3]
+
+
+def test_snapshot_diff_added_removed_changed(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from crawler_spark.sources.store import snapshot_diff
+
+    store = SnapshotStore(str(tmp_path))
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, s string, v long"
+    )
+    store.commit("t", v1, mode="overwrite")                       # snap 0
+    v2 = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (4, "d", 40)], "k long, s string, v long"
+    )
+    store.commit("t", v2, mode="overwrite")                       # snap 1
+
+    out = {r["k"]: r["change"]
+           for r in snapshot_diff(spark, store, "t", 0, 1, ["k"]).collect()}
+    assert out == {2: "changed", 3: "removed", 4: "added"}        # 1 unchanged
+
+    # restricting compare_cols hides the s-change
+    out_v = {r["k"]: r["change"]
+             for r in snapshot_diff(spark, store, "t", 0, 1, ["k"],
+                                    compare_cols=["v"]).collect()}
+    assert out_v == {3: "removed", 4: "added"}
+
+    # append snapshots diff too (file-level sees one new dir; row-level
+    # sees exactly the appended keys)
+    store.commit("t", spark.createDataFrame([(9, "z", 90)],
+                 "k long, s string, v long"), mode="append")      # snap 2
+    out2 = {r["k"]: r["change"]
+            for r in snapshot_diff(spark, store, "t", 1, 2, ["k"]).collect()}
+    assert out2 == {9: "added"}
+
+
+def test_snapshot_diff_expired_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from crawler_spark.sources.store import snapshot_diff
+
+    store = SnapshotStore(str(tmp_path))
+    for lo in (0, 5, 10):
+        store.commit("t", spark.range(lo, lo + 5).withColumnRenamed("id", "k"))
+    store.expire_snapshots("t", keep_last=1)
+    with _pytest.raises(ValueError):
+        snapshot_diff(spark, store, "t", 0, 2, ["k"])
