@@ -1871,6 +1871,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["url_canonical_aliases"] = url_canonical_aliases
 
+    def cdc_snapshot_diff(spark, sf_dir):
+        # change-data-capture between two store snapshots (sources/store.py
+        # row_diff): snapshot A = orders sans %7 keys; snapshot B = orders
+        # sans %5 keys with %3 prices bumped — classify added/removed/changed
+        from crawler_spark.sources.store import row_diff
+
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        snap_a = orders.where(F.col("o_orderkey") % 7 != 0)
+        snap_b = orders.where(F.col("o_orderkey") % 5 != 0).withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 3 == 0,
+                   F.col("o_totalprice") + F.lit(1.0))
+            .otherwise(F.col("o_totalprice")),
+        )
+        return row_diff(snap_a, snap_b, ["o_orderkey"])
+
+    q["cdc_snapshot_diff"] = cdc_snapshot_diff
+
     return q
 
 
@@ -3900,6 +3920,29 @@ def oracle_sql() -> dict[str, str]:
     SELECT p.url, c.canonical_url, c.cluster_size,
            (p.url = c.canonical_url) AS is_canonical
     FROM keyed p JOIN clusters c USING (d)
+    """
+
+    o["cdc_snapshot_diff"] = """
+    WITH a AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    b AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 5 <> 0
+    ),
+    j AS (
+      SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+             CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                  WHEN b.o_orderkey IS NULL THEN 'removed'
+                  WHEN a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+                    OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+                  THEN 'changed' END AS change
+      FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT o_orderkey, change FROM j WHERE change IS NOT NULL
     """
 
     return o

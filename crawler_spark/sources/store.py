@@ -198,16 +198,10 @@ class SnapshotStore:
         )
 
 
-def snapshot_diff(spark: SparkSession, store: SnapshotStore, table: str,
-                  from_snap: int, to_snap: int, key_cols: list[str],
-                  compare_cols: list[str] | None = None) -> DataFrame:
-    """Change-data-capture between two snapshots of a store table —
-    Iceberg's changelog-view analog: which keys were ``added``,
-    ``removed``, or ``changed`` between ``from_snap`` and ``to_snap``.
-    The incremental-consumer primitive one level up from
-    ``data_dirs_between`` (which sees appended *files*): this sees logical
-    *row* changes, so it also understands overwrite snapshots
-    (revalidation heals, compactions, frontier rewrites).
+def row_diff(a: DataFrame, b: DataFrame, key_cols: list[str],
+             compare_cols: list[str] | None = None) -> DataFrame:
+    """Logical row-level diff of two relations sharing a key — which keys
+    were ``added``, ``removed``, or ``changed`` going from ``a`` to ``b``.
 
     One full-outer hash join on the key columns; non-key columns are
     compared via an ``md5(to_json(struct(...)))`` digest computed inside
@@ -219,11 +213,6 @@ def snapshot_diff(spark: SparkSession, store: SnapshotStore, table: str,
     changed}; unchanged keys are filtered out before the result leaves the
     join stage.
     """
-    a = store.read(spark, table, as_of=from_snap)
-    b = store.read(spark, table, as_of=to_snap)
-    if a is None or b is None:
-        raise ValueError(f"snapshot {from_snap} or {to_snap} of '{table}' "
-                         "does not resolve (empty table or expired history)")
     if compare_cols is None:
         compare_cols = [c for c in b.columns if c not in key_cols]
 
@@ -248,3 +237,21 @@ def snapshot_diff(spark: SparkSession, store: SnapshotStore, table: str,
         j.select(*key_cols, change.alias("change"))
         .where(F.col("change").isNotNull())
     )
+
+
+def snapshot_diff(spark: SparkSession, store: SnapshotStore, table: str,
+                  from_snap: int, to_snap: int, key_cols: list[str],
+                  compare_cols: list[str] | None = None) -> DataFrame:
+    """Change-data-capture between two snapshots of a store table —
+    Iceberg's changelog-view analog, built on :func:`row_diff`.  The
+    incremental-consumer primitive one level up from ``data_dirs_between``
+    (which sees appended *files*): this sees logical *row* changes, so it
+    also understands overwrite snapshots (revalidation heals, compactions,
+    frontier rewrites).
+    """
+    a = store.read(spark, table, as_of=from_snap)
+    b = store.read(spark, table, as_of=to_snap)
+    if a is None or b is None:
+        raise ValueError(f"snapshot {from_snap} or {to_snap} of '{table}' "
+                         "does not resolve (empty table or expired history)")
+    return row_diff(a, b, key_cols, compare_cols)
