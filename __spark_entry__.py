@@ -1891,6 +1891,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cdc_snapshot_diff"] = cdc_snapshot_diff
 
+    def domain_budget_rollup(spark, sf_dir):
+        # per-registered-domain politeness rollup: hosts spanning cc-SLDs,
+        # plain TLDs, IPv4 literals, and single labels collapse to their
+        # registrable domain (the real-world politeness/budget key)
+        from crawler_spark.operators.web import registered_domain
+
+        docs = _docs_text_double(spark, sf_dir)
+        grp = F.expr("doc_id DIV 7").cast("string")
+        variant = F.col("doc_id") % 6
+        host = (
+            F.when(variant == 0, F.concat(F.lit("shop"), grp, F.lit(".co.uk")))
+            .when(variant == 1, F.concat(F.lit("www.site"), grp, F.lit(".com")))
+            .when(variant == 2, F.concat(F.lit("a.b.site"), grp, F.lit(".com.au")))
+            .when(variant == 3, F.concat(F.lit("10.0."),
+                                         (F.col("doc_id") % 250).cast("string"),
+                                         F.lit(".1")))
+            .when(variant == 4, F.lit("localhost"))
+            .otherwise(F.concat(F.lit("cdn"),
+                                (F.col("doc_id") % 3).cast("string"),
+                                F.lit(".img.site"), grp, F.lit(".net")))
+        )
+        hosts = docs.select(host.alias("host"))
+        return (
+            hosts.groupBy(registered_domain(F.col("host")).alias("domain"))
+            .agg(F.countDistinct("host").alias("n_hosts"),
+                 F.count(F.lit(1)).alias("n_urls"))
+        )
+
+    q["domain_budget_rollup"] = domain_budget_rollup
+
     return q
 
 
@@ -3943,6 +3973,39 @@ def oracle_sql() -> dict[str, str]:
       FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
     )
     SELECT o_orderkey, change FROM j WHERE change IS NOT NULL
+    """
+
+    o["domain_budget_rollup"] = """
+    WITH hosts AS (
+      SELECT CASE doc_id % 6
+        WHEN 0 THEN 'shop' || (doc_id // 7)::varchar || '.co.uk'
+        WHEN 1 THEN 'www.site' || (doc_id // 7)::varchar || '.com'
+        WHEN 2 THEN 'a.b.site' || (doc_id // 7)::varchar || '.com.au'
+        WHEN 3 THEN '10.0.' || (doc_id % 250)::varchar || '.1'
+        WHEN 4 THEN 'localhost'
+        ELSE 'cdn' || (doc_id % 3)::varchar || '.img.site'
+             || (doc_id // 7)::varchar || '.net'
+      END AS host
+      FROM documents
+    ),
+    dom AS (
+      SELECT host,
+        CASE
+          WHEN regexp_matches(host, '^\\d{1,3}(\\.\\d{1,3}){3}$')
+            OR len(string_split(host, '.')) <= 2 THEN host
+          WHEN len(string_split(host, '.')) >= 3
+            AND array_to_string(string_split(host, '.')[-2:], '.') IN
+              ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au','org.au',
+               'co.jp','ne.jp','or.jp','com.br','com.cn','com.mx','co.in',
+               'co.kr','com.tr','com.ar')
+          THEN array_to_string(string_split(host, '.')[-3:], '.')
+          ELSE array_to_string(string_split(host, '.')[-2:], '.')
+        END AS domain
+      FROM hosts
+    )
+    SELECT domain, count(DISTINCT host)::bigint AS n_hosts,
+           count(*)::bigint AS n_urls
+    FROM dom GROUP BY domain
     """
 
     return o

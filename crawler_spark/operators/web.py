@@ -76,6 +76,43 @@ def normalize_url(url: Column) -> Column:
     )
 
 
+# Second-level public suffixes under which registrations happen one label
+# deeper (public-suffix-list-lite: the high-traffic cc-SLDs, frozen so the
+# rule is deterministic and mirrorable in the DuckDB oracle).
+SECOND_LEVEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "com.mx", "co.in",
+    "co.kr", "com.tr", "com.ar",
+)
+
+
+def registered_domain(host: Column) -> Column:
+    """Registrable-domain extraction as one codegen expression — the key
+    real crawlers enforce politeness budgets on (per-*registered-domain*,
+    not per-host: ``img1.shop.example.co.uk`` and ``www.shop.example.co.uk``
+    share one server farm and one webmaster).  The reference pins a single
+    host (``CrawlerPet911/Utils.fs:13-14``) so never needs this; at
+    10^10-URL frontier scale it is the politeness/budget partition key.
+
+    Rule (public-suffix-lite, deterministic): IPv4 literals and hosts with
+    ≤2 labels map to themselves; hosts whose last two labels are a known
+    second-level suffix (``SECOND_LEVEL_SUFFIXES``) keep three labels;
+    everything else keeps two.  Pure split/slice/when — no UDF, no shuffle;
+    grouping on the result is one hash exchange on a low-cardinality key.
+    """
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.array_join(F.slice(labels, -2, 2), ".")
+    last3 = F.array_join(F.slice(labels, -3, 3), ".")
+    is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    sld = F.array(*[F.lit(s) for s in SECOND_LEVEL_SUFFIXES])
+    return (
+        F.when(is_ip | (n <= 2), host)
+        .when((n >= 3) & F.array_contains(sld, last2), last3)
+        .otherwise(last2)
+    )
+
+
 def html_visible_text(html: Column) -> Column:
     """Visible text of an HTML document as a chain of native regexp_replace.
 

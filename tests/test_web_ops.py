@@ -500,3 +500,38 @@ def test_url_alias_clusters_plan_no_window_no_python(spark):
     )
     plan = url_alias_clusters(pages)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "Window" not in plan
+
+
+def test_registered_domain_rules(spark):
+    from crawler_spark.operators.web import registered_domain
+
+    cases = [
+        ("img1.shop.example.co.uk", "example.co.uk"),
+        ("www.shop.example.co.uk", "example.co.uk"),
+        ("www.example.com", "example.com"),
+        ("example.com", "example.com"),
+        ("a.b.c.d.site.net", "site.net"),
+        ("x.com.au", "x.com.au"),        # 3 labels ending in a cc-SLD
+        ("com.au", "com.au"),            # bare suffix: <=2 labels -> itself
+        ("10.0.17.1", "10.0.17.1"),      # IPv4 literal untouched
+        ("localhost", "localhost"),      # single label
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
+    got = {
+        r["host"]: r["d"]
+        for r in df.select("host", registered_domain(F.col("host")).alias("d"))
+        .collect()
+    }
+    for host, want in cases:
+        assert got[host] == want, (host, got[host], want)
+
+
+def test_registered_domain_codegen_no_python(spark):
+    from crawler_spark.operators.web import registered_domain
+
+    df = spark.createDataFrame([("a.b.co.uk",)], "host string")
+    plan = (
+        df.select(registered_domain(F.col("host")).alias("d"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan
