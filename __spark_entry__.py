@@ -1921,6 +1921,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["domain_budget_rollup"] = domain_budget_rollup
 
+    def doc_winnow_fingerprints(spark, sf_dir):
+        # MOSS winnowing: k=8-char grams, w=4 window, per-doc fingerprint
+        # set size + sorted-set digest
+        from crawler_spark.operators.dedup import winnow_fingerprints
+
+        return winnow_fingerprints(_docs_text_double(spark, sf_dir))
+
+    q["doc_winnow_fingerprints"] = doc_winnow_fingerprints
+
     return q
 
 
@@ -4006,6 +4015,40 @@ def oracle_sql() -> dict[str, str]:
     SELECT domain, count(DISTINCT host)::bigint AS n_hosts,
            count(*)::bigint AS n_urls
     FROM dom GROUP BY domain
+    """
+
+    o["doc_winnow_fingerprints"] = """
+    WITH g AS (
+      SELECT doc_id,
+             greatest(length(text) - 8 + 1, 1) AS n,
+             unnest(generate_series(1, greatest(length(text) - 8 + 1, 1)))
+               AS pos,
+             text
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, n, pos,
+             ('0x' || substr(md5(substr(text, pos, 8)), 1, 8))::bigint AS h
+      FROM g
+    ),
+    wm AS (
+      SELECT doc_id, pos, n,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM h
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= n - 4 + 1
+    ),
+    agg AS (
+      SELECT doc_id,
+             count(*)::bigint AS n_fp,
+             array_to_string(list_sort(list(fp)), ',') AS joined
+      FROM sel GROUP BY doc_id
+    )
+    SELECT doc_id, n_fp,
+           ('0x' || substr(md5(joined), 1, 8))::bigint AS fp_digest
+    FROM agg
     """
 
     return o

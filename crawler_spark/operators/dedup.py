@@ -511,3 +511,60 @@ def dup_clusters(docs: DataFrame, text_col: str = "text",
     return cc.join(sizes, "cluster_id").select(
         F.col("node").alias(id_col), "cluster_id", "cluster_size"
     )
+
+
+def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 8,
+                        w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every ``k``-char gram, slide a
+    window of ``w`` consecutive gram hashes, select the minimum of each
+    window; the distinct selected hashes are the document's fingerprint
+    set.  Guarantees any shared substring of length ≥ ``k + w - 1`` yields
+    at least one shared fingerprint, with expected density 2/(w+1) — the
+    local-sampling property plain "every i-th hash" sampling lacks.
+
+    Relational plan: pos-explode the gram starts (``sequence`` + explode),
+    ``h32`` each gram, running window-min per doc (rows between CURRENT and
+    w-1 FOLLOWING, full windows only), then one per-doc aggregate.  The
+    explode is O(len) rows/doc but slim (id, pos, h) — at 100 TB this runs
+    embarrassingly parallel after a keyed repartition, and the only shuffle
+    is the final per-id aggregate.
+
+    Returns (id_col, n_fp, fp_digest): fingerprint-set size and the ``h32``
+    of the sorted comma-joined set — a compact set identity two docs can be
+    compared on (equal digests ⇒ near-certain containment/clone).
+    """
+    d = _ensure_parallelism(docs.select(id_col, text_col), id_col)
+    n_grams = F.greatest(F.length(F.col(text_col)) - k + 1, F.lit(1))
+    g = d.select(
+        F.col(id_col),
+        n_grams.alias("__n"),
+        F.explode(F.sequence(F.lit(1), n_grams)).alias("pos"),
+        F.col(text_col),
+    ).select(
+        id_col,
+        "__n",
+        "pos",
+        h32(F.col(text_col).substr(F.col("pos"), F.lit(k))).alias("h"),
+    )
+    win = (
+        Window.partitionBy(id_col).orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    selected = (
+        g.select(
+            id_col, "pos", "__n", F.min("h").over(win).alias("fp")
+        )
+        .where(F.col("pos") <= F.col("__n") - w + 1)
+    )
+    return (
+        selected.groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("fp")).alias("fps"))
+        .select(
+            id_col,
+            F.size("fps").cast("long").alias("n_fp"),
+            h32(F.array_join(F.transform("fps", lambda x: x.cast("string")),
+                             ",")).alias("fp_digest"),
+        )
+    )

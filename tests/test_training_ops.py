@@ -390,3 +390,66 @@ def test_minhash_incremental_matches_batch_cross_pairs(docs):
     assert inc == cross
     # the re-keyed copies of existing docs must collide with their originals
     assert (100, 0) in inc and (101, 0) in inc and (102, 2) in inc
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing property: docs sharing a substring of length >= k+w-1
+    (= 11 at k=8,w=4) share >= 1 fingerprint; identical docs share all."""
+    from crawler_spark.operators.dedup import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (0, "PREFIX AAA " + shared + " SUFFIX BBB"),
+            (1, "zzz unrelated opening " + shared + " different tail qq"),
+            (2, "completely disjoint text with no overlap whatsoever!!"),
+            (3, "PREFIX AAA " + shared + " SUFFIX BBB"),  # clone of 0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in winnow_fingerprints(docs).collect()}
+    assert out[0]["fp_digest"] == out[3]["fp_digest"]       # clone: same set
+    assert out[0]["n_fp"] == out[3]["n_fp"]
+    assert out[0]["fp_digest"] != out[2]["fp_digest"]
+
+    # density: expected 2/(w+1) of grams selected; allow generous band
+    n_grams = len("PREFIX AAA " + shared + " SUFFIX BBB") - 8 + 1
+    assert 0.15 * n_grams < out[0]["n_fp"] < 0.8 * n_grams
+
+
+def test_winnow_shared_substring_shares_fp(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from crawler_spark.functions.text import h32
+    from crawler_spark.operators.dedup import winnow_fingerprints
+
+    # recover the raw fingerprint SETS (not the digest) for two docs that
+    # share an 11+-char substring, via the same operator internals
+    shared = "abcdefghijklmnop"  # 16 chars >= k+w-1
+    docs = spark.createDataFrame(
+        [(0, "xxxx " + shared + " yyyy"), (1, "qq " + shared + " rr 1234")],
+        "doc_id long, text string",
+    )
+    d = docs.select("doc_id", "text")
+    k, w = 8, 4
+    n_grams = F.greatest(F.length("text") - k + 1, F.lit(1))
+    g = d.select(
+        "doc_id", n_grams.alias("n"),
+        F.explode(F.sequence(F.lit(1), n_grams)).alias("pos"), "text",
+    ).select(
+        "doc_id", "n", "pos",
+        h32(F.col("text").substr(F.col("pos"), F.lit(k))).alias("h"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    sel = (
+        g.select("doc_id", "pos", "n", F.min("h").over(win).alias("fp"))
+        .where(F.col("pos") <= F.col("n") - w + 1)
+        .select("doc_id", "fp").distinct()
+    )
+    sets = {
+        r["doc_id"]: set(r["fps"])
+        for r in sel.groupBy("doc_id").agg(F.collect_set("fp").alias("fps"))
+        .collect()
+    }
+    assert sets[0] & sets[1], "shared >=k+w-1 substring must share a fp"
