@@ -1930,6 +1930,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_winnow_fingerprints"] = doc_winnow_fingerprints
 
+    def emb_sq8_topk(spark, sf_dir):
+        # FAISS-SQ8-style ANN: int8 scalar quantization candidate scoring
+        # (integer dot), k*4 shortlist, exact-cosine rerank
+        from crawler_spark.operators.similarity import sq8_topk
+
+        emb = _emb_double(spark, sf_dir)
+        return sq8_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
+
+    q["emb_sq8_topk"] = emb_sq8_topk
+
     return q
 
 
@@ -4049,6 +4059,52 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id, n_fp,
            ('0x' || substr(md5(joined), 1, 8))::bigint AS fp_digest
     FROM agg
+    """
+
+    _qdot = "(" + " + ".join(f"c.cq[{i}]*q.qq[{i}]" for i in range(1, 65)) + ")"
+    o["emb_sq8_topk"] = f"""
+    WITH {_EMB_CTE},
+    ex AS (
+      SELECT vec_id, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+      FROM emb
+    ),
+    stats AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM ex GROUP BY dim),
+    qt AS (
+      SELECT vec_id,
+             list(s.lo + ((CASE WHEN s.hi = s.lo THEN 0::bigint
+                       ELSE least(255, greatest(0,
+                         floor((x - s.lo) * 255.0 / (s.hi - s.lo) + 0.5)
+                       ))::bigint END) * (s.hi - s.lo)) / 255.0
+                  ORDER BY ex.dim) AS qv
+      FROM ex JOIN stats s USING (dim) GROUP BY vec_id
+    ),
+    c AS (SELECT vec_id AS neighbor_id, qv AS cq FROM qt),
+    q AS (SELECT vec_id AS query_id, qv AS qq FROM qt WHERE vec_id < 5),
+    cand AS (
+      SELECT q.query_id, c.neighbor_id, round({_qdot}, 9) AS qdot
+      FROM c CROSS JOIN q WHERE c.neighbor_id <> q.query_id
+    ),
+    shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY qdot DESC, neighbor_id ASC) AS r
+        FROM cand
+      ) WHERE r <= 20
+    ),
+    rer AS (
+      SELECT s.query_id, s.neighbor_id,
+             round({_cos_sql("qe.v", "ce.v")}, 9) AS cos9
+      FROM shortlist s
+      JOIN emb qe ON s.query_id = qe.vec_id
+      JOIN emb ce ON s.neighbor_id = ce.vec_id
+    )
+    SELECT query_id, neighbor_id, round(cos9, 6) AS cosine, rank::int AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos9 DESC, neighbor_id ASC) AS rank
+      FROM rer
+    ) WHERE rank <= 5
     """
 
     return o

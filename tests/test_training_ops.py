@@ -453,3 +453,35 @@ def test_winnow_shared_substring_shares_fp(spark):
         .collect()
     }
     assert sets[0] & sets[1], "shared >=k+w-1 substring must share a fp"
+
+
+def test_sq8_topk_recall_and_planted_neighbor(emb):
+    from crawler_spark.operators.similarity import sq8_topk
+
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx_rows = sq8_topk(emb, queries, k=5).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall          # 8-bit quantization barely loses
+    top1 = {r["query_id"]: r["neighbor_id"]
+            for r in approx_rows if r["rank"] == 1}
+    assert top1[0] == 40                  # planted near-dup survives SQ8
+    assert top1[1] == 41                  # exact dup is rank 1 for query 1
+
+
+def test_sq8_quantize_bounds_and_plan(emb, spark):
+    from crawler_spark.operators.similarity import sq8_quantize, sq8_stats
+
+    lo, hi = sq8_stats(emb)
+    assert len(lo) == len(hi) == 64
+    q = emb.select(sq8_quantize(F.col("embedding"), lo, hi).alias("q"))
+    mn, mx = q.select(
+        F.min(F.array_min("q")), F.max(F.array_max("q"))
+    ).first()
+    assert mn == 0 and mx == 255          # codebook spans the corpus range
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
