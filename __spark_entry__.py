@@ -1940,6 +1940,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_sq8_topk"] = emb_sq8_topk
 
+    def doc_cdc_chunk_dedup(spark, sf_dir):
+        # content-defined chunking: gram-hash boundaries (low 5 bits zero),
+        # cross-doc shared-chunk detection + per-doc shared-char fraction
+        from crawler_spark.operators.dedup import cdc_chunk_stats
+
+        return cdc_chunk_stats(_docs_text_double(spark, sf_dir))
+
+    q["doc_cdc_chunk_dedup"] = doc_cdc_chunk_dedup
+
     return q
 
 
@@ -4105,6 +4114,47 @@ def oracle_sql() -> dict[str, str]:
                                    ORDER BY cos9 DESC, neighbor_id ASC) AS rank
       FROM rer
     ) WHERE rank <= 5
+    """
+
+    o["doc_cdc_chunk_dedup"] = """
+    WITH g AS (
+      SELECT doc_id, length(text) AS len, text,
+             unnest(generate_series(1, greatest(length(text) - 8 + 1, 1)))
+               AS pos
+      FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, len, text, pos
+      FROM g
+      WHERE pos = 1
+         OR (('0x' || substr(md5(substr(text, pos, 8)), 1, 8))::bigint
+             & 31) = 0
+    ),
+    chunks AS (
+      SELECT doc_id, len, pos,
+             coalesce(lead(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+                      len + 1) - pos AS clen,
+             text
+      FROM starts
+    ),
+    hashed AS (
+      SELECT doc_id, len, pos, clen,
+             ('0x' || substr(md5(substr(text, pos, clen)), 1, 8))::bigint
+               AS ch
+      FROM chunks
+    ),
+    shared AS (
+      SELECT ch FROM hashed GROUP BY ch
+      HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT h.doc_id,
+           count(*)::bigint AS n_chunks,
+           sum(CASE WHEN s.ch IS NOT NULL THEN 1 ELSE 0 END)::bigint
+             AS shared_chunks,
+           round(sum(CASE WHEN s.ch IS NOT NULL THEN h.clen ELSE 0 END)
+                 / max(h.len)::double, 6) AS shared_frac
+    FROM hashed h LEFT JOIN shared s ON h.ch = s.ch
+    GROUP BY h.doc_id
     """
 
     return o

@@ -568,3 +568,81 @@ def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
                              ",")).alias("fp_digest"),
         )
     )
+
+
+def cdc_chunk_stats(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 8,
+                    mask_bits: int = 5) -> DataFrame:
+    """Content-defined chunking dedup (the rsync/FastCDC primitive):
+    chunk boundaries land where the ``k``-gram hash has its low
+    ``mask_bits`` bits zero (expected chunk ≈ 2^mask_bits chars), so an
+    insertion/deletion only re-chunks its neighborhood — unlike fixed-width
+    blocks, shared passages between documents keep identical chunk hashes.
+    The cross-document complement to :func:`winnow_fingerprints` (which
+    samples per-doc fingerprints): this finds *which spans* are shared —
+    boilerplate passages, syndicated quotes, licence blocks.
+
+    Relational plan: gram-hash explode (slim id/pos/h rows), boundary
+    filter, ``lead`` window for spans, substring-hash per chunk, then one
+    groupBy(chunk hash) over the corpus to mark chunks appearing in >1 doc
+    and a per-doc rollup.  Two shuffles total (chunk-hash agg + doc agg),
+    both on uniform hash keys; at 100 TB the chunk table is the dedup
+    ledger an Iceberg maintenance job would persist.
+
+    Returns (id_col, n_chunks, shared_chunks, shared_frac): chunk count,
+    chunks whose hash occurs in ≥2 distinct docs, and the char fraction of
+    the doc covered by shared chunks (rounded to 6).
+    """
+    d = _ensure_parallelism(docs.select(id_col, text_col), id_col)
+    text_len = F.length(F.col(text_col))
+    n_grams = F.greatest(text_len - k + 1, F.lit(1))
+    g = d.select(
+        F.col(id_col),
+        text_len.alias("__len"),
+        F.col(text_col),
+        F.explode(F.sequence(F.lit(1), n_grams)).alias("pos"),
+    )
+    h = h32(F.col(text_col).substr(F.col("pos"), F.lit(k)))
+    mask = (1 << mask_bits) - 1
+    starts = g.where(
+        (F.col("pos") == 1) | (h.bitwiseAND(F.lit(mask)) == 0)
+    )
+    nxt = F.lead("pos").over(
+        Window.partitionBy(id_col).orderBy("pos")
+    )
+    chunks = starts.select(
+        F.col(id_col),
+        "__len",
+        "pos",
+        (F.coalesce(nxt, F.col("__len") + 1) - F.col("pos")).alias("clen"),
+        F.col(text_col),
+    ).select(
+        id_col,
+        "__len",
+        "pos",
+        "clen",
+        h32(F.col(text_col).substr(F.col("pos"), F.col("clen"))).alias("ch"),
+    )
+    shared = (
+        chunks.groupBy("ch")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .where(F.col("__nd") >= 2)
+        .select("ch", F.lit(1).alias("__shared"))
+    )
+    marked = chunks.join(shared, "ch", "left")
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.coalesce(F.col("__shared"), F.lit(0)))
+            .cast("long").alias("shared_chunks"),
+            F.round(
+                F.sum(
+                    F.when(F.col("__shared").isNotNull(), F.col("clen"))
+                    .otherwise(F.lit(0))
+                ).cast("double")
+                / F.max("__len").cast("double"),
+                6,
+            ).alias("shared_frac"),
+        )
+    )

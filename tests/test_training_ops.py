@@ -485,3 +485,68 @@ def test_sq8_quantize_bounds_and_plan(emb, spark):
     assert mn == 0 and mx == 255          # codebook spans the corpus range
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_cdc_chunks_survive_insertion(spark):
+    """The content-defined property: inserting text mid-document only
+    re-chunks the edited neighborhood — chunks far from the edit keep
+    their hashes, so the two versions share most chunks.  (A fixed-width
+    blocker would shift every downstream block and share none.)"""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from crawler_spark.functions.text import h32
+
+    base = ("the quick brown fox jumps over the lazy dog while seventeen "
+            "sparrows argue about breadcrumbs near the old stone fountain "
+            "and a tired postman counts his remaining letters twice") * 2
+    edited = base[:150] + " INSERTED PHRASE " + base[150:]
+    docs = spark.createDataFrame(
+        [(0, base), (1, edited)], "doc_id long, text string"
+    )
+    k, mask = 8, 31
+    n_grams = F.greatest(F.length("text") - k + 1, F.lit(1))
+    g = docs.select(
+        "doc_id", F.length("text").alias("len"), "text",
+        F.explode(F.sequence(F.lit(1), n_grams)).alias("pos"),
+    )
+    h = h32(F.col("text").substr(F.col("pos"), F.lit(k)))
+    starts = g.where((F.col("pos") == 1) | (h.bitwiseAND(F.lit(mask)) == 0))
+    nxt = F.lead("pos").over(Window.partitionBy("doc_id").orderBy("pos"))
+    chunks = starts.select(
+        "doc_id",
+        h32(F.col("text").substr(
+            F.col("pos"),
+            F.coalesce(nxt, F.col("len") + 1) - F.col("pos"),
+        )).alias("ch"),
+    )
+    sets = {
+        r["doc_id"]: set(r["cs"])
+        for r in chunks.groupBy("doc_id")
+        .agg(F.collect_set("ch").alias("cs")).collect()
+    }
+    inter = len(sets[0] & sets[1])
+    assert inter >= 2, sets                  # chunks away from the edit match
+    assert sets[0] != sets[1]                # the edited region re-chunked
+
+
+def test_cdc_chunk_stats_shared_detection(spark):
+    from crawler_spark.operators.dedup import cdc_chunk_stats
+
+    shared_passage = ("all rights reserved contact the webmaster for "
+                      "licensing and reuse terms today ") * 3
+    docs = spark.createDataFrame(
+        [
+            (0, "unique opening words here. " + shared_passage),
+            (1, "different lead paragraph!! " + shared_passage),
+            (2, "totally unrelated text with nothing borrowed from anyone "
+                "at all, not even punctuation habits or rhythm."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in cdc_chunk_stats(docs).collect()}
+    assert out[0]["shared_chunks"] >= 1
+    assert out[1]["shared_chunks"] >= 1
+    assert out[2]["shared_chunks"] == 0
+    assert out[0]["shared_frac"] > 0.3      # the passage dominates the doc
+    assert out[2]["shared_frac"] == 0.0
