@@ -1949,6 +1949,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_cdc_chunk_dedup"] = doc_cdc_chunk_dedup
 
+    def corpus_phrase_search(spark, sf_dir):
+        # positional-postings exact phrase match: term i at start+i, one
+        # co-partitioned (doc,pos) join per extra term
+        from crawler_spark.operators.corpus import phrase_search
+
+        return phrase_search(
+            _docs_text_double(spark, sf_dir), ["row", "column", "sort"]
+        )
+
+    q["corpus_phrase_search"] = corpus_phrase_search
+
     return q
 
 
@@ -4155,6 +4166,24 @@ def oracle_sql() -> dict[str, str]:
                  / max(h.len)::double, 6) AS shared_frac
     FROM hashed h LEFT JOIN shared s ON h.ch = s.ch
     GROUP BY h.doc_id
+    """
+
+    o["corpus_phrase_search"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    p AS (
+      SELECT doc_id, unnest(toks) AS token,
+             generate_subscripts(toks, 1) AS pos
+      FROM t
+    ),
+    s1 AS (SELECT doc_id, pos FROM p WHERE token = 'row'),
+    s2 AS (SELECT doc_id, pos FROM p WHERE token = 'column'),
+    s3 AS (SELECT doc_id, pos FROM p WHERE token = 'sort')
+    SELECT s1.doc_id, count(*)::bigint AS n_matches,
+           min(s1.pos)::bigint AS first_pos
+    FROM s1
+    JOIN s2 ON s1.doc_id = s2.doc_id AND s2.pos = s1.pos + 1
+    JOIN s3 ON s1.doc_id = s3.doc_id AND s3.pos = s1.pos + 2
+    GROUP BY s1.doc_id
     """
 
     return o

@@ -1412,3 +1412,44 @@ def bpe_encode(docs: DataFrame, merges: list, text_col: str = "text",
             ).alias("compression"),
         )
     )
+
+
+def phrase_search(docs: DataFrame, phrase: list, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Exact phrase search via positional postings — the positional
+    complement of :func:`inverted_index` (whose postings are document-level
+    only): tokenize once with ``posexplode``, keep only the phrase's terms
+    (predicate pushed into the explode output, so the postings that shuffle
+    are a vanishing fraction of the corpus), then one equi-join per
+    additional term on ``(doc, pos)`` — term *i* must sit at
+    ``start + i``.  All joins share the same key, so after the first
+    shuffle the rest are co-partitioned; n-term phrases cost n-1 cheap
+    joins, never a regex scan of the full text at query time.
+
+    Positions are 1-based (DuckDB ``generate_subscripts`` convention).
+    Returns (id_col, n_matches, first_pos) for documents containing the
+    phrase at least once.
+    """
+    from ..functions.text import tokens
+
+    terms = [t.lower() for t in phrase]
+    if not terms:
+        raise ValueError("phrase must have at least one term")
+    p = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(tokens(F.col(text_col))).alias("pos0", "token"),
+        )
+        .where(F.col("token").isin(list(set(terms))))
+        .select(id_col, (F.col("pos0") + 1).alias("pos"), "token")
+    )
+    starts = p.where(F.col("token") == terms[0]).select(id_col, "pos")
+    for i, t in enumerate(terms[1:], start=1):
+        nth = p.where(F.col("token") == t).select(
+            id_col, (F.col("pos") - i).alias("pos")
+        )
+        starts = starts.join(nth, [id_col, "pos"], "left_semi")
+    return starts.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("pos").cast("long").alias("first_pos"),
+    )

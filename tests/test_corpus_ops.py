@@ -687,3 +687,34 @@ def test_bpe_merge_fold_handles_runs(spark):
     assert (out[0]["sym_a"], out[0]["sym_b"]) == ("a", "a")
     # round 2: sequences are now 'aa aa' (x2 words) and 'aa' -> best 'aa aa'
     assert (out[1]["sym_a"], out[1]["sym_b"]) == ("aa", "aa")
+
+
+def test_phrase_search_positions_and_counts(spark):
+    from crawler_spark.operators.corpus import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta alpha beta gamma"),  # 2 matches
+            (1, "beta gamma alpha"),                         # wrong order
+            (2, "ALPHA  Beta   GAMMA tail"),                 # case/ws robust
+            (3, "alpha beta"),                               # incomplete
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r
+           for r in phrase_search(docs, ["alpha", "beta", "gamma"]).collect()}
+    assert set(out) == {0, 2}
+    assert out[0]["n_matches"] == 2 and out[0]["first_pos"] == 1
+    assert out[2]["n_matches"] == 1 and out[2]["first_pos"] == 1
+
+
+def test_phrase_search_repeated_term(spark):
+    from crawler_spark.operators.corpus import phrase_search
+
+    docs = spark.createDataFrame(
+        [(0, "the the end"), (1, "the end the")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_matches"]
+           for r in phrase_search(docs, ["the", "the"]).collect()}
+    assert out == {0: 1}
