@@ -1960,6 +1960,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_phrase_search"] = corpus_phrase_search
 
+    def _synth_table_html(docs):
+        did = F.col("doc_id").cast("string")
+        return docs.select(
+            "doc_id",
+            F.concat(
+                F.lit('<h1>page</h1><table class="data"><tr><th> Key </th>'
+                      '<th>Val</th></tr><tr><td>doc '),
+                did,
+                F.lit('</td><td><b>bold '),
+                F.col("source"),
+                F.lit('</b></td></tr></table><p>noise</p><table><tr><td>x'),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit("</td></tr></table>"),
+            ).alias("html"),
+        )
+
+    def page_table_extract(spark, sf_dir):
+        # WebTables harvest: nested table->tr->td regex explode, cells
+        # tag-stripped; two tables per synthesized page
+        from crawler_spark.operators.web import extract_tables
+
+        pages = _synth_table_html(_docs_text_double(spark, sf_dir))
+        return extract_tables(pages, "html", ("doc_id",))
+
+    q["page_table_extract"] = page_table_extract
+
+    def page_jsonld_extract(spark, sf_dir):
+        # schema.org JSON-LD blocks: two per page, one malformed on %10
+        # docs (must degrade to nulls, never error)
+        from crawler_spark.operators.web import extract_jsonld
+
+        docs = _docs_text_double(spark, sf_dir)
+        did = F.col("doc_id").cast("string")
+        block1 = F.when(
+            F.col("doc_id") % 10 == 0, F.lit('{"@type":"Broken",')
+        ).otherwise(
+            F.concat(
+                F.lit('{"@type":"Product","name":"item '),
+                did,
+                F.lit('","description":"'),
+                F.col("source"),
+                F.lit(' listing"}'),
+            )
+        )
+        html = F.concat(
+            F.lit('<p>x</p><script type="application/ld+json">'),
+            block1,
+            F.lit("</script><script type='application/ld+json'>"
+                  '{"@type":"Offer","name":"offer '),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit('"}</script>'),
+        )
+        pages = docs.select("doc_id", html.alias("html"))
+        return extract_jsonld(pages, "html", ("doc_id",))
+
+    q["page_jsonld_extract"] = page_jsonld_extract
+
     return q
 
 
@@ -4184,6 +4241,80 @@ def oracle_sql() -> dict[str, str]:
     JOIN s2 ON s1.doc_id = s2.doc_id AND s2.pos = s1.pos + 1
     JOIN s3 ON s1.doc_id = s3.doc_id AND s3.pos = s1.pos + 2
     GROUP BY s1.doc_id
+    """
+
+    o["page_table_extract"] = r"""
+    WITH h AS (
+      SELECT doc_id,
+             '<h1>page</h1><table class="data"><tr><th> Key </th><th>Val'
+             || '</th></tr><tr><td>doc ' || doc_id::varchar
+             || '</td><td><b>bold ' || source
+             || '</b></td></tr></table><p>noise</p><table><tr><td>x'
+             || (doc_id % 7)::varchar || '</td></tr></table>' AS html
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(html,
+               '(?si)<table\b[^>]*>(.*?)</table>', 1)) AS tbl,
+             generate_subscripts(regexp_extract_all(html,
+               '(?si)<table\b[^>]*>(.*?)</table>', 1), 1) AS table_idx
+      FROM h
+    ),
+    r AS (
+      SELECT doc_id, table_idx,
+             unnest(regexp_extract_all(tbl,
+               '(?si)<tr\b[^>]*>(.*?)</tr>', 1)) AS row,
+             generate_subscripts(regexp_extract_all(tbl,
+               '(?si)<tr\b[^>]*>(.*?)</tr>', 1), 1) AS row_idx
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id, table_idx, row_idx,
+             unnest(regexp_extract_all(row,
+               '(?si)<t[dh]\b[^>]*>(.*?)</t[dh]>', 1)) AS cell_raw,
+             generate_subscripts(regexp_extract_all(row,
+               '(?si)<t[dh]\b[^>]*>(.*?)</t[dh]>', 1), 1) AS col_idx
+      FROM r
+    )
+    SELECT doc_id, table_idx::bigint AS table_idx, row_idx::bigint AS row_idx,
+           col_idx::bigint AS col_idx,
+           trim(regexp_replace(regexp_replace(cell_raw, '(?s)<[^>]*>', ' ',
+                'g'), '\s+', ' ', 'g')) AS cell
+    FROM c
+    """
+
+    o["page_jsonld_extract"] = r"""
+    WITH h AS (
+      SELECT doc_id,
+             '<p>x</p><script type="application/ld+json">'
+             || CASE WHEN doc_id % 10 = 0 THEN '{"@type":"Broken",'
+                ELSE '{"@type":"Product","name":"item ' || doc_id::varchar
+                     || '","description":"' || source || ' listing"}' END
+             || '</script><script type=''application/ld+json''>'
+             || '{"@type":"Offer","name":"offer ' || (doc_id % 5)::varchar
+             || '"}</script>' AS html
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(html,
+               '(?si)<script[^>]*type\s*=\s*["'']application/ld\+json["'']'
+               || '[^>]*>(.*?)</script>', 1)) AS block,
+             generate_subscripts(regexp_extract_all(html,
+               '(?si)<script[^>]*type\s*=\s*["'']application/ld\+json["'']'
+               || '[^>]*>(.*?)</script>', 1), 1) AS block_idx
+      FROM h
+    )
+    SELECT doc_id, block_idx::bigint AS block_idx,
+           CASE WHEN json_valid(block)
+                THEN json_extract_string(block, '$."@type"') END AS item_type,
+           CASE WHEN json_valid(block)
+                THEN json_extract_string(block, '$.name') END AS name,
+           CASE WHEN json_valid(block)
+                THEN json_extract_string(block, '$.description') END
+             AS description
+    FROM b
     """
 
     return o

@@ -671,3 +671,101 @@ def url_alias_clusters(pages: DataFrame, url_col: str = "url",
             (F.col("url") == F.col("canonical_url")).alias("is_canonical"),
         )
     )
+
+
+TABLE_RE = r"(?si)<table\b[^>]*>(.*?)</table>"
+TR_RE = r"(?si)<tr\b[^>]*>(.*?)</tr>"
+CELL_RE = r"(?si)<t[dh]\b[^>]*>(.*?)</t[dh]>"
+
+
+def extract_tables(pages: DataFrame, html_col: str = "html",
+                   key_cols: tuple = ("url",)) -> DataFrame:
+    """WebTables-style relational harvest of HTML ``<table>`` content —
+    (page, table, row, col, cell) tuples ready for schema induction or
+    numeric fact mining (Cafarella et al., VLDB'08 scale motivation).
+
+    Three nested ``regexp_extract_all`` + ``posexplode`` layers (table →
+    tr → td/th), all codegen — each layer scans only the substring its
+    parent captured, so the full page is regex-scanned exactly once.  Cell
+    text is tag-stripped and whitespace-collapsed.  Narrow generator per
+    layer, no shuffle, no UDF; at 100 TB the pattern cost is one pass over
+    the already-in-memory html column per layer.
+
+    Indices are 1-based.  Returns (key_cols..., table_idx, row_idx,
+    col_idx, cell).
+    """
+    tables = pages.select(
+        *[F.col(c) for c in key_cols],
+        F.posexplode(
+            F.regexp_extract_all(F.col(html_col), F.lit(TABLE_RE), 1)
+        ).alias("t0", "tbl"),
+    )
+    rows = tables.select(
+        *key_cols,
+        (F.col("t0") + 1).alias("table_idx"),
+        F.posexplode(
+            F.regexp_extract_all(F.col("tbl"), F.lit(TR_RE), 1)
+        ).alias("r0", "row"),
+    )
+    cells = rows.select(
+        *key_cols,
+        "table_idx",
+        (F.col("r0") + 1).alias("row_idx"),
+        F.posexplode(
+            F.regexp_extract_all(F.col("row"), F.lit(CELL_RE), 1)
+        ).alias("c0", "cell_raw"),
+    )
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("cell_raw"), r"(?s)<[^>]*>", " "),
+            r"\s+", " ",
+        )
+    )
+    return cells.select(
+        *key_cols,
+        "table_idx",
+        "row_idx",
+        (F.col("c0") + 1).alias("col_idx"),
+        clean.alias("cell"),
+    )
+
+
+JSONLD_RE = (
+    r"(?si)<script[^>]*type\s*=\s*[\"']application/ld\+json[\"'][^>]*>"
+    r"(.*?)</script>"
+)
+
+
+def extract_jsonld(pages: DataFrame, html_col: str = "html",
+                   key_cols: tuple = ("url",),
+                   fields: tuple = ("name", "description")) -> DataFrame:
+    """schema.org JSON-LD structured-data harvest — the machine-readable
+    twin of the reference's scraped card fields (``ParserPet911.fs``
+    extracts title/species/geo from markup; modern classifieds publish the
+    same facts as ``application/ld+json`` blocks, and a listings crawler
+    should prefer them when present).
+
+    One regex pass captures the script bodies (``posexplode`` per block),
+    then native ``get_json_object`` pulls ``@type`` plus the requested
+    top-level fields — all JVM-side, no Python JSON parsing.  Malformed
+    JSON degrades to nulls, never an error (get_json_object semantics) —
+    at web scale a fraction of blocks is always broken and must not kill
+    the scan.
+
+    Returns (key_cols..., block_idx, item_type, fields...).
+    """
+    blocks = pages.select(
+        *[F.col(c) for c in key_cols],
+        F.posexplode(
+            F.regexp_extract_all(F.col(html_col), F.lit(JSONLD_RE), 1)
+        ).alias("b0", "block"),
+    )
+    return blocks.select(
+        *key_cols,
+        (F.col("b0") + 1).alias("block_idx"),
+        F.get_json_object(F.col("block"), "$['@type']").alias("item_type"),
+        *[
+            F.get_json_object(F.col("block"), f"$.{f}").alias(f)
+            for f in fields
+        ],
+    )

@@ -535,3 +535,42 @@ def test_registered_domain_codegen_no_python(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "EvalPython" not in plan
+
+
+def test_extract_tables_multiline_attrs_and_tagstrip(spark):
+    from crawler_spark.operators.web import extract_tables
+
+    html = """<TABLE border="1">
+      <tr class="head">
+        <th colspan="2"> A  Header </th>
+      </tr>
+      <tr><td><a href="/x">link text</a></td><td> v&nbsp;1 </td></tr>
+    </TABLE>
+    <p>between</p>
+    <table><tr><td>solo</td></tr></table>"""
+    pages = spark.createDataFrame([("u", html)], "url string, html string")
+    rows = extract_tables(pages).collect()
+    got = {(r["table_idx"], r["row_idx"], r["col_idx"]): r["cell"] for r in rows}
+    assert got[(1, 1, 1)] == "A Header"
+    assert got[(1, 2, 1)] == "link text"        # inner tags stripped
+    assert got[(2, 1, 1)] == "solo"
+    assert len(rows) == 4
+
+
+def test_extract_jsonld_quotes_case_and_malformed(spark):
+    from crawler_spark.operators.web import extract_jsonld
+
+    html = (
+        '<script TYPE="application/ld+json">'
+        '{"@type":"Product","name":"Rex","description":"good dog"}'
+        "</script>"
+        "<script type='application/ld+json'>{\"@type\":\"Offer\"}</script>"
+        '<script type="application/ld+json">{"@type":broken</script>'
+        '<script type="text/javascript">{"@type":"NotLD"}</script>'
+    )
+    pages = spark.createDataFrame([("u", html)], "url string, html string")
+    out = {r["block_idx"]: r for r in extract_jsonld(pages).collect()}
+    assert len(out) == 3                        # plain JS block not captured
+    assert out[1]["item_type"] == "Product" and out[1]["name"] == "Rex"
+    assert out[2]["item_type"] == "Offer" and out[2]["name"] is None
+    assert out[3]["item_type"] is None          # malformed -> nulls, no error
