@@ -2017,6 +2017,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["page_jsonld_extract"] = page_jsonld_extract
 
+    def http_cache_policy(spark, sf_dir):
+        # RFC 9111-lite revisit decision per cached page: no-store/no-cache
+        # beat max-age freshness beat validators; 'now' pinned
+        from crawler_spark.operators.web import http_cache_decision
+
+        _utc(spark)
+        ev = _t(spark, sf_dir, "events")
+        eid = F.col("event_id")
+        cc = (
+            F.when(eid % 6 == 0, F.lit("max-age=86400"))
+            .when(eid % 6 == 1, F.lit("no-store"))
+            .when(eid % 6 == 2, F.lit("no-cache"))
+            .when(eid % 6 == 3, F.lit("public, max-age=3600"))
+            .when(eid % 6 == 4, F.lit(None).cast("string"))
+            .otherwise(F.lit("private, max-age=604800"))
+        )
+        etag = F.when(
+            eid % 3 == 0, F.concat(F.lit('"e'), eid.cast("string"), F.lit('"'))
+        )
+        lm = F.when(eid % 4 != 0, F.col("ts") - F.expr("INTERVAL 7 DAYS"))
+        cached = ev.select(
+            eid.alias("url_id"),
+            F.col("ts").alias("fetched_at"),
+            cc.alias("cache_control"),
+            etag.alias("etag"),
+            lm.alias("last_modified"),
+        )
+        return http_cache_decision(cached, "2024-01-20 00:00:00")
+
+    q["http_cache_policy"] = http_cache_policy
+
     return q
 
 
@@ -4315,6 +4346,50 @@ def oracle_sql() -> dict[str, str]:
                 THEN json_extract_string(block, '$.description') END
              AS description
     FROM b
+    """
+
+    o["http_cache_policy"] = """
+    WITH cached AS (
+      SELECT event_id AS url_id, ts AS fetched_at,
+             CASE event_id % 6
+               WHEN 0 THEN 'max-age=86400'
+               WHEN 1 THEN 'no-store'
+               WHEN 2 THEN 'no-cache'
+               WHEN 3 THEN 'public, max-age=3600'
+               WHEN 4 THEN NULL
+               ELSE 'private, max-age=604800' END AS cache_control,
+             CASE WHEN event_id % 3 = 0
+                  THEN '"e' || event_id::varchar || '"' END AS etag,
+             CASE WHEN event_id % 4 <> 0
+                  THEN ts - INTERVAL 7 DAY END AS last_modified
+      FROM events
+    ),
+    d AS (
+      SELECT url_id,
+             floor(epoch(TIMESTAMP '2024-01-20 00:00:00'))::bigint
+               - floor(epoch(fetched_at))::bigint AS age_sec,
+             CASE WHEN regexp_extract(coalesce(cache_control, ''),
+                       'max-age=([0-9]+)', 1) <> ''
+                  THEN regexp_extract(coalesce(cache_control, ''),
+                       'max-age=([0-9]+)', 1)::bigint END AS max_age,
+             coalesce(cache_control, '') AS cc,
+             etag IS NOT NULL AS has_etag,
+             last_modified IS NOT NULL AS has_lm
+      FROM cached
+    )
+    SELECT url_id, age_sec, max_age,
+           CASE
+             WHEN cc LIKE '%no-store%' THEN 'refetch'
+             WHEN cc LIKE '%no-cache%' THEN
+               CASE WHEN has_etag THEN 'revalidate_etag'
+                    WHEN has_lm THEN 'revalidate_lm'
+                    ELSE 'refetch' END
+             WHEN max_age IS NOT NULL AND age_sec < max_age THEN 'fresh'
+             WHEN has_etag THEN 'revalidate_etag'
+             WHEN has_lm THEN 'revalidate_lm'
+             ELSE 'refetch'
+           END AS action
+    FROM d
     """
 
     return o

@@ -769,3 +769,55 @@ def extract_jsonld(pages: DataFrame, html_col: str = "html",
             for f in fields
         ],
     )
+
+
+def http_cache_decision(df: DataFrame, now: str,
+                        id_col: str = "url_id",
+                        fetched_col: str = "fetched_at",
+                        cc_col: str = "cache_control",
+                        etag_col: str = "etag",
+                        lm_col: str = "last_modified") -> DataFrame:
+    """RFC 9111-lite revisit decisions — the conditional-request economizer
+    a recrawl scheduler runs before spending fetch budget (the reference
+    refetches unconditionally; its cache re-validation C4 only compares
+    *stored* bytes).  For each cached page decide:
+
+    * ``refetch``          — ``no-store``, or stale with no validator;
+    * ``revalidate_etag``  — stale/``no-cache`` with an ETag (If-None-Match);
+    * ``revalidate_lm``    — stale/``no-cache`` with only Last-Modified
+      (If-Modified-Since);
+    * ``fresh``            — within ``max-age`` (no request at all).
+
+    Priority: no-store > no-cache > max-age freshness > validators.  Pure
+    when/regexp codegen over the header columns; ``now`` is pinned by the
+    caller so decisions are deterministic/replayable (and a whole recrawl
+    wave shares one decision timestamp).  Returns (id_col, age_sec,
+    max_age, action).
+    """
+    age = (
+        F.unix_timestamp(F.lit(now).cast("timestamp"))
+        - F.unix_timestamp(F.col(fetched_col))
+    ).cast("long")
+    max_age_s = F.regexp_extract(F.coalesce(F.col(cc_col), F.lit("")),
+                                 r"max-age=([0-9]+)", 1)
+    max_age = F.when(max_age_s != "", max_age_s.cast("long"))
+    has_etag = F.col(etag_col).isNotNull()
+    has_lm = F.col(lm_col).isNotNull()
+    reval = (
+        F.when(has_etag, F.lit("revalidate_etag"))
+        .when(has_lm, F.lit("revalidate_lm"))
+        .otherwise(F.lit("refetch"))
+    )
+    cc = F.coalesce(F.col(cc_col), F.lit(""))
+    action = (
+        F.when(cc.contains("no-store"), F.lit("refetch"))
+        .when(cc.contains("no-cache"), reval)
+        .when(max_age.isNotNull() & (age < max_age), F.lit("fresh"))
+        .otherwise(reval)
+    )
+    return df.select(
+        F.col(id_col),
+        age.alias("age_sec"),
+        max_age.alias("max_age"),
+        action.alias("action"),
+    )

@@ -574,3 +574,41 @@ def test_extract_jsonld_quotes_case_and_malformed(spark):
     assert out[1]["item_type"] == "Product" and out[1]["name"] == "Rex"
     assert out[2]["item_type"] == "Offer" and out[2]["name"] is None
     assert out[3]["item_type"] is None          # malformed -> nulls, no error
+
+
+def test_http_cache_decision_rule_matrix(spark):
+    from crawler_spark.operators.web import http_cache_decision
+
+    rows = [
+        # id, fetched_at,        cc,                 etag,  last_modified
+        (1, "2024-01-19 23:00:00", "max-age=86400", None, None),  # fresh
+        (2, "2024-01-10 00:00:00", "max-age=3600", '"e"', None),  # stale+etag
+        (3, "2024-01-10 00:00:00", "max-age=3600", None,
+         "2024-01-01 00:00:00"),                        # stale+lm only
+        (4, "2024-01-10 00:00:00", "max-age=3600", None, None),   # stale bare
+        (5, "2024-01-19 23:59:00", "no-store, max-age=999999", '"e"', None),
+        (6, "2024-01-19 23:59:00", "no-cache, max-age=999999", '"e"', None),
+        (7, "2024-01-19 23:59:00", "no-cache", None, None),
+        (8, "2024-01-19 23:59:00", None, None, "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        [(i, f, cc, e, lm) for i, f, cc, e, lm in rows],
+        "url_id long, fetched_at string, cache_control string, "
+        "etag string, last_modified string",
+    ).selectExpr(
+        "url_id", "cast(fetched_at as timestamp) fetched_at",
+        "cache_control", "etag", "cast(last_modified as timestamp) "
+        "last_modified",
+    )
+    out = {r["url_id"]: r["action"]
+           for r in http_cache_decision(df, "2024-01-20 00:00:00").collect()}
+    assert out == {
+        1: "fresh",
+        2: "revalidate_etag",
+        3: "revalidate_lm",
+        4: "refetch",
+        5: "refetch",            # no-store beats everything
+        6: "revalidate_etag",    # no-cache beats max-age freshness
+        7: "refetch",            # no-cache without validators
+        8: "revalidate_lm",      # no cc at all -> validator path
+    }
