@@ -2048,6 +2048,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["http_cache_policy"] = http_cache_policy
 
+    def doc_script_fractions(spark, sf_dir):
+        # unicode-script composition per doc (gibberish/mojibake detector):
+        # latin/cyrillic/cjk/digit/space/other char fractions
+        from crawler_spark.functions.text import script_fractions
+
+        docs = _docs_text_double(spark, sf_dir)
+        return docs.select("doc_id", *script_fractions(F.col("text")))
+
+    q["doc_script_fractions"] = doc_script_fractions
+
+    def host_link_reciprocity(spark, sf_dir):
+        # link-farm signal: per-source-host out/in degree + reciprocated
+        # edge fraction over a synthetic host graph
+        from crawler_spark.operators.graph import degree_stats
+
+        docs = _docs_text_double(spark, sf_dir)
+        edges = docs.select(
+            F.col("source").alias("src"),
+            F.concat(F.lit("src"),
+                     ((F.col("doc_id") * 7) % 23 % 20).cast("string"))
+            .alias("dst"),
+        )
+        return degree_stats(edges)
+
+    q["host_link_reciprocity"] = host_link_reciprocity
+
     return q
 
 
@@ -4390,6 +4416,52 @@ def oracle_sql() -> dict[str, str]:
              ELSE 'refetch'
            END AS action
     FROM d
+    """
+
+    o["doc_script_fractions"] = """
+    SELECT doc_id,
+           length(text)::bigint AS n_chars,
+           round(len(regexp_extract_all(text, '[A-Za-z]'))
+                 / length(text)::double, 6) AS latin_frac,
+           round(len(regexp_extract_all(text, '[Ѐ-ӿ]'))
+                 / length(text)::double, 6) AS cyrillic_frac,
+           round(len(regexp_extract_all(text, '[一-鿿]'))
+                 / length(text)::double, 6) AS cjk_frac,
+           round(len(regexp_extract_all(text, '[0-9]'))
+                 / length(text)::double, 6) AS digit_frac,
+           round(len(regexp_extract_all(text, '\\s'))
+                 / length(text)::double, 6) AS space_frac,
+           round(1.0 - (len(regexp_extract_all(text, '[A-Za-z]'))
+                 + len(regexp_extract_all(text, '[Ѐ-ӿ]'))
+                 + len(regexp_extract_all(text, '[一-鿿]'))
+                 + len(regexp_extract_all(text, '[0-9]'))
+                 + len(regexp_extract_all(text, '\\s')))
+                 / length(text)::double, 6) AS other_frac
+    FROM documents
+    """
+
+    o["host_link_reciprocity"] = """
+    WITH e AS (
+      SELECT DISTINCT source AS s,
+             'src' || ((doc_id * 7) % 23 % 20)::varchar AS d
+      FROM documents
+      WHERE source <> 'src' || ((doc_id * 7) % 23 % 20)::varchar
+    ),
+    outd AS (SELECT s AS node, count(*)::bigint AS out_deg FROM e GROUP BY s),
+    ind AS (SELECT d AS node, count(*)::bigint AS in_deg FROM e GROUP BY d),
+    recip AS (
+      SELECT e.s AS node, count(*)::bigint AS n_reciprocal
+      FROM e JOIN e r ON e.s = r.d AND e.d = r.s
+      GROUP BY e.s
+    )
+    SELECT o.node, o.out_deg,
+           coalesce(i.in_deg, 0)::bigint AS in_deg,
+           coalesce(rc.n_reciprocal, 0)::bigint AS n_reciprocal,
+           round(coalesce(rc.n_reciprocal, 0) / o.out_deg::double, 6)
+             AS reciprocity
+    FROM outd o
+    LEFT JOIN ind i ON o.node = i.node
+    LEFT JOIN recip rc ON o.node = rc.node
     """
 
     return o

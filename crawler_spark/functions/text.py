@@ -238,3 +238,41 @@ def quality_score(text: Column) -> Column:
         0.25 * len_ok + 0.25 * alpha_ratio + 0.25 * stop_ratio + 0.25 * (1.0 - punct_ratio),
         6,
     )
+
+
+def script_fractions(text: Column) -> list:
+    """Unicode-script composition signals — the gibberish/encoding-damage
+    detector upstream of :func:`lang_id` (a page that is 40% Latin, 30%
+    CJK, and 20% digits is scraped navigation or mojibake, not prose).
+    Character classes are literal UTF-8 ranges (same trick as ``lang_id``)
+    so the identical pattern strings run under Java regex and RE2/DuckDB.
+
+    Returns a list of named Columns: n_chars plus latin/cyrillic/cjk/
+    digit/space/other fractions of the character count, rounded to 6.
+    """
+    n = F.length(text).cast("double")
+
+    def frac(pattern: str, name: str) -> Column:
+        cnt = F.size(F.regexp_extract_all(text, F.lit(pattern), 0))
+        return F.round(cnt.cast("double") / n, 6).alias(name)
+
+    latin = frac("[A-Za-z]", "latin_frac")
+    cyr = frac("[Ѐ-ӿ]", "cyrillic_frac")
+    cjk = frac("[一-鿿]", "cjk_frac")
+    digit = frac("[0-9]", "digit_frac")
+    space = frac(r"\s", "space_frac")
+    other = F.round(
+        F.lit(1.0)
+        - (
+            F.size(F.regexp_extract_all(text, F.lit("[A-Za-z]"), 0))
+            + F.size(F.regexp_extract_all(text, F.lit("[Ѐ-ӿ]"), 0))
+            + F.size(F.regexp_extract_all(text, F.lit("[一-鿿]"), 0))
+            + F.size(F.regexp_extract_all(text, F.lit("[0-9]"), 0))
+            + F.size(F.regexp_extract_all(text, F.lit(r"\s"), 0))
+        ).cast("double") / n,
+        6,
+    ).alias("other_frac")
+    return [
+        F.length(text).cast("long").alias("n_chars"),
+        latin, cyr, cjk, digit, space, other,
+    ]

@@ -233,3 +233,55 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
         .select("node", F.round("hub", 6).alias("hub"),
                 F.round("authority", 6).alias("authority"))
     )
+
+
+def degree_stats(edges: DataFrame, src_col: str = "src",
+                 dst_col: str = "dst") -> DataFrame:
+    """Per-node degree and link-reciprocity over a (src, dst) edge table —
+    the classic link-farm/spam-network signal (organic sites link out far
+    more than they are linked back by the same targets; farms exchange
+    links pairwise, pushing reciprocity toward 1).
+
+    Self-loops dropped and edges deduped first, then three hash-partitioned
+    aggregations: out-degree on src, in-degree on dst, and reciprocated
+    out-edges via one self-join of the deduped edge set against its own
+    reversal on the full (src,dst) key — at 100 TB each is a single
+    exchange on a node/edge key, no windows, no driver state.
+
+    Returns (node, out_deg, in_deg, n_reciprocal, reciprocity) for every
+    node with at least one out-edge; reciprocity = n_reciprocal/out_deg
+    rounded to 6.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    out_deg = e.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("out_deg")
+    )
+    in_deg = e.groupBy(F.col("d").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("in_deg")
+    )
+    rev = e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    recip = (
+        e.join(rev, ["s", "d"], "left_semi")
+        .groupBy(F.col("s").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_reciprocal"))
+    )
+    return (
+        out_deg.join(in_deg, "node", "left")
+        .join(recip, "node", "left")
+        .select(
+            "node",
+            "out_deg",
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+            F.coalesce("n_reciprocal", F.lit(0)).cast("long")
+            .alias("n_reciprocal"),
+            F.round(
+                F.coalesce("n_reciprocal", F.lit(0)).cast("double")
+                / F.col("out_deg").cast("double"),
+                6,
+            ).alias("reciprocity"),
+        )
+    )

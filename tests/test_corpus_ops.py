@@ -718,3 +718,26 @@ def test_phrase_search_repeated_term(spark):
     out = {r["doc_id"]: r["n_matches"]
            for r in phrase_search(docs, ["the", "the"]).collect()}
     assert out == {0: 1}
+
+
+def test_script_fractions_mixed_scripts(spark):
+    from pyspark.sql import functions as F
+
+    from crawler_spark.functions.text import script_fractions
+
+    docs = spark.createDataFrame(
+        [(0, "abc где 汉字 12 !"), (1, "only latin words")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r
+           for r in docs.select("doc_id",
+                                *script_fractions(F.col("text"))).collect()}
+    r0 = out[0]
+    assert r0["n_chars"] == 15
+    assert r0["latin_frac"] == round(3 / 15, 6)
+    assert r0["cyrillic_frac"] == round(3 / 15, 6)
+    assert r0["cjk_frac"] == round(2 / 15, 6)
+    assert r0["digit_frac"] == round(2 / 15, 6)
+    assert r0["space_frac"] == round(4 / 15, 6)
+    assert r0["other_frac"] == round(1 / 15, 6)      # the '!'
+    assert out[1]["other_frac"] == 0.0

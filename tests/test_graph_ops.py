@@ -170,3 +170,24 @@ def test_hits_plan_no_global_window_no_python(spark):
     ) if False else df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "Window" not in plan  # normalization is a broadcast scalar, not a window
+
+
+def test_degree_stats_reciprocity(spark):
+    from crawler_spark.operators.graph import degree_stats
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "a"),          # reciprocal pair
+            ("a", "c"), ("a", "c"),          # duplicate edge deduped
+            ("a", "a"),                      # self-loop dropped
+            ("c", "d"),
+        ],
+        "src string, dst string",
+    )
+    out = {r["node"]: r for r in degree_stats(edges).collect()}
+    assert out["a"]["out_deg"] == 2 and out["a"]["n_reciprocal"] == 1
+    assert out["a"]["reciprocity"] == 0.5
+    assert out["b"]["out_deg"] == 1 and out["b"]["reciprocity"] == 1.0
+    assert out["c"]["out_deg"] == 1 and out["c"]["in_deg"] == 1
+    assert out["c"]["n_reciprocal"] == 0
+    assert "d" not in out                    # no out-edges -> not emitted
