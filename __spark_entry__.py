@@ -2074,6 +2074,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["host_link_reciprocity"] = host_link_reciprocity
 
+    def emb_truncation_recall(spark, sf_dir):
+        # matryoshka sizing study: recall@5 of first-d-dims cosine top-k
+        # vs full 64-dim exact, d in {8,16,32}
+        from crawler_spark.operators.similarity import truncation_recall
+
+        emb = _emb_double(spark, sf_dir)
+        return truncation_recall(emb, emb.where(F.col("vec_id") < 5))
+
+    q["emb_truncation_recall"] = emb_truncation_recall
+
     return q
 
 
@@ -4463,5 +4473,40 @@ def oracle_sql() -> dict[str, str]:
     LEFT JOIN ind i ON o.node = i.node
     LEFT JOIN recip rc ON o.node = rc.node
     """
+
+    def _cos_d(a: str, b: str, d: int) -> str:
+        return (f"({_dot_sql(a, b, d)} / (sqrt({_dot_sql(a, a, d)})"
+                f" * sqrt({_dot_sql(b, b, d)})))")
+
+    _tr_blocks = []
+    for _d in (8, 16, 32, 64):
+        _tr_blocks.append(f"""
+    rk_{_d} AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos9 DESC, neighbor_id ASC) AS rank
+      FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round({_cos_d("q.v", "c.v", _d)}, 9) AS cos9
+        FROM emb c CROSS JOIN emb q
+        WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+      )
+    ),
+    top_{_d} AS (
+      SELECT {_d}::bigint AS dim, query_id, neighbor_id
+      FROM rk_{_d} WHERE rank <= 5
+    )""")
+    o["emb_truncation_recall"] = (
+        f"""
+    WITH {_EMB_CTE},{",".join(_tr_blocks)}
+    SELECT t.dim, t.query_id,
+           round(count(e.neighbor_id) / 5.0, 6) AS recall
+    FROM (SELECT * FROM top_8 UNION ALL SELECT * FROM top_16
+          UNION ALL SELECT * FROM top_32) t
+    LEFT JOIN top_64 e
+      ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id
+    GROUP BY t.dim, t.query_id
+    """
+    )
 
     return o

@@ -558,3 +558,50 @@ def sq8_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .select("query_id", "neighbor_id",
                 F.round(F.col("cos9"), 6).alias("cosine"), "rank")
     )
+
+
+def truncation_recall(corpus: DataFrame, queries: DataFrame,
+                      dims: tuple = (8, 16, 32), k: int = 5,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> DataFrame:
+    """Matryoshka-style truncation analysis: recall@k of cosine top-k over
+    only the first ``d`` dimensions versus the full-width exact top-k, per
+    query and truncation width — the sizing study run before committing a
+    100 TB corpus to a cheaper index width (half the dims = half the scan
+    bytes and half the ANN memory, IF recall holds; this measures the IF).
+
+    Pure composition of :func:`cosine_topk` over ``slice`` projections —
+    one broadcast-probe pass per width, one join against the full-width
+    reference set.  Returns (dim, query_id, recall) with recall rounded
+    to 6, one row per (width, query).
+    """
+    exact = cosine_topk(corpus, queries, k=k, vec_col=vec_col,
+                        id_col=id_col).select("query_id", "neighbor_id")
+    parts = []
+    for d in dims:
+        trunc = F.slice(F.col(vec_col), 1, d).alias(vec_col)
+        cd = corpus.select(F.col(id_col), trunc)
+        qd = queries.select(F.col(id_col), trunc)
+        top_d = cosine_topk(cd, qd, k=k, vec_col=vec_col, id_col=id_col)
+        parts.append(
+            top_d.select(
+                F.lit(d).cast("long").alias("dim"), "query_id", "neighbor_id"
+            )
+        )
+    approx = parts[0]
+    for p in parts[1:]:
+        approx = approx.unionByName(p)
+    matched = approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+    per_q = matched.groupBy("dim", "query_id").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    universe = approx.select("dim", "query_id").distinct()
+    return (
+        universe.join(per_q, ["dim", "query_id"], "left")
+        .select(
+            "dim", "query_id",
+            F.round(
+                F.coalesce(F.col("__n"), F.lit(0)).cast("double") / float(k), 6
+            ).alias("recall"),
+        )
+    )

@@ -550,3 +550,19 @@ def test_cdc_chunk_stats_shared_detection(spark):
     assert out[2]["shared_chunks"] == 0
     assert out[0]["shared_frac"] > 0.3      # the passage dominates the doc
     assert out[2]["shared_frac"] == 0.0
+
+
+def test_truncation_recall_monotone_and_full_width(emb):
+    from crawler_spark.operators.similarity import truncation_recall
+
+    queries = emb.where(F.col("vec_id") < 5)
+    out = truncation_recall(emb, queries, dims=(8, 32, 64), k=5).collect()
+    by_dim = {}
+    for r in out:
+        by_dim.setdefault(r["dim"], []).append(r["recall"])
+    assert set(by_dim) == {8, 32, 64}
+    assert all(len(v) == 5 for v in by_dim.values())  # one row per query
+    mean = {d: sum(v) / len(v) for d, v in by_dim.items()}
+    assert mean[64] == 1.0                 # full width == reference set
+    assert mean[8] <= mean[32] + 1e-9      # wider keeps (weakly) more
+    assert all(0.0 <= r <= 1.0 for v in by_dim.values() for r in v)
