@@ -2084,6 +2084,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_truncation_recall"] = emb_truncation_recall
 
+    def corpus_filter_funnel(spark, sf_dir):
+        # per-stage survivor counts of the clean-corpus pipeline (gate →
+        # line dedup → exact dedup → near dedup) — filter observability
+        from crawler_spark.operators.corpus import clean_corpus_funnel
+
+        return clean_corpus_funnel(_docs_text_double(spark, sf_dir))
+
+    q["corpus_filter_funnel"] = corpus_filter_funnel
+
     return q
 
 
@@ -4508,5 +4517,60 @@ def oracle_sql() -> dict[str, str]:
     GROUP BY t.dim, t.query_id
     """
     )
+
+    o["corpus_filter_funnel"] = f"""
+    WITH gated AS (
+      SELECT doc_id, text FROM documents
+      WHERE {_QUALITY_SQL} >= 0.65 AND ({_LANG_SQL}) = 'en'
+    ),
+    glines AS (
+      SELECT doc_id, unnest(arr) AS line, unnest(range(1, len(arr) + 1)) AS pos
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS arr FROM gated)
+    ),
+    lfreq AS (
+      SELECT line FROM (
+        SELECT line, count(*) AS df
+        FROM (SELECT DISTINCT doc_id, line FROM glines) GROUP BY line
+      ) WHERE df >= 2
+    ),
+    gkept AS (SELECT l.* FROM glines l ANTI JOIN lfreq f USING (line)),
+    cleaned AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+      FROM gkept GROUP BY doc_id
+    ),
+    keepers AS (
+      SELECT md5(text) AS ch, min(doc_id) AS doc_id
+      FROM cleaned GROUP BY md5(text)
+    ),
+    exact_kept AS (
+      SELECT c.doc_id, c.text FROM cleaned c
+      JOIN keepers k ON k.ch = md5(c.text) AND k.doc_id = c.doc_id
+    ),
+    {_minhash_sig_sql(source="exact_kept")},
+    toks AS (SELECT doc_id, unnest({_DTOKS}) AS tok FROM exact_kept),
+    sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+    common AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_common
+      FROM cand c
+      JOIN toks ta ON ta.doc_id = c.id_a
+      JOIN toks tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+      GROUP BY c.id_a, c.id_b
+    ),
+    dropped AS (
+      SELECT DISTINCT c.id_b AS doc_id
+      FROM common c
+      JOIN sizes sa ON sa.doc_id = c.id_a
+      JOIN sizes sb ON sb.doc_id = c.id_b
+      WHERE round(c.n_common::double / (sa.n + sb.n - c.n_common)::double, 6)
+            >= 0.3
+    )
+    SELECT 1::bigint AS stage_order, 'input' AS stage,
+           (SELECT count(*) FROM documents)::bigint AS n_docs
+    UNION ALL SELECT 2, 'gated', (SELECT count(*) FROM gated)
+    UNION ALL SELECT 3, 'line_cleaned', (SELECT count(*) FROM cleaned)
+    UNION ALL SELECT 4, 'exact_deduped', (SELECT count(*) FROM exact_kept)
+    UNION ALL SELECT 5, 'near_deduped',
+      (SELECT count(*) FROM exact_kept e ANTI JOIN dropped d USING (doc_id))
+    """
 
     return o

@@ -741,3 +741,30 @@ def test_script_fractions_mixed_scripts(spark):
     assert r0["space_frac"] == round(4 / 15, 6)
     assert r0["other_frac"] == round(1 / 15, 6)      # the '!'
     assert out[1]["other_frac"] == 0.0
+
+
+def test_clean_corpus_funnel_monotone_and_consistent(spark):
+    from crawler_spark.operators.corpus import clean_corpus, clean_corpus_funnel
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog near town"),
+            (1, "the quick brown fox jumps over the lazy dog near town"),
+            (2, "a completely different sentence about spark shuffles here"),
+            (3, "x"),                                   # fails quality gate
+        ],
+        "doc_id long, text string",
+    )
+    funnel = {r["stage"]: r["n_docs"]
+              for r in clean_corpus_funnel(docs, quality_min=0.3).collect()}
+    assert funnel["input"] == 4
+    # monotone non-increasing through the stages
+    order = ["input", "gated", "line_cleaned", "exact_deduped",
+             "near_deduped"]
+    vals = [funnel[s] for s in order]
+    assert vals == sorted(vals, reverse=True)
+    # final stage count equals what clean_corpus actually emits
+    assert funnel["near_deduped"] == clean_corpus(
+        docs, quality_min=0.3
+    ).count()
+    assert funnel["exact_deduped"] < funnel["gated"]    # the dup collapsed
