@@ -210,3 +210,95 @@ def test_normalize_url_idempotent_and_invariant(spark, urls):
             q = c.split("?", 1)[1]
             parts = q.split("&")
             assert parts == sorted(parts) and all(parts)
+
+
+# URL strategy: compose scheme/host-case/port/path/params/fragment variants
+# that exercise every normalize_url rule, including tracking params and
+# param-order permutations.
+_URL = st.builds(
+    lambda scheme, host, port, path, params, frag: (
+        scheme + "://" + host + port + path
+        + ("?" + "&".join(params) if params else "")
+        + frag
+    ),
+    st.sampled_from(["http", "HTTP", "https", "HTTPS"]),
+    st.sampled_from(["Ex.COM", "a.b.Example.org", "x.io"]),
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    st.sampled_from(["", "/", "/A/b", "/A/b/", "/p%2Fq"]),
+    st.lists(
+        st.sampled_from(["a=1", "b=2", "utm_source=x", "fbclid=y", "z="]),
+        max_size=4,
+    ),
+    st.sampled_from(["", "#frag", "#a#b"]),
+)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_URL, min_size=1, max_size=12))
+def test_normalize_url_idempotent(spark, urls):
+    """normalize(normalize(u)) == normalize(u) — canonicalization must be
+    a projection, or frontier identities churn between waves."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.web import normalize_url
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(normalize_url(F.col("url")).alias("n1"))
+    twice = once.select(
+        F.col("n1"), normalize_url(F.col("n1")).alias("n2")
+    ).collect()
+    for r in twice:
+        assert r["n1"] == r["n2"], (r["n1"], r["n2"])
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_URL, min_size=1, max_size=12))
+def test_normalize_url_order_and_tracking_invariance(spark, urls):
+    """Permuting query params or appending a tracking param never changes
+    the canonical identity."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.web import normalize_url
+
+    rng = random.Random(42)
+    variants = []
+    for u in urls:
+        base, q = (u.split("?", 1) + [""])[:2]
+        q = q.split("#", 1)[0]
+        frag = u[len(base) + 1 + len(q):] if "?" in u else ""
+        params = [p for p in q.split("&") if p]
+        rng.shuffle(params)
+        params.append("utm_medium=shuffle")
+        variants.append(base + "?" + "&".join(params) + frag)
+    df = spark.createDataFrame(
+        list(zip(urls, variants)), "u string, v string"
+    )
+    rows = df.select(
+        normalize_url(F.col("u")).alias("nu"),
+        normalize_url(F.col("v")).alias("nv"),
+    ).collect()
+    for r in rows:
+        assert r["nu"] == r["nv"], (r["nu"], r["nv"])
+
+
+def test_registered_domain_subdomain_invariance(spark):
+    """Prepending labels never changes the registered domain (for non-IP,
+    ≥2-label hosts)."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.web import registered_domain
+
+    hosts = ["example.com", "example.co.uk", "site.net", "x.com.au"]
+    rows = [(h, "www." + h, "a.b." + h) for h in hosts]
+    df = spark.createDataFrame(rows, "h string, w string, ab string")
+    out = df.select(
+        registered_domain(F.col("h")).alias("d0"),
+        registered_domain(F.col("w")).alias("d1"),
+        registered_domain(F.col("ab")).alias("d2"),
+    ).collect()
+    for r in out:
+        assert r["d0"] == r["d1"] == r["d2"], r
