@@ -64,6 +64,11 @@ QUERY_SLICE = (
     # round-3 web tier (codegen scan ops + pointer-doubling join rounds)
     "page_text_extract",
     "url_redirect_resolve",
+    # round-3 additions: gram-explode fingerprinting, quantized ANN,
+    # nested-regex structured extraction
+    "doc_winnow_fingerprints",
+    "emb_sq8_topk",
+    "page_table_extract",
 )
 
 
