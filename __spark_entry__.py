@@ -2093,6 +2093,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_filter_funnel"] = corpus_filter_funnel
 
+    def host_robots_coverage(spark, sf_dir):
+        # pre-wave robots budgeting report: per-host blocked fraction of
+        # the queued frontier (rules broadcast, one prefix join + rollup)
+        from crawler_spark.operators.robots import robots_coverage
+
+        docs = _docs_text_double(spark, sf_dir)
+        did = F.col("doc_id").cast("string")
+        host = F.concat(F.lit("h"), (F.col("doc_id") % 10).cast("string"))
+        path = (
+            F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("/private/p"), did))
+            .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("/a/"), did))
+            .when(F.col("doc_id") % 5 == 2, F.lit("/b"))
+            .when(F.col("doc_id") % 5 == 3, F.lit(""))
+            .otherwise(F.concat(F.lit("/b/c/"), did))
+        )
+        frontier = docs.select(
+            host.alias("host"),
+            F.concat(F.lit("https://"), host, path).alias("url"),
+        )
+        hosts = spark.range(0, 10).select(
+            F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+            F.col("id").alias("hid"),
+        )
+        rules = hosts.select("host", F.lit("/private").alias("disallow_prefix")).unionByName(
+            hosts.where(F.col("hid") % 2 == 0)
+            .select("host", F.lit("/b").alias("disallow_prefix"))
+        )
+        return robots_coverage(frontier, rules)
+
+    q["host_robots_coverage"] = host_robots_coverage
+
+    def url_depth_histogram(spark, sf_dir):
+        # frontier-shaping signal: path-depth distribution per host
+        docs = _docs_text_double(spark, sf_dir)
+        did = F.col("doc_id").cast("string")
+        host = F.concat(F.lit("h"), (F.col("doc_id") % 10).cast("string"))
+        path = (
+            F.when(F.col("doc_id") % 4 == 0, F.lit("/"))
+            .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("/a/"), did))
+            .when(F.col("doc_id") % 4 == 2,
+                  F.concat(F.lit("/a/b/c/"), did, F.lit("/")))
+            .otherwise(F.concat(F.lit("/x"), did))
+        )
+        urls = docs.select(host.alias("host"), path.alias("path"))
+        # depth = number of non-empty path segments
+        depth = F.size(
+            F.filter(F.split(F.col("path"), "/"), lambda s: s != "")
+        ).cast("long")
+        return urls.groupBy("host", depth.alias("depth")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls")
+        )
+
+    q["url_depth_histogram"] = url_depth_histogram
+
     return q
 
 
@@ -4571,6 +4625,69 @@ def oracle_sql() -> dict[str, str]:
     UNION ALL SELECT 4, 'exact_deduped', (SELECT count(*) FROM exact_kept)
     UNION ALL SELECT 5, 'near_deduped',
       (SELECT count(*) FROM exact_kept e ANTI JOIN dropped d USING (doc_id))
+    """
+
+    o["host_robots_coverage"] = """
+    WITH f AS (
+      SELECT 'h' || (doc_id % 10)::varchar AS host,
+             'https://h' || (doc_id % 10)::varchar ||
+             CASE doc_id % 5
+               WHEN 0 THEN '/private/p' || doc_id::varchar
+               WHEN 1 THEN '/a/' || doc_id::varchar
+               WHEN 2 THEN '/b'
+               WHEN 3 THEN ''
+               ELSE '/b/c/' || doc_id::varchar
+             END AS url
+      FROM documents
+    ),
+    hosts AS (
+      SELECT 'h' || i::varchar AS host, i AS hid
+      FROM generate_series(0, 9) AS t(i)
+    ),
+    rules AS (
+      SELECT host, '/private' AS disallow_prefix FROM hosts
+      UNION ALL
+      SELECT host, '/b' FROM hosts WHERE hid % 2 = 0
+    ),
+    wp AS (
+      SELECT host, url,
+             CASE WHEN regexp_extract(url, '^[a-z]+://[^/?#]*([^?#]*)', 1)
+                       = ''
+                  THEN '/'
+                  ELSE regexp_extract(url, '^[a-z]+://[^/?#]*([^?#]*)', 1)
+             END AS path
+      FROM f
+    ),
+    blocked AS (
+      SELECT DISTINCT w.url
+      FROM wp w JOIN rules r
+        ON w.host = r.host AND starts_with(w.path, r.disallow_prefix)
+    )
+    SELECT w.host, count(*)::bigint AS n_urls,
+           sum(CASE WHEN b.url IS NOT NULL THEN 1 ELSE 0 END)::bigint
+             AS n_blocked,
+           round(sum(CASE WHEN b.url IS NOT NULL THEN 1 ELSE 0 END)
+                 / count(*)::double, 6) AS blocked_frac
+    FROM wp w LEFT JOIN blocked b ON w.url = b.url
+    GROUP BY w.host
+    """
+
+    o["url_depth_histogram"] = """
+    WITH u AS (
+      SELECT 'h' || (doc_id % 10)::varchar AS host,
+             CASE doc_id % 4
+               WHEN 0 THEN '/'
+               WHEN 1 THEN '/a/' || doc_id::varchar
+               WHEN 2 THEN '/a/b/c/' || doc_id::varchar || '/'
+               ELSE '/x' || doc_id::varchar
+             END AS path
+      FROM documents
+    )
+    SELECT host,
+           len(list_filter(string_split(path, '/'), s -> s <> ''))::bigint
+             AS depth,
+           count(*)::bigint AS n_urls
+    FROM u GROUP BY host, depth
     """
 
     return o

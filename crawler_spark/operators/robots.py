@@ -198,3 +198,43 @@ def robots_sitemaps(robots_df: DataFrame) -> DataFrame:
     return w_rank.select(
         "host", "sitemap_url", (F.col("pos0") + 1).cast("long").alias("pos")
     )
+
+
+def robots_coverage(frontier_df: DataFrame, robots_df: DataFrame) -> DataFrame:
+    """Per-host robots *coverage report* — what fraction of the frontier a
+    host's Disallow rules would remove.  The crawl-ops twin of
+    ``politeness.apply_robots`` (which drops the rows): budgeting and
+    trap/abuse triage need the aggregate BEFORE committing a wave, e.g. a
+    host whose robots suddenly blocks 95% of queued URLs should trigger a
+    frontier rebuild, not a silent near-empty wave.
+
+    Same broadcast prefix-match join as ``apply_robots``; instead of the
+    anti-join, a left-semi marks blocked urls and one groupBy(host) rolls
+    up.  Returns (host, n_urls, n_blocked, blocked_frac) — blocked_frac
+    rounded to 6.
+    """
+    rules = F.broadcast(robots_df.select("host", "disallow_prefix"))
+    path = F.coalesce(
+        F.nullif(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("")),
+        F.lit("/"),
+    )
+    with_path = frontier_df.select("host", "url", path.alias("__path"))
+    blocked = (
+        with_path.join(rules, "host", "inner")
+        .where(F.col("__path").startswith(F.col("disallow_prefix")))
+        .select("url")
+        .distinct()
+    )
+    flagged = with_path.join(
+        blocked.select("url", F.lit(1).alias("__b")), "url", "left"
+    )
+    return flagged.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.sum(F.coalesce(F.col("__b"), F.lit(0))).cast("long")
+        .alias("n_blocked"),
+        F.round(
+            F.sum(F.coalesce(F.col("__b"), F.lit(0))).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("blocked_frac"),
+    )

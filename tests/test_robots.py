@@ -189,3 +189,33 @@ def test_robots_sitemaps_extraction(spark):
         ("h1.example", 1, "https://h1.example/root.xml"),
         ("h1.example", 2, "https://h1.example/news.xml"),
     ]
+
+
+def test_robots_coverage_counts_and_consistency(spark):
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.politeness import apply_robots
+    from crawler_spark.operators.robots import robots_coverage
+
+    frontier = spark.createDataFrame(
+        [
+            ("h1", "https://h1/private/a"),
+            ("h1", "https://h1/pub/a"),
+            ("h1", "https://h1"),                 # bare host -> path '/'
+            ("h2", "https://h2/private/x"),
+            ("h2", "https://h2/ok"),
+        ],
+        "host string, url string",
+    )
+    rules = spark.createDataFrame(
+        [("h1", "/private"), ("h2", "/")], "host string, disallow_prefix string"
+    )
+    out = {r["host"]: r for r in robots_coverage(frontier, rules).collect()}
+    assert out["h1"]["n_urls"] == 3 and out["h1"]["n_blocked"] == 1
+    assert out["h2"]["n_blocked"] == 2            # Disallow: / blocks all
+    assert out["h2"]["blocked_frac"] == 1.0
+    # the report must agree with what apply_robots actually drops
+    survivors = apply_robots(frontier, rules).count()
+    total = frontier.count()
+    blocked_total = sum(r["n_blocked"] for r in out.values())
+    assert total - blocked_total == survivors
