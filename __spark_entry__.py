@@ -157,6 +157,36 @@ def _h32(expr: str) -> str:
 _TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
 _DTOKS = f"list_distinct({_TOKS})"
 
+
+def _char_entropy_sql() -> str:
+    """DuckDB twin of operators/corpus.char_entropy: identical 27-term
+    length/replace counts, identical left-to-right summation order, nats
+    first then one /ln(2) — so the doubles agree bit-for-bit."""
+    alphabet = "abcdefghijklmnopqrstuvwxyz "
+    count_cols = ",\n             ".join(
+        f"(length(t) - length(replace(t, '{c}', '')))::double AS c{i}"
+        for i, c in enumerate(alphabet)
+    )
+    total = " + ".join(f"c{i}" for i in range(len(alphabet)))
+    terms = "\n           + ".join(
+        f"(CASE WHEN c{i} > 0 THEN -(c{i}/tsafe) * ln(c{i}/tsafe) "
+        f"ELSE 0.0 END)"
+        for i in range(len(alphabet))
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+    k AS (
+      SELECT doc_id,
+             {count_cols}
+      FROM d
+    ),
+    tt AS (SELECT *, {total} AS total FROM k),
+    ts AS (SELECT *, greatest(total, 1.0) AS tsafe FROM tt)
+    SELECT doc_id, total::bigint AS alpha_chars,
+           round(({terms}) / ln(2.0), 6) AS entropy_bits
+    FROM ts
+    """
+
 _NUM_PERM = 16
 _BANDS = 4
 _ROWS_PER_BAND = _NUM_PERM // _BANDS
@@ -2146,6 +2176,114 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["url_depth_histogram"] = url_depth_histogram
+
+    def url_template_mining(spark, sf_dir):
+        # crawler duplicate-surface map: collapse ids/hashes in paths to
+        # placeholders, roll up per (host, template)
+        from crawler_spark.operators.web import mine_url_templates
+
+        docs = _docs_text_double(spark, sf_dir)
+        did = F.col("doc_id").cast("string")
+        host = F.concat(F.lit("h"), (F.col("doc_id") % 10).cast("string"))
+        path = (
+            F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("/pet/"), did))
+            .when(F.col("doc_id") % 5 == 1,
+                  F.concat(F.lit("/pet/"), did, F.lit("/photos/"),
+                           (F.col("doc_id") % 7).cast("string")))
+            .when(F.col("doc_id") % 5 == 2,
+                  F.concat(F.lit("/session/"), F.md5(did)))
+            .when(F.col("doc_id") % 5 == 3, F.lit("/about"))
+            .otherwise(F.concat(F.lit("/cal/2026/"),
+                                (F.col("doc_id") % 12).cast("string")))
+        )
+        urls = docs.select(
+            F.concat(F.lit("https://"), host, path).alias("url")
+        )
+        return mine_url_templates(urls, min_urls=2)
+
+    q["url_template_mining"] = url_template_mining
+
+    def page_charset_detect(spark, sf_dir):
+        # WHATWG-style meta-charset prescan over synthetic page heads
+        from crawler_spark.operators.web import detect_charset
+
+        docs = _docs_text_double(spark, sf_dir)
+        did = F.col("doc_id").cast("string")
+        html = (
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.lit('<html><head><meta charset="utf-8"></head>'))
+            .when(F.col("doc_id") % 4 == 1,
+                  F.lit('<html><head><meta http-equiv="Content-Type" '
+                        'content="text/html; charset=windows-1251"></head>'))
+            .when(F.col("doc_id") % 4 == 2,
+                  F.concat(F.lit("<html><head><title>"),
+                           F.substring(F.col("text"), 1, 40),
+                           F.lit("</title></head>")))
+            .otherwise(F.lit("<html><head><meta charset=ISO-8859-1></head>"))
+        )
+        pages = docs.select(
+            F.concat(F.lit("https://h"), (F.col("doc_id") % 10).cast("string"),
+                     F.lit("/p/"), did).alias("url"),
+            html.alias("html"),
+        )
+        return detect_charset(pages)
+
+    q["page_charset_detect"] = page_charset_detect
+
+    def frontier_shard_plan(spark, sf_dir):
+        # consistent host->fetcher-shard assignment + pre-flight skew
+        # report over a deliberately hot-host-skewed frontier
+        from crawler_spark.operators.web import plan_frontier_shards
+
+        docs = _docs_text_double(spark, sf_dir)
+        host = (
+            F.when(F.col("doc_id") % 4 < 2, F.lit("hot.example"))
+            .otherwise(F.concat(F.lit("h"),
+                                (F.col("doc_id") % 50).cast("string")))
+        )
+        frontier = docs.select(
+            host.alias("host"),
+            F.concat(F.lit("https://"), host, F.lit("/u/"),
+                     F.col("doc_id").cast("string")).alias("url"),
+        )
+        return plan_frontier_shards(frontier, n_shards=8)
+
+    q["frontier_shard_plan"] = frontier_shard_plan
+
+    def doc_char_entropy(spark, sf_dir):
+        # Shannon char entropy per doc over a fixed 27-char alphabet:
+        # 27 codegen length/replace counts, zero shuffle, zero Python
+        from crawler_spark.operators.corpus import char_entropy
+
+        return char_entropy(_docs_text_double(spark, sf_dir))
+
+    q["doc_char_entropy"] = doc_char_entropy
+
+    def corpus_shard_skew(spark, sf_dir):
+        # pre-flight skew report over the shard packing: per-shard doc and
+        # token rollup with load relative to the balanced mean
+        from crawler_spark.operators.corpus import shard_skew_stats
+
+        docs = _docs_text_double(spark, sf_dir).select(
+            "doc_id", token_count(F.col("text")).alias("n_tokens")
+        )
+        assignment = pack_token_shards(docs, target_tokens=2_000, n_buckets=8)
+        return shard_skew_stats(assignment, docs)
+
+    q["corpus_shard_skew"] = corpus_shard_skew
+
+    def doc_containment_pairs(spark, sf_dir):
+        # asymmetric containment verify (near-superset detection) over the
+        # same LSH candidates the Jaccard verifier consumes
+        from crawler_spark.operators.dedup import containment_pairs
+
+        docs = _docs_text_double(spark, sf_dir)
+        cand = minhash_lsh_candidates(
+            docs, num_perm=_NUM_PERM, bands=_BANDS, shingle_k=_SHINGLE_K
+        )
+        return containment_pairs(docs, cand, threshold=0.4)
+
+    q["doc_containment_pairs"] = doc_containment_pairs
 
     return q
 
@@ -4688,6 +4826,134 @@ def oracle_sql() -> dict[str, str]:
              AS depth,
            count(*)::bigint AS n_urls
     FROM u GROUP BY host, depth
+    """
+
+    o["url_template_mining"] = """
+    WITH u AS (
+      SELECT 'https://h' || (doc_id % 10)::varchar ||
+             CASE doc_id % 5
+               WHEN 0 THEN '/pet/' || doc_id::varchar
+               WHEN 1 THEN '/pet/' || doc_id::varchar || '/photos/'
+                           || (doc_id % 7)::varchar
+               WHEN 2 THEN '/session/' || md5(doc_id::varchar)
+               WHEN 3 THEN '/about'
+               ELSE '/cal/2026/' || (doc_id % 12)::varchar
+             END AS url
+      FROM documents
+    ),
+    t AS (
+      SELECT regexp_extract(url,
+               '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)', 2) AS host,
+             CASE WHEN regexp_extract(url,
+                    '^([a-zA-Z][a-zA-Z0-9+.-]*)://[^/?#]*([^?#]*)', 2) = ''
+                  THEN '/'
+                  ELSE regexp_extract(url,
+                    '^([a-zA-Z][a-zA-Z0-9+.-]*)://[^/?#]*([^?#]*)', 2)
+             END AS path,
+             url
+      FROM u
+    )
+    SELECT host,
+           regexp_replace(regexp_replace(path, '[0-9a-f]{16,}', '{hex}', 'g'),
+                          '[0-9]+', '{n}', 'g') AS template,
+           count(*)::bigint AS n_urls,
+           count(DISTINCT url)::bigint AS n_distinct_urls,
+           min(url) AS sample_url
+    FROM t
+    GROUP BY host, template
+    HAVING count(*) >= 2
+    """
+
+    o["page_charset_detect"] = """
+    WITH p AS (
+      SELECT 'https://h' || (doc_id % 10)::varchar || '/p/'
+               || doc_id::varchar AS url,
+             CASE doc_id % 4
+               WHEN 0 THEN '<html><head><meta charset="utf-8"></head>'
+               WHEN 1 THEN '<html><head><meta http-equiv="Content-Type" content="text/html; charset=windows-1251"></head>'
+               WHEN 2 THEN '<html><head><title>' || substr(text, 1, 40)
+                           || '</title></head>'
+               ELSE '<html><head><meta charset=ISO-8859-1></head>'
+             END AS html
+      FROM documents
+    ),
+    d AS (
+      SELECT url,
+             regexp_extract(lower(substr(html, 1, 2048)),
+               'charset\\s*=\\s*["\\x27]?([a-z0-9][a-z0-9._-]*)', 1) AS decl
+      FROM p
+    )
+    SELECT url,
+           CASE WHEN decl <> '' THEN decl ELSE 'utf-8' END AS charset,
+           decl <> '' AS declared
+    FROM d
+    """
+
+    o["frontier_shard_plan"] = f"""
+    WITH f AS (
+      SELECT CASE WHEN doc_id % 4 < 2 THEN 'hot.example'
+                  ELSE 'h' || (doc_id % 50)::varchar END AS host
+      FROM documents
+    ),
+    s AS (SELECT {_h32("host")} % 8 AS shard, host FROM f),
+    per AS (
+      SELECT shard, count(DISTINCT host)::bigint AS n_hosts,
+             count(*)::bigint AS n_urls
+      FROM s GROUP BY shard
+    )
+    SELECT shard, n_hosts, n_urls,
+           round(n_urls * 8 / (SELECT count(*) FROM f)::double, 6) AS rel_load
+    FROM per
+    """
+
+    o["doc_char_entropy"] = _char_entropy_sql()
+
+    o["corpus_shard_skew"] = f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKCNT_SQL}::bigint AS n_tok,
+             {_h32("doc_id::varchar")} % 8 AS bucket
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, bucket, n_tok,
+             sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok
+               AS start_offset
+      FROM toks
+    ),
+    per AS (
+      SELECT bucket, floor(start_offset / 2000)::bigint AS shard_seq,
+             count(*)::bigint AS n_docs, sum(n_tok)::bigint AS shard_tokens
+      FROM packed GROUP BY bucket, floor(start_offset / 2000)
+    )
+    SELECT bucket, shard_seq, n_docs, shard_tokens,
+           round(shard_tokens /
+                 (SELECT sum(shard_tokens) / count(*) FROM per)::double, 6)
+             AS rel_load
+    FROM per
+    """
+
+    o["doc_containment_pairs"] = f"""
+    WITH {_minhash_sig_sql()},
+    toks AS (
+      SELECT doc_id, unnest({_DTOKS}) AS tok FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+    common AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_common
+      FROM cand c
+      JOIN toks ta ON ta.doc_id = c.id_a
+      JOIN toks tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT c.id_a, c.id_b,
+           round(c.n_common::double / sa.n::double, 6) AS cont_a_in_b,
+           round(c.n_common::double / sb.n::double, 6) AS cont_b_in_a
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b
+    WHERE greatest(round(c.n_common::double / sa.n::double, 6),
+                   round(c.n_common::double / sb.n::double, 6)) >= 0.4
     """
 
     return o

@@ -1512,3 +1512,91 @@ def phrase_search(docs: DataFrame, phrase: list, text_col: str = "text",
         F.count(F.lit(1)).cast("long").alias("n_matches"),
         F.min("pos").cast("long").alias("first_pos"),
     )
+
+
+# Fixed alphabet for the entropy signal: lowercase ascii letters, digits
+# collapsed later by 'other', plus space.  Kept SHORT and fixed — the
+# DuckDB oracle embeds the same list.
+ENTROPY_ALPHABET = "abcdefghijklmnopqrstuvwxyz "
+
+
+def char_entropy(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Shannon character entropy per document (gibberish / spam signal).
+
+    Low-entropy text (``aaaa…``, keyword-stuffed repeats) and very
+    high-entropy text (base64 blobs, minified JS that survived extraction)
+    are both poison for LM training; entropy over a fixed 27-char alphabet
+    (lowercased a-z + space) separates them from prose, complementing the
+    Gopher word/line ratios (:func:`gopher_quality_flags`) which cannot
+    see sub-word structure.
+
+    Relational trick: instead of exploding characters (27× row blow-up +
+    shuffle), each alphabet char's count is ``length(t) -
+    length(replace(t, c))`` — 27 fixed codegen expressions evaluated in
+    the scan stage, zero shuffle, zero Python.  Entropy sums only over the
+    alphabet (out-of-alphabet chars are ignored, so the measure is
+    encoding-stable).
+
+    Returns (id_col, alpha_chars, entropy_bits) with entropy rounded to
+    6 d.p. for engine-stable comparison.
+    """
+    t = F.lower(F.col(text_col))
+    counts = [
+        (F.length(t) - F.length(F.replace(t, F.lit(c)))).cast("double")
+        for c in ENTROPY_ALPHABET
+    ]
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
+    total_safe = F.greatest(total, F.lit(1.0))
+    # nats first, one /ln(2) at the end: ln is the libm path already
+    # verified bit-identical between Spark and the DuckDB oracle
+    ent = None
+    for c in counts:
+        p = c / total_safe
+        term = F.when(c > 0, -p * F.log(p)).otherwise(F.lit(0.0))
+        ent = term if ent is None else ent + term
+    return docs.select(
+        F.col(id_col),
+        total.cast("long").alias("alpha_chars"),
+        F.round(ent / F.log(F.lit(2.0)), 6).alias("entropy_bits"),
+    )
+
+
+def shard_skew_stats(shards: DataFrame, tokens: DataFrame,
+                     id_col: str = "doc_id",
+                     n_tokens_col: str = "n_tokens") -> DataFrame:
+    """Skew report over a :func:`pack_token_shards` assignment.
+
+    The pre-flight check before a 100 TB shard write: joins the assignment
+    back to per-doc token counts and rolls up per (bucket, shard_seq) —
+    n_docs, shard_tokens, and ``rel_load`` (shard tokens relative to the
+    perfectly-balanced mean).  A writer bucket whose shards sit far from
+    1.0 means the bucket hash is skewed (or target_tokens is set below the
+    largest single document) and the write will straggle.
+
+    Window-free: the global mean comes from one scalar aggregate broadcast
+    back with a crossJoin, so the rollup stays one hash-partitioned
+    groupBy with map-side combine.
+
+    Returns (bucket, shard_seq, n_docs, shard_tokens, rel_load).
+    """
+    per_shard = (
+        shards.join(tokens.select(F.col(id_col), F.col(n_tokens_col)), id_col)
+        .groupBy("bucket", "shard_seq")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(n_tokens_col).cast("long").alias("shard_tokens"),
+        )
+    )
+    mean = per_shard.select(
+        (F.sum("shard_tokens") / F.count(F.lit(1))).alias("mean_tokens")
+    )
+    return per_shard.crossJoin(F.broadcast(mean)).select(
+        "bucket",
+        "shard_seq",
+        "n_docs",
+        "shard_tokens",
+        F.round(F.col("shard_tokens") / F.col("mean_tokens"), 6).alias("rel_load"),
+    )

@@ -646,3 +646,51 @@ def cdc_chunk_stats(docs: DataFrame, text_col: str = "text",
             ).alias("shared_frac"),
         )
     )
+
+
+def containment_pairs(df: DataFrame, candidates: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      threshold: float = 0.5) -> DataFrame:
+    """Asymmetric token-set *containment* verification of candidate pairs.
+
+    Jaccard (:func:`ngram_jaccard_pairs`) misses the near-superset case
+    that dominates web dedup: a page that quotes another wholesale (A ⊂ B
+    — syndicated articles, boilerplate-wrapped reposts) has low Jaccard
+    when |B| >> |A| but containment C(A,B) = |A∩B| / |A| ≈ 1.  Broder's
+    resemblance/containment split; the training-data consequence is that
+    keeping both A and B double-counts A's tokens.
+
+    Same relational skeleton as the Jaccard verifier — explode distinct
+    tokens, count the intersection via the candidate join, never an
+    all-pairs product — with both directed scores emitted so the caller
+    can tell which side is the contained one.  Candidate generation stays
+    LSH's job; this is the exact verify.
+
+    Returns (id_a, id_b, cont_a_in_b, cont_b_in_a) filtered to
+    max(cont) >= threshold, scores rounded to 6 d.p.
+    """
+    toks = _ensure_parallelism(df, id_col).select(
+        F.col(id_col), F.explode(distinct_tokens(F.col(text_col))).alias("tok")
+    )
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+
+    ta = toks.select(F.col(id_col).alias("id_a"), "tok")
+    tb = toks.select(F.col(id_col).alias("id_b"), "tok")
+    common = (
+        candidates.join(ta, "id_a")
+        .join(tb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(F.col("common") / F.col("na"), 6).alias("cont_a_in_b"),
+            F.round(F.col("common") / F.col("nb"), 6).alias("cont_b_in_a"),
+        )
+        .where(
+            F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a")) >= threshold
+        )
+    )

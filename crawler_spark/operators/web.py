@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from crawler_spark.functions.text import h32
+
 # Tracking parameters dropped during canonicalization.  Kept as a single
 # RE2-safe alternation applied to the 'key=value' fragment.
 TRACKING_PARAM_RE = "^(utm_[^=]*|fbclid|gclid|msclkid|ref)="
@@ -820,4 +822,108 @@ def http_cache_decision(df: DataFrame, now: str,
         age.alias("age_sec"),
         max_age.alias("max_age"),
         action.alias("action"),
+    )
+
+
+def mine_url_templates(df: DataFrame, url_col: str = "url",
+                       min_urls: int = 2) -> DataFrame:
+    """Mine URL path *templates* per host (crawler duplicate-surface map).
+
+    Collapses long hex runs (>=16 chars — session ids, content hashes) to
+    ``{hex}`` and digit runs to ``{n}`` in the URL path, then rolls up by
+    (host, template).  This is the classic frontier-shaping signal a
+    general crawler needs that the reference sidesteps by hard-coding one
+    URL scheme (``CrawlerPet911/Utils.fs:20-23`` builds
+    ``pet911.ru/card/{id}`` directly): templates with huge ``n_urls`` and
+    near-zero distinct content are calendar/session traps to down-weight;
+    templates like ``/pet/{n}`` are the listing surfaces to prioritize.
+
+    Pure codegen (two regexp_replace + one hash-partitioned groupBy); at
+    100 TB the rollup output is tiny (hosts × templates), so the shuffle
+    moves only partial counts (map-side combine).
+
+    Returns (host, template, n_urls, n_distinct_urls, sample_url),
+    filtered to templates with >= ``min_urls`` urls; ``sample_url`` is the
+    lexicographic min for determinism.
+    """
+    host = F.regexp_extract(F.col(url_col), _SCHEME_RE + "([^/?#]*)", 2)
+    raw_path = F.regexp_extract(F.col(url_col), _SCHEME_RE + r"[^/?#]*([^?#]*)", 2)
+    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
+    template = F.regexp_replace(
+        F.regexp_replace(path, "[0-9a-f]{16,}", "{hex}"),
+        "[0-9]+", "{n}",
+    )
+    return (
+        df.select(
+            host.alias("host"),
+            template.alias("template"),
+            F.col(url_col).alias("u"),
+        )
+        .groupBy("host", "template")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.countDistinct("u").cast("long").alias("n_distinct_urls"),
+            F.min("u").alias("sample_url"),
+        )
+        .where(F.col("n_urls") >= min_urls)
+    )
+
+
+def detect_charset(pages: DataFrame, html_col: str = "html",
+                   url_col: str = "url", sniff_bytes: int = 2048) -> DataFrame:
+    """Declared-charset sniff from the HTML head (Common-Crawl on-ramp).
+
+    Mirrors the WHATWG prescan: look at the first ``sniff_bytes`` of the
+    (lowercased) document for a ``charset=`` declaration — covers both
+    ``<meta charset="x">`` and ``<meta http-equiv="content-type"
+    content="text/html; charset=x">`` — and fall back to utf-8.  The
+    reference decodes everything as UTF-8 unconditionally
+    (``CrawlerLib/Downloader.fs:33`` ``Text.Encoding.UTF8.GetString``);
+    at web scale ~15%% of pages declare something else, and mis-decoded
+    text poisons dedup/LM scoring downstream, so the declared charset is a
+    first-class column.
+
+    Pure scan-stage codegen: one substring + one regexp per row, no
+    shuffle.  Returns (url_col, charset, declared).
+    """
+    head = F.lower(F.substring(F.col(html_col).cast("string"), 1, sniff_bytes))
+    decl = F.regexp_extract(head, r'charset\s*=\s*["\x27]?([a-z0-9][a-z0-9._-]*)', 1)
+    return pages.select(
+        F.col(url_col),
+        F.when(decl != "", decl).otherwise(F.lit("utf-8")).alias("charset"),
+        (decl != "").alias("declared"),
+    )
+
+
+def plan_frontier_shards(frontier: DataFrame, n_shards: int = 8,
+                         host_col: str = "host") -> DataFrame:
+    """Consistent host→fetcher-shard assignment with a load report.
+
+    The frontier-partitioning contract the north rule asks to be explicit:
+    every URL of a host lands on the same shard (politeness state — token
+    buckets, robots cache, connection pools — is then shard-local with no
+    cross-executor coordination), shards are assigned by the portable
+    ``h32(host) % n_shards`` so the plan is stable across runs and
+    engines.  The rollup is the pre-flight skew report: ``rel_load`` is
+    each shard's URL share relative to perfect balance, so a hot-host
+    shard (rel_load >> 1) is visible *before* the fetch wave runs and can
+    be salted (``select_wave_salted``) or split.
+
+    One hash-partitioned groupBy over (shard); map-side combine moves only
+    partial counts.  Returns (shard, n_hosts, n_urls, rel_load).
+    """
+    with_shard = frontier.select(
+        (h32(F.col(host_col)) % n_shards).alias("shard"),
+        F.col(host_col).alias("h"),
+    )
+    per_shard = with_shard.groupBy("shard").agg(
+        F.countDistinct("h").cast("long").alias("n_hosts"),
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+    )
+    total = frontier.select(F.count(F.lit(1)).cast("double").alias("total_urls"))
+    return per_shard.crossJoin(F.broadcast(total)).select(
+        "shard",
+        "n_hosts",
+        "n_urls",
+        F.round(F.col("n_urls") * n_shards / F.col("total_urls"), 6).alias("rel_load"),
     )

@@ -768,3 +768,64 @@ def test_clean_corpus_funnel_monotone_and_consistent(spark):
         docs, quality_min=0.3
     ).count()
     assert funnel["exact_deduped"] < funnel["gated"]    # the dup collapsed
+
+
+def test_char_entropy_golden_values(spark):
+    import math
+
+    from crawler_spark.operators.corpus import char_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa"),              # one symbol -> 0 bits
+            (2, "abab"),              # two equiprobable -> 1 bit
+            (3, "abcd"),              # four equiprobable -> 2 bits
+            (4, ""),                  # empty -> 0, no div-by-zero
+            (5, "AAaa!!"),            # case-folded, '!' outside alphabet
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    assert out[1]["entropy_bits"] == 0.0 and out[1]["alpha_chars"] == 4
+    assert abs(out[2]["entropy_bits"] - 1.0) < 1e-9
+    assert abs(out[3]["entropy_bits"] - 2.0) < 1e-9
+    assert out[4]["alpha_chars"] == 0 and out[4]["entropy_bits"] == 0.0
+    # 'AAaa!!' -> 4 'a' counted, '!' ignored
+    assert out[5]["alpha_chars"] == 4 and out[5]["entropy_bits"] == 0.0
+    # prose sits strictly between the degenerate extremes
+    prose = spark.createDataFrame(
+        [(9, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    e = char_entropy(prose).collect()[0]["entropy_bits"]
+    assert 2.0 < e < math.log2(27) + 1e-9
+
+
+def test_char_entropy_is_scan_stage_codegen(spark):
+    from crawler_spark.operators.corpus import char_entropy
+
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    plan = char_entropy(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_shard_skew_stats_balance_report(spark):
+    from crawler_spark.operators.corpus import (
+        pack_token_shards,
+        shard_skew_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, 100) for i in range(64)], "doc_id long, n_tokens long"
+    )
+    assignment = pack_token_shards(docs, target_tokens=400, n_buckets=4)
+    out = shard_skew_stats(assignment, docs).collect()
+    assert sum(r["n_docs"] for r in out) == 64
+    assert sum(r["shard_tokens"] for r in out) == 6400
+    # uniform docs: every full shard holds exactly target_tokens
+    full = [r for r in out if r["shard_tokens"] == 400]
+    assert len(full) >= len(out) - 4  # at most one ragged tail per bucket
+    # rel_load averages to 1.0 by construction
+    mean_rel = sum(r["rel_load"] for r in out) / len(out)
+    assert abs(mean_rel - 1.0) < 1e-6

@@ -566,3 +566,27 @@ def test_truncation_recall_monotone_and_full_width(emb):
     assert mean[64] == 1.0                 # full width == reference set
     assert mean[8] <= mean[32] + 1e-9      # wider keeps (weakly) more
     assert all(0.0 <= r <= 1.0 for v in by_dim.values() for r in v)
+
+
+def test_containment_detects_near_superset(spark):
+    from crawler_spark.operators.dedup import containment_pairs
+
+    quoted = "alpha beta gamma delta epsilon zeta"
+    wrapper = ("intro words here " + quoted +
+               " plus a very long tail of unrelated filler tokens "
+               "one two three four five six seven eight nine ten")
+    docs = spark.createDataFrame(
+        [(1, quoted), (2, wrapper), (3, "totally different content")],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_a long, id_b long"
+    )
+    out = {(r["id_a"], r["id_b"]): r
+           for r in containment_pairs(docs, cand, threshold=0.5).collect()}
+    # doc1 fully contained in doc2 despite low Jaccard
+    assert (1, 2) in out
+    assert out[(1, 2)]["cont_a_in_b"] == 1.0
+    assert out[(1, 2)]["cont_b_in_a"] < 0.5
+    # unrelated pair filtered out
+    assert (1, 3) not in out

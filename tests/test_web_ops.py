@@ -612,3 +612,88 @@ def test_http_cache_decision_rule_matrix(spark):
         7: "refetch",            # no-cache without validators
         8: "revalidate_lm",      # no cc at all -> validator path
     }
+
+
+def test_mine_url_templates_collapses_ids_and_hex(spark):
+    from crawler_spark.operators.web import mine_url_templates
+
+    urls = spark.createDataFrame(
+        [
+            ("https://h1/pet/123",),
+            ("https://h1/pet/456",),
+            ("https://h1/pet/456",),  # dup url
+            ("https://h1/session/0123456789abcdef0123456789abcdef",),
+            ("https://h1/session/fedcba9876543210fedcba9876543210",),
+            ("https://h1/about",),  # below min_urls -> dropped
+            ("https://h2/cal/2026/3",),
+            ("https://h2/cal/2027/11",),
+        ],
+        "url string",
+    )
+    out = {
+        (r["host"], r["template"]): r
+        for r in mine_url_templates(urls, min_urls=2).collect()
+    }
+    assert set(out) == {
+        ("h1", "/pet/{n}"),
+        ("h1", "/session/{hex}"),
+        ("h2", "/cal/{n}/{n}"),
+    }
+    pet = out[("h1", "/pet/{n}")]
+    assert pet["n_urls"] == 3
+    assert pet["n_distinct_urls"] == 2
+    assert pet["sample_url"] == "https://h1/pet/123"
+    assert out[("h1", "/session/{hex}")]["n_urls"] == 2
+
+
+def test_detect_charset_meta_variants(spark):
+    from crawler_spark.operators.web import detect_charset
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", '<html><head><meta charset="UTF-8"></head>'),
+            ("u2", "<html><head><meta http-equiv='Content-Type' "
+                   "content='text/html; charset=Windows-1251'></head>"),
+            ("u3", "<html><head><meta charset=iso-8859-1></head>"),
+            ("u4", "<html><head><title>no declaration</title></head>"),
+            ("u5", ""),
+        ],
+        "url string, html string",
+    )
+    out = {r["url"]: (r["charset"], r["declared"])
+           for r in detect_charset(pages).collect()}
+    assert out == {
+        "u1": ("utf-8", True),
+        "u2": ("windows-1251", True),
+        "u3": ("iso-8859-1", True),
+        "u4": ("utf-8", False),
+        "u5": ("utf-8", False),
+    }
+
+
+def test_detect_charset_ignores_declaration_past_sniff_window(spark):
+    from crawler_spark.operators.web import detect_charset
+
+    late = "<html>" + "x" * 3000 + '<meta charset="koi8-r">'
+    pages = spark.createDataFrame([("u1", late)], "url string, html string")
+    row = detect_charset(pages, sniff_bytes=2048).collect()[0]
+    assert (row["charset"], row["declared"]) == ("utf-8", False)
+
+
+def test_plan_frontier_shards_consistency_and_load(spark):
+    from crawler_spark.operators.web import plan_frontier_shards
+
+    frontier = spark.createDataFrame(
+        [(f"host{i % 5}", f"https://host{i % 5}/u/{i}") for i in range(100)],
+        "host string, url string",
+    )
+    out = plan_frontier_shards(frontier, n_shards=4).collect()
+    # every URL accounted for, hosts never split across shards
+    assert sum(r["n_urls"] for r in out) == 100
+    assert sum(r["n_hosts"] for r in out) == 5
+    # rel_load is each shard's share vs perfect balance: mean over all
+    # n_shards is 1.0, so present shards sum to <= n_shards
+    assert abs(sum(r["n_urls"] * 4 / 100 - r["rel_load"] for r in out)) < 1e-6
+    # deterministic: same input -> same assignment
+    again = plan_frontier_shards(frontier, n_shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
