@@ -19,13 +19,13 @@ QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 
 
-def _duck_connect(sf_dir):
+def _duck_connect(sf_dir, memory_limit="12GB"):
     con = duckdb.connect()
     # bounded budget + a spill directory: DuckDB 1.0's default (80% of
     # physical RAM, no temp dir for in-memory DBs) turns transient
     # allocation hiccups alongside the Spark JVM into hard
     # OutOfMemoryException; with a temp_directory it spills instead
-    con.execute("SET memory_limit='24GB'")
+    con.execute(f"SET memory_limit='{memory_limit}'")
     con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -60,12 +60,22 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
         res = duck.execute(ORACLES[name])
         drows = res.fetchall()
     except duckdb.OutOfMemoryException:
-        # rare transient bad_alloc co-resident with the Spark JVM — one
-        # retry on a fresh connection (same SQL, same data, so a second
-        # failure is a real finding)
-        fresh = _duck_connect(sf_dir)
-        res = fresh.execute(ORACLES[name])
-        drows = res.fetchall()
+        # rare transient bad_alloc co-resident with the Spark JVM — retry on
+        # fresh connections with SHRINKING budgets: a smaller memory_limit
+        # forces DuckDB to spill to /tmp instead of asking a pressured
+        # allocator for more (same SQL, same data, so failing every rung is
+        # a real finding)
+        res = drows = None
+        for limit in ("8GB", "2GB"):
+            fresh = _duck_connect(sf_dir, memory_limit=limit)
+            try:
+                res = fresh.execute(ORACLES[name])
+                drows = res.fetchall()
+                break
+            except duckdb.OutOfMemoryException:
+                fresh.close()
+                if limit == "2GB":
+                    raise
     dcols = [d[0] for d in res.description]
     assert sorted(sdf.columns) == sorted(dcols)
     assert len(srows) == len(drows)
