@@ -2285,6 +2285,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_containment_pairs"] = doc_containment_pairs
 
+    def doc_nb_domain(spark, sf_dir):
+        # relationally trained multinomial Naive Bayes domain router
+        # (add-one smoothing, matched-mass scoring identity, broadcast
+        # model, deterministic argmax) — the fastText-style domain
+        # labelling stage of a data-mixing pipeline
+        from crawler_spark.operators.corpus import nb_domain_classifier
+
+        return nb_domain_classifier(_docs_text_double(spark, sf_dir))
+
+    q["doc_nb_domain"] = doc_nb_domain
+
+    def doc_weighted_sample(spark, sf_dir):
+        # Efraimidis-Spirakis A-ES weighted sampling without replacement,
+        # derandomized via h32(id): scan-stage key + TakeOrdered top-k
+        from crawler_spark.operators.corpus import weighted_sample
+
+        return weighted_sample(
+            _docs_text_double(spark, sf_dir), F.col("n_chars"), 50
+        )
+
+    q["doc_weighted_sample"] = doc_weighted_sample
+
+    def doc_cluster_keep_best(spark, sf_dir):
+        # quality-aware cluster resolution: keep the highest-quality doc
+        # per verified duplicate cluster (ties -> min id), not the min-id
+        from crawler_spark.operators.dedup import (
+            dup_clusters, resolve_clusters_keep_best,
+        )
+
+        docs = _docs_text_double(spark, sf_dir)
+        clusters = dup_clusters(
+            docs, num_perm=_NUM_PERM, bands=_BANDS, shingle_k=_SHINGLE_K,
+            threshold=0.3,
+        )
+        return resolve_clusters_keep_best(docs, clusters)
+
+    q["doc_cluster_keep_best"] = doc_cluster_keep_best
+
     return q
 
 
@@ -4954,6 +4992,90 @@ def oracle_sql() -> dict[str, str]:
     JOIN sizes sb ON sb.doc_id = c.id_b
     WHERE greatest(round(c.n_common::double / sa.n::double, 6),
                    round(c.n_common::double / sb.n::double, 6)) >= 0.4
+    """
+
+    o["doc_nb_domain"] = """
+    WITH inst AS (
+      SELECT doc_id, cls, tok FROM (
+        SELECT doc_id, source AS cls,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    class_tok AS (SELECT cls, tok, count(*) AS ctk FROM inst GROUP BY cls, tok),
+    vocab AS (SELECT count(DISTINCT tok)::double AS v FROM inst),
+    class_stats AS (
+      SELECT ct.cls,
+             ln(d.ndc / (SELECT count(*)::double FROM documents)) AS prior,
+             ln(1.0 / (ct.tot + (SELECT v FROM vocab))) AS dflt,
+             ct.tot
+      FROM (SELECT cls, sum(ctk) AS tot FROM class_tok GROUP BY cls) ct
+      JOIN (SELECT source AS cls, count(*)::double AS ndc FROM documents
+            GROUP BY source) d USING (cls)
+    ),
+    model AS (
+      SELECT ct.cls, ct.tok,
+             ln((ct.ctk + 1.0) / (cs.tot + (SELECT v FROM vocab))) AS ll
+      FROM class_tok ct JOIN class_stats cs USING (cls)
+    ),
+    doc_tok AS (SELECT doc_id, tok, count(*) AS cnt FROM inst
+                GROUP BY doc_id, tok),
+    doc_tot AS (SELECT doc_id, sum(cnt) AS n_d FROM doc_tok GROUP BY doc_id),
+    matched AS (
+      SELECT dt.doc_id, m.cls, sum(dt.cnt * m.ll) AS m_sum,
+             sum(dt.cnt) AS m_cnt
+      FROM doc_tok dt JOIN model m USING (tok)
+      GROUP BY dt.doc_id, m.cls
+    ),
+    scores AS (
+      SELECT t.doc_id, c.cls,
+             round(c.prior + coalesce(ma.m_sum, 0.0)
+                   + (t.n_d - coalesce(ma.m_cnt, 0)) * c.dflt, 6) AS score
+      FROM doc_tot t CROSS JOIN class_stats c
+      LEFT JOIN matched ma ON ma.doc_id = t.doc_id AND ma.cls = c.cls
+    ),
+    best AS (SELECT doc_id, max(score) AS nb_score FROM scores
+             GROUP BY doc_id)
+    SELECT s.doc_id, min(s.cls) AS nb_class, min(b.nb_score) AS nb_score
+    FROM scores s
+    JOIN best b ON b.doc_id = s.doc_id AND s.score = b.nb_score
+    GROUP BY s.doc_id
+    """
+
+    o["doc_weighted_sample"] = """
+    SELECT doc_id,
+           greatest(n_chars::double, 1.0) AS weight,
+           round(ln((('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint
+                     + 0.5) / 4294967296.0)
+                 / greatest(n_chars::double, 1.0), 9) AS es_key
+    FROM documents
+    ORDER BY es_key DESC, doc_id
+    LIMIT 50
+    """
+
+    # keep-best cluster resolution shares the candidate->verified->labels
+    # chain with doc_dup_clusters VERBATIM (string-composed so the two
+    # oracles can never drift), then resolves per-cluster winners by
+    # (max quality, min id)
+    _dc = o["doc_dup_clusters"]
+    _labels_cte = _dc[:_dc.rindex("SELECT l.doc_id")].rstrip()
+    o["doc_cluster_keep_best"] = _labels_cte + f""",
+    quality AS (SELECT doc_id, {_QUALITY_SQL} AS quality FROM documents),
+    member AS (
+      SELECT l.doc_id, l.cluster_id, q.quality
+      FROM labels l JOIN quality q USING (doc_id)
+    ),
+    bestq AS (SELECT cluster_id, max(quality) AS best_q FROM member
+              GROUP BY cluster_id),
+    keeper AS (
+      SELECT m.cluster_id, min(m.doc_id) AS keep_id
+      FROM member m
+      JOIN bestq b ON b.cluster_id = m.cluster_id AND m.quality = b.best_q
+      GROUP BY m.cluster_id
+    )
+    SELECT m.doc_id, m.cluster_id, m.quality,
+           m.doc_id = k.keep_id AS keep
+    FROM member m JOIN keeper k USING (cluster_id)
     """
 
     return o

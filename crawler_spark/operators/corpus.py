@@ -1600,3 +1600,136 @@ def shard_skew_stats(shards: DataFrame, tokens: DataFrame,
         "shard_tokens",
         F.round(F.col("shard_tokens") / F.col("mean_tokens"), 6).alias("rel_load"),
     )
+
+
+def nb_domain_classifier(docs: DataFrame, label_col: str = "source",
+                         text_col: str = "text", id_col: str = "doc_id",
+                         round_dp: int = 6) -> DataFrame:
+    """Multinomial Naive Bayes domain classifier trained IN-ENGINE — the
+    relational analog of the fastText domain/topic routers LLM pipelines
+    (DCLM, Dolma) use to label web documents before mixing, with the
+    corpus's own ``label_col`` as supervision so no external model
+    artifact is needed.
+
+    Training is two hash-partitioned aggregates over the exploded token
+    stream: per-class doc counts (log priors) and per-(class, token)
+    counts (add-one-smoothed log likelihoods ``ln((c+1)/(tot_c+V))``).
+    The model — |V|x|C| at most, vocab-bounded — broadcasts back onto the
+    per-doc token counts, so the big token stream shuffles exactly once
+    (the (doc, token) count groupBy).  Unseen (class, token) pairs take
+    the smoothed default via the matched-mass identity:
+
+        score(d,c) = prior_c + sum_matched(cnt*ll) + (n_d - matched_d_c)*default_c
+
+    which needs only the inner join's partial sums, never a dense
+    |D|x|C|x|V| expansion.  The winner is argmax with deterministic ties
+    (max score, then min class name) resolved by a two-step max join —
+    no windows, no struct-ordering dependence, so Spark and the DuckDB
+    oracle agree exactly on the rounded scores.
+
+    Returns (id_col, nb_class, nb_score): the predicted domain and its
+    rounded joint log-probability.
+    """
+    from ..functions.text import tokens
+
+    inst = docs.select(
+        F.col(id_col), F.col(label_col).alias("cls"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).where(F.col("tok") != "")
+
+    # -- model ------------------------------------------------------------
+    n_docs = docs.count()
+    vocab_v = inst.select("tok").distinct().count()
+    class_tok = inst.groupBy("cls", "tok").agg(
+        F.count(F.lit(1)).alias("ctk")
+    )
+    class_stats = (
+        class_tok.groupBy("cls").agg(F.sum("ctk").alias("tot"))
+        .join(
+            docs.groupBy(F.col(label_col).alias("cls")).agg(
+                F.count(F.lit(1)).alias("nd")
+            ),
+            "cls",
+        )
+        .select(
+            "cls",
+            F.log(F.col("nd") / F.lit(float(n_docs))).alias("prior"),
+            F.log(F.lit(1.0) / (F.col("tot") + F.lit(float(vocab_v)))).alias(
+                "dflt"
+            ),
+            "tot",
+        )
+    )
+    model = class_tok.join(class_stats.select("cls", "tot"), "cls").select(
+        "cls", "tok",
+        F.log(
+            (F.col("ctk") + F.lit(1.0)) / (F.col("tot") + F.lit(float(vocab_v)))
+        ).alias("ll"),
+    )
+
+    # -- scoring ----------------------------------------------------------
+    doc_tok = inst.groupBy(id_col, "tok").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    doc_tot = doc_tok.groupBy(id_col).agg(F.sum("cnt").alias("n_d"))
+    matched = (
+        doc_tok.join(F.broadcast(model), "tok")
+        .groupBy(id_col, "cls")
+        .agg(
+            F.sum(F.col("cnt") * F.col("ll")).alias("m_sum"),
+            F.sum("cnt").alias("m_cnt"),
+        )
+    )
+    scores = (
+        doc_tot.crossJoin(F.broadcast(class_stats.select("cls", "prior", "dflt")))
+        .join(matched, [id_col, "cls"], "left")
+        .select(
+            F.col(id_col), "cls",
+            F.round(
+                F.col("prior")
+                + F.coalesce(F.col("m_sum"), F.lit(0.0))
+                + (F.col("n_d") - F.coalesce(F.col("m_cnt"), F.lit(0)))
+                * F.col("dflt"),
+                round_dp,
+            ).alias("score"),
+        )
+    )
+    best = scores.groupBy(id_col).agg(F.max("score").alias("nb_score"))
+    return (
+        scores.join(best, [id_col])
+        .where(F.col("score") == F.col("nb_score"))
+        .groupBy(id_col)
+        .agg(
+            F.min("cls").alias("nb_class"),
+            F.min("nb_score").alias("nb_score"),
+        )
+    )
+
+
+def weighted_sample(docs: DataFrame, weight_col, k: int,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement via exponential
+    sort keys (Efraimidis & Spirakis 2006, "A-ES"): each row gets
+    ``key = ln(u) / w`` with ``u = (h32(id)+0.5) / 2^32`` — a pure hash of
+    the row identity, so the "randomness" is reproducible across engines
+    and runs — and the k largest keys ARE a weighted sample without
+    replacement (P(first pick = i) = w_i / sum w).
+
+    This is how a 100 TB pipeline takes a quality-weighted subsample
+    without a global shuffle: the key is a scan-stage projection and the
+    top-k is one TakeOrderedAndProject (per-partition heaps + a k-row
+    reduce), the same no-global-sort plan the ANN and budget operators
+    use.  Ties (h32 collisions) break on the id for full determinism.
+
+    Returns (id_col, weight, es_key) for the k sampled rows.
+    """
+    w = F.greatest(weight_col.cast("double"), F.lit(1.0))
+    u = (h32(F.col(id_col).cast("string")) + F.lit(0.5)) / F.lit(4294967296.0)
+    key = F.round(F.log(u) / w, 9)
+    return (
+        docs.select(
+            F.col(id_col), w.alias("weight"), key.alias("es_key")
+        )
+        .orderBy(F.desc("es_key"), F.col(id_col))
+        .limit(k)
+    )

@@ -694,3 +694,42 @@ def containment_pairs(df: DataFrame, candidates: DataFrame,
             F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a")) >= threshold
         )
     )
+
+
+def resolve_clusters_keep_best(docs: DataFrame, clusters: DataFrame,
+                               text_col: str = "text",
+                               id_col: str = "doc_id") -> DataFrame:
+    """Quality-aware duplicate-cluster resolution: instead of
+    :func:`dup_clusters`' min-id canonical keeper, retain the HIGHEST
+    quality document of each verified cluster (ties → min id) — the policy
+    an LLM-corpus dedup pass actually wants, since near-dup groups often
+    mix a clean original with boilerplate-wrapped mirrors.
+
+    ``clusters`` is (id_col, cluster_id[, cluster_size]) — e.g.
+    :func:`dup_clusters` output.  Quality is the engine's native
+    ``quality_score`` rounded to 6 d.p. (the established cross-engine
+    float contract), and the winner is resolved with the deterministic
+    two-step max join (max quality per cluster, then min id among the
+    maxima) — one groupBy per step on the cluster key, no windows, so the
+    plan is a pair of hash-partitioned aggregates at any scale.
+
+    Returns (id_col, cluster_id, quality, keep): every clustered doc,
+    flagged keep/drop; exactly one keep per cluster.
+    """
+    from ..functions.text import quality_score
+
+    q = docs.select(
+        F.col(id_col), F.round(quality_score(F.col(text_col)), 6).alias("quality")
+    )
+    member = clusters.select(id_col, "cluster_id").join(q, id_col)
+    best_q = member.groupBy("cluster_id").agg(F.max("quality").alias("best_q"))
+    keeper = (
+        member.join(best_q, "cluster_id")
+        .where(F.col("quality") == F.col("best_q"))
+        .groupBy("cluster_id")
+        .agg(F.min(id_col).alias("keep_id"))
+    )
+    return member.join(keeper, "cluster_id").select(
+        id_col, "cluster_id", "quality",
+        (F.col(id_col) == F.col("keep_id")).alias("keep"),
+    )

@@ -829,3 +829,78 @@ def test_shard_skew_stats_balance_report(spark):
     # rel_load averages to 1.0 by construction
     mean_rel = sum(r["rel_load"] for r in out) / len(out)
     assert abs(mean_rel - 1.0) < 1e-6
+
+
+def test_nb_domain_classifier_separates_distinct_vocab(spark):
+    from crawler_spark.operators.corpus import nb_domain_classifier
+
+    rows = []
+    for i in range(6):
+        rows.append((i, "news", "election parliament minister policy vote"))
+    for i in range(6, 12):
+        rows.append((i, "sport", "goal match striker league football score"))
+    # a held-out-style doc whose vocab is mostly sport plus one shared word
+    rows.append((12, "news", "match score goal league"))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: r for r in nb_domain_classifier(docs).collect()}
+    assert len(out) == 13  # one row per doc
+    for i in range(6):
+        assert out[i]["nb_class"] == "news"
+    for i in range(6, 12):
+        assert out[i]["nb_class"] == "sport"
+    # pure-sport vocabulary wins regardless of the (wrong) supervision label
+    assert out[12]["nb_class"] == "sport"
+    assert all(r["nb_score"] < 0 for r in out.values())  # log-probs
+
+
+def test_nb_domain_model_join_is_broadcast(spark):
+    from crawler_spark.operators.corpus import nb_domain_classifier
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", f"tok{i} common word") for i in range(10)],
+        "doc_id long, source string, text string",
+    )
+    plan = (
+        nb_domain_classifier(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan  # model + class stats ship to tasks
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_matches_reference_keys(spark):
+    import hashlib
+    import math
+
+    from crawler_spark.operators.corpus import weighted_sample
+
+    rows = [(i, (i * 37) % 900 + 10) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = weighted_sample(docs, F.col("n_chars"), 25).collect()
+    assert len(got) == 25
+    assert len({r["doc_id"] for r in got}) == 25  # without replacement
+
+    def es_key(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        return round(math.log((h + 0.5) / 2**32) / max(float(w), 1.0), 9)
+
+    expect = sorted(
+        ((es_key(i, w), i, float(max(w, 1))) for i, w in rows),
+        key=lambda t: (-t[0], t[1]),
+    )[:25]
+    assert [(r["es_key"], r["doc_id"], r["weight"]) for r in got] == [
+        (k, i, w) for k, i, w in expect
+    ]
+
+
+def test_weighted_sample_plan_is_take_ordered(spark):
+    from crawler_spark.operators.corpus import weighted_sample
+
+    docs = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "doc_id long, n_chars long"
+    )
+    plan = (
+        weighted_sample(docs, F.col("n_chars"), 5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan  # no global sort

@@ -590,3 +590,35 @@ def test_containment_detects_near_superset(spark):
     assert out[(1, 2)]["cont_b_in_a"] < 0.5
     # unrelated pair filtered out
     assert (1, 3) not in out
+
+
+def test_resolve_clusters_keep_best_one_keeper_per_cluster(spark):
+    from crawler_spark.operators.dedup import resolve_clusters_keep_best
+
+    # cluster 0: docs 0,1,2 — doc 1 has the best quality text; cluster 10:
+    # docs 10,11 with IDENTICAL text (quality tie -> min id keeps)
+    good = ("the quick brown fox jumps over the lazy dog and then walks "
+            "home to rest for a while because it was a long day") * 3
+    rows = [
+        (0, "zzzz!!!! @@@@ ####"),
+        (1, good),
+        (2, "short"),
+        (10, good),
+        (11, good),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (10, 10), (11, 10)],
+        "doc_id long, cluster_id long",
+    )
+    out = resolve_clusters_keep_best(docs, clusters).collect()
+    assert len(out) == 5
+    keepers = {r["cluster_id"]: r["doc_id"] for r in out if r["keep"]}
+    assert keepers == {0: 1, 10: 10}
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        assert sum(m["keep"] for m in members) == 1  # exactly one keeper
+        kept = next(m for m in members if m["keep"])
+        assert kept["quality"] == max(m["quality"] for m in members)
