@@ -2323,6 +2323,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_cluster_keep_best"] = doc_cluster_keep_best
 
+    def emb_outliers(spark, sf_dir):
+        # centroid-distance z-score outlier pruning (the far-from-corpus
+        # complement of SemDeDup's too-close-to-neighbors removal); all
+        # scalars stay in-engine via broadcast crossJoins
+        from crawler_spark.operators.similarity import embedding_outliers
+
+        return embedding_outliers(_emb_double(spark, sf_dir))
+
+    q["emb_outliers"] = emb_outliers
+
     return q
 
 
@@ -5076,6 +5086,30 @@ def oracle_sql() -> dict[str, str]:
     SELECT m.doc_id, m.cluster_id, m.quality,
            m.doc_id = k.keep_id AS keep
     FROM member m JOIN keeper k USING (cluster_id)
+    """
+
+    o["emb_outliers"] = f"""
+    WITH {_EMB_CTE},
+    cent AS (
+      SELECT list(m ORDER BY pos) AS cvec FROM (
+        SELECT pos, round(avg(val), 12) AS m
+        FROM (SELECT unnest(v) AS val,
+                     unnest(range(0, len(v))) AS pos FROM emb)
+        GROUP BY pos
+      )
+    ),
+    sims AS (
+      SELECT vec_id, {_cos_sql("v", "cvec")} AS s FROM emb CROSS JOIN cent
+    ),
+    stats AS (
+      SELECT avg(s) AS mu,
+             sqrt(greatest(avg(s * s) - avg(s) * avg(s), 0.0)) AS sigma
+      FROM sims
+    )
+    SELECT vec_id, round(s, 6) AS centroid_sim,
+           round((s - mu) / sigma, 6) AS z,
+           (s - mu) / sigma <= -2.0 AS outlier
+    FROM sims CROSS JOIN stats
     """
 
     return o

@@ -605,3 +605,63 @@ def truncation_recall(corpus: DataFrame, queries: DataFrame,
             ).alias("recall"),
         )
     )
+
+
+def embedding_outliers(corpus: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       z_threshold: float = 2.0) -> DataFrame:
+    """Centroid-distance outlier pruning over an embedding column — the
+    embedding-space curation step (CLIP-score-style filtering, broken-
+    encoder detection) that complements SemDeDup: SemDeDup removes points
+    too CLOSE to each other, this removes points too FAR from everything.
+
+    Fully in-engine, zero driver-side math:
+
+    * the corpus centroid is ONE per-dimension aggregate (posexplode →
+      groupBy(pos) → avg, 12-d.p. quantized like the k-means centroids),
+      reassembled into a 1-row array and broadcast-crossJoined back;
+    * each vector's cosine to the centroid is a codegen zip_with/aggregate;
+    * mean/std of the similarity distribution are one more scalar
+      aggregate, broadcast back, with
+      ``sigma = sqrt(max(E[s^2] - E[s]^2, 0))`` written out explicitly so
+      both engines compute the identical population estimator;
+    * a vector is an outlier when its z-score ``(s - mu) / sigma`` falls
+      below ``-z_threshold`` (low similarity side — far from the corpus).
+
+    At 100 TB: two scalar-sized shuffles (d-dimension centroid, 2-double
+    stats) plus scan-stage projections — the same cost profile as a count.
+
+    Returns (id_col, centroid_sim, z, outlier) rounded to 6 d.p.
+    """
+    pos_val = corpus.select(F.posexplode(F.col(vec_col)).alias("pos", "val"))
+    centroid = (
+        pos_val.groupBy("pos")
+        .agg(F.round(F.avg("val"), 12).alias("m"))
+        .groupBy()
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                lambda x: x["m"],
+            ).alias("cvec")
+        )
+    )
+    sims = corpus.crossJoin(F.broadcast(centroid)).select(
+        F.col(id_col),
+        cosine_expr(F.col(vec_col), F.col("cvec")).alias("s"),
+    )
+    stats = sims.agg(
+        F.avg("s").alias("mu"),
+        F.sqrt(
+            F.greatest(
+                F.avg(F.col("s") * F.col("s")) - F.avg("s") * F.avg("s"),
+                F.lit(0.0),
+            )
+        ).alias("sigma"),
+    )
+    z = (F.col("s") - F.col("mu")) / F.col("sigma")
+    return sims.crossJoin(F.broadcast(stats)).select(
+        id_col,
+        F.round(F.col("s"), 6).alias("centroid_sim"),
+        F.round(z, 6).alias("z"),
+        (z <= F.lit(-z_threshold)).alias("outlier"),
+    )

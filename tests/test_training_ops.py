@@ -622,3 +622,25 @@ def test_resolve_clusters_keep_best_one_keeper_per_cluster(spark):
         assert sum(m["keep"] for m in members) == 1  # exactly one keeper
         kept = next(m for m in members if m["keep"])
         assert kept["quality"] == max(m["quality"] for m in members)
+
+
+def test_embedding_outliers_flags_far_vector(spark):
+    from crawler_spark.operators.similarity import embedding_outliers
+
+    # 20 vectors tightly clustered around +e1, one pointing the other way
+    rows = [(i, [1.0, 0.01 * (i % 5), 0.0, 0.0]) for i in range(20)]
+    rows.append((99, [-1.0, 0.0, 0.0, 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in embedding_outliers(emb).collect()}
+    assert len(out) == 21
+    assert out[99]["outlier"] is True
+    assert sum(r["outlier"] for r in out.values()) == 1
+    assert out[99]["centroid_sim"] < 0  # opposite hemisphere
+    assert all(
+        out[i]["centroid_sim"] > 0.99 for i in range(20)
+    )  # cluster sits on the centroid direction
+    # the sweep test covers scale shapes; assert broadcast here explicitly
+    plan = (
+        embedding_outliers(emb)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
