@@ -2333,6 +2333,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_outliers"] = emb_outliers
 
+    def corpus_context_pack(spark, sf_dir):
+        # sequence packing: concat-and-chunk into fixed 64-token contexts
+        # with exact split-span bookkeeping; per-bucket windows only
+        from crawler_spark.operators.corpus import pack_context_windows
+
+        docs = _docs_text_double(spark, sf_dir).select(
+            "doc_id", token_count(F.col("text")).alias("n_tokens")
+        )
+        return pack_context_windows(docs, context_len=64, n_buckets=8)
+
+    q["corpus_context_pack"] = corpus_context_pack
+
     return q
 
 
@@ -5110,6 +5122,32 @@ def oracle_sql() -> dict[str, str]:
            round((s - mu) / sigma, 6) AS z,
            (s - mu) / sigma <= -2.0 AS outlier
     FROM sims CROSS JOIN stats
+    """
+
+    o["corpus_context_pack"] = f"""
+    WITH placed AS (
+      SELECT doc_id, bucket, n_tok,
+             (sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id))::bigint
+               - n_tok AS strt
+      FROM (
+        SELECT doc_id,
+               ('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint % 8
+                 AS bucket,
+               {_TOKCNT_SQL}::bigint AS n_tok
+        FROM documents
+      ) WHERE n_tok > 0
+    ),
+    spans AS (
+      SELECT doc_id, bucket, n_tok, strt,
+             unnest(range(strt // 64, (strt + n_tok - 1) // 64 + 1)) AS ctx_id
+      FROM placed
+    )
+    SELECT doc_id, bucket, ctx_id,
+           greatest(strt, ctx_id * 64) - ctx_id * 64 AS ctx_offset,
+           greatest(strt, ctx_id * 64) - strt AS doc_offset,
+           least(strt + n_tok, (ctx_id + 1) * 64)
+             - greatest(strt, ctx_id * 64) AS span_len
+    FROM spans
     """
 
     return o

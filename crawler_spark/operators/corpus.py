@@ -1733,3 +1733,73 @@ def weighted_sample(docs: DataFrame, weight_col, k: int,
         .orderBy(F.desc("es_key"), F.col(id_col))
         .limit(k)
     )
+
+
+def pack_context_windows(docs: DataFrame, context_len: int = 2048,
+                         id_col: str = "doc_id",
+                         n_tokens_col: str = "n_tokens",
+                         n_buckets: int = 32) -> DataFrame:
+    """Sequence packing — the concat-and-chunk step that turns a document
+    stream into fixed-length training contexts with EXACT span bookkeeping
+    (which tokens of which doc land where), unlike
+    :func:`pack_token_shards` which only routes whole documents to shards.
+
+    Documents are routed to ``n_buckets`` independent packing streams by
+    ``h32(id)`` (each bucket is its own concatenation, so 1000 executors
+    pack 1000+ streams with no coordination), concatenated in
+    deterministic ``id_col`` order via a per-bucket running-total window
+    (partitioned — never global), and every document is then exploded into
+    one row per context window it covers: a doc starting at stream offset
+    ``s`` with ``n`` tokens spans contexts ``floor(s/L) ..
+    floor((s+n-1)/L)``, splitting at each boundary.  All pure int64
+    arithmetic in codegen — the oracle match is exact, no float contract
+    needed.
+
+    Returns (id_col, bucket, ctx_id, ctx_offset, doc_offset, span_len):
+    ``ctx_id`` is the window ordinal within the bucket stream;
+    ``ctx_offset``/``doc_offset`` say where the span sits in the context
+    and in the document; spans of one doc are contiguous and sum to its
+    token count, and every context except each bucket's last is exactly
+    ``context_len`` tokens of packed spans.
+    """
+    from pyspark.sql import Window
+
+    L = F.lit(context_len).cast("long")
+    bucket = (h32(F.col(id_col).cast("string")) % n_buckets).alias("bucket")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = (
+        docs.select(
+            F.col(id_col),
+            F.col(n_tokens_col).cast("long").alias("n_tok"),
+            bucket,
+        )
+        .where(F.col("n_tok") > 0)
+        .select(
+            id_col, "bucket", "n_tok",
+            (F.sum("n_tok").over(w) - F.col("n_tok")).alias("start"),
+        )
+    )
+    first_ctx = F.floor(F.col("start") / L).cast("long")
+    last_ctx = F.floor((F.col("start") + F.col("n_tok") - 1) / L).cast("long")
+    span_start = F.greatest(F.col("start"), F.col("ctx_id") * L)
+    span_end = F.least(
+        F.col("start") + F.col("n_tok"), (F.col("ctx_id") + 1) * L
+    )
+    return (
+        placed.select(
+            id_col, "bucket", "n_tok", "start",
+            F.explode(F.sequence(first_ctx, last_ctx)).alias("ctx_id"),
+        )
+        .select(
+            id_col,
+            "bucket",
+            "ctx_id",
+            (span_start - F.col("ctx_id") * L).cast("long").alias("ctx_offset"),
+            (span_start - F.col("start")).cast("long").alias("doc_offset"),
+            (span_end - span_start).cast("long").alias("span_len"),
+        )
+    )

@@ -904,3 +904,43 @@ def test_weighted_sample_plan_is_take_ordered(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan  # no global sort
+
+
+def test_pack_context_windows_exact_span_bookkeeping(spark):
+    from crawler_spark.operators.corpus import pack_context_windows
+
+    L = 16
+    rows = [(i, 3 + (i * 7) % 40) for i in range(60)] + [(99, 0)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_context_windows(docs, context_len=L, n_buckets=4).collect()
+    n_tok = dict(rows)
+
+    # zero-token doc emits nothing
+    assert all(r["doc_id"] != 99 for r in out)
+
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {i for i, n in rows if n > 0}
+    for did, spans in by_doc.items():
+        spans.sort(key=lambda r: r["doc_offset"])
+        # spans cover the doc exactly, in order, no gaps
+        assert spans[0]["doc_offset"] == 0
+        assert sum(s["span_len"] for s in spans) == n_tok[did]
+        for a, b in zip(spans, spans[1:]):
+            assert b["doc_offset"] == a["doc_offset"] + a["span_len"]
+            assert b["ctx_id"] == a["ctx_id"] + 1  # consecutive contexts
+            assert b["ctx_offset"] == 0  # continuation starts a context
+        # every span fits inside its context window
+        assert all(s["ctx_offset"] + s["span_len"] <= L for s in spans)
+
+    # every context except each bucket's last is packed exactly full
+    fill = {}
+    for r in out:
+        key = (r["bucket"], r["ctx_id"])
+        fill[key] = fill.get(key, 0) + r["span_len"]
+    for bucket in {b for b, _ in fill}:
+        ctxs = sorted(c for b, c in fill if b == bucket)
+        assert ctxs == list(range(len(ctxs)))  # dense ordinals from 0
+        for c in ctxs[:-1]:
+            assert fill[(bucket, c)] == L
