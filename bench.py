@@ -69,6 +69,10 @@ QUERY_SLICE = (
     "doc_winnow_fingerprints",
     "emb_sq8_topk",
     "page_table_extract",
+    # round-3 late additions: in-engine NB training+scoring (two token-
+    # stream aggregates + broadcast model), int64-codegen sequence packing
+    "doc_nb_domain",
+    "corpus_context_pack",
 )
 
 

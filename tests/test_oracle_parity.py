@@ -19,24 +19,54 @@ QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 
 
-def _duck_connect(sf_dir, memory_limit="12GB"):
+def _duck_connect(sf_dir, memory_limit="24GB"):
     con = duckdb.connect()
-    # bounded budget + a spill directory: DuckDB 1.0's default (80% of
-    # physical RAM, no temp dir for in-memory DBs) turns transient
-    # allocation hiccups alongside the Spark JVM into hard
-    # OutOfMemoryException; with a temp_directory it spills instead
+    # bounded budget + capped threads + a spill directory: DuckDB 1.0's
+    # default (80% of physical RAM, 32 threads, no temp dir for in-memory
+    # DBs) turns allocation bursts alongside the Spark JVM into hard
+    # OutOfMemoryException; threads=8 shrinks the burst and the temp dir
+    # lets the spillable operators spill (mirrors tools/oracle_check.py)
     con.execute(f"SET memory_limit='{memory_limit}'")
+    con.execute("SET threads=8")
     con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con
 
 
+class _DuckOracle:
+    """Connection holder that survives a DuckDB OOM: an OutOfMemory-
+    wedged connection stays wedged, so on OOM the holder CLOSES it and
+    replaces it for this query AND all later tests (the round-3 full-suite
+    cascade: one mid-module OOM left the shared module connection broken
+    and every subsequent parity test failed against it).  The last retry
+    rung shrinks the budget so spillable plans spill instead of dying."""
+
+    def __init__(self, sf_dir):
+        self.sf_dir = sf_dir
+        self.con = _duck_connect(sf_dir)
+
+    def run(self, sql):
+        for limit in (None, "24GB", "8GB"):
+            if limit is not None:
+                try:
+                    self.con.close()
+                except Exception:  # noqa: BLE001 — already broken
+                    pass
+                self.con = _duck_connect(self.sf_dir, memory_limit=limit)
+            try:
+                res = self.con.execute(sql)
+                return res.fetchall(), [d[0] for d in res.description]
+            except duckdb.OutOfMemoryException:
+                if limit == "8GB":
+                    raise
+
+
 @pytest.fixture(scope="module")
 def duck(sf_dir):
-    con = _duck_connect(sf_dir)
-    yield con
-    con.close()
+    holder = _DuckOracle(sf_dir)
+    yield holder
+    holder.con.close()
 
 
 def test_every_oracle_key_has_a_query():
@@ -56,27 +86,7 @@ def test_entry_runs_and_returns_rows(spark):
 def test_query_matches_oracle(spark, sf_dir, duck, name):
     sdf = QUERIES[name](spark, sf_dir)
     srows = [tuple(r) for r in sdf.collect()]
-    try:
-        res = duck.execute(ORACLES[name])
-        drows = res.fetchall()
-    except duckdb.OutOfMemoryException:
-        # rare transient bad_alloc co-resident with the Spark JVM — retry on
-        # fresh connections with SHRINKING budgets: a smaller memory_limit
-        # forces DuckDB to spill to /tmp instead of asking a pressured
-        # allocator for more (same SQL, same data, so failing every rung is
-        # a real finding)
-        res = drows = None
-        for limit in ("8GB", "2GB"):
-            fresh = _duck_connect(sf_dir, memory_limit=limit)
-            try:
-                res = fresh.execute(ORACLES[name])
-                drows = res.fetchall()
-                break
-            except duckdb.OutOfMemoryException:
-                fresh.close()
-                if limit == "2GB":
-                    raise
-    dcols = [d[0] for d in res.description]
+    drows, dcols = duck.run(ORACLES[name])
     assert sorted(sdf.columns) == sorted(dcols)
     assert len(srows) == len(drows)
     assert value_hash(srows, sdf.columns) == value_hash(drows, dcols)
