@@ -2345,6 +2345,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_context_pack"] = corpus_context_pack
 
+    def corpus_temperature_mix(spark, sf_dir):
+        # alpha-sampling source reweighting (p_i^alpha / Z): derives the
+        # mixture weights mix_sources consumes; per-SOURCE float ops only
+        from crawler_spark.operators.corpus import temperature_mixture_weights
+
+        docs = _docs_text_double(spark, sf_dir).select(
+            "source", token_count(F.col("text")).alias("n_tokens")
+        )
+        return temperature_mixture_weights(docs, alpha=0.5)
+
+    q["corpus_temperature_mix"] = corpus_temperature_mix
+
     return q
 
 
@@ -5148,6 +5160,24 @@ def oracle_sql() -> dict[str, str]:
            least(strt + n_tok, (ctx_id + 1) * 64)
              - greatest(strt, ctx_id * 64) AS span_len
     FROM spans
+    """
+
+    o["corpus_temperature_mix"] = f"""
+    WITH per AS (
+      SELECT source, sum({_TOKCNT_SQL})::bigint AS tokens
+      FROM documents GROUP BY source
+    ),
+    p AS (
+      SELECT source, tokens,
+             tokens::double / (SELECT sum(tokens)::double FROM per) AS p
+      FROM per
+    ),
+    z AS (SELECT sum(pow(p, 0.5)) AS z FROM p)
+    SELECT source, tokens,
+           round(p, 6) AS p_raw,
+           round(pow(p, 0.5) / (SELECT z FROM z), 6) AS weight,
+           round(pow(p, 0.5) / (SELECT z FROM z) / p, 6) AS oversample
+    FROM p
     """
 
     return o

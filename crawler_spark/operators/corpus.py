@@ -1803,3 +1803,41 @@ def pack_context_windows(docs: DataFrame, context_len: int = 2048,
             (span_end - span_start).cast("long").alias("span_len"),
         )
     )
+
+
+def temperature_mixture_weights(docs: DataFrame, alpha: float = 0.5,
+                                source_col: str = "source",
+                                n_tokens_col: str = "n_tokens") -> DataFrame:
+    """Temperature-scaled source reweighting (the multilingual-training
+    alpha-sampling rule: sample source i with probability proportional to
+    ``p_i^alpha``, ``alpha<1`` up-weighting the tail) — derives the
+    mixture weights that :func:`mix_sources` consumes, instead of taking
+    them as given.
+
+    One exact integer aggregate (per-source token totals), then two
+    broadcast scalars (corpus total, normalizer ``Z = sum p^alpha``) fold
+    back via crossJoin — nothing driver-side, nothing windowed, and the
+    only float ops are one division and one ``pow`` per SOURCE (not per
+    doc), so the 6-d.p. contract holds trivially.
+
+    Returns (source_col, tokens, p_raw, weight, oversample): the source's
+    raw token share, its temperature-scaled sampling weight, and the
+    resulting up/down-sampling factor ``weight / p_raw``.
+    """
+    per = docs.groupBy(source_col).agg(
+        F.sum(n_tokens_col).cast("long").alias("tokens")
+    )
+    tot = per.agg(F.sum("tokens").cast("double").alias("t"))
+    p = per.crossJoin(F.broadcast(tot)).select(
+        source_col, "tokens",
+        (F.col("tokens").cast("double") / F.col("t")).alias("p"),
+    )
+    pa = F.pow(F.col("p"), F.lit(alpha))
+    z = p.agg(F.sum(pa).alias("z"))
+    return p.crossJoin(F.broadcast(z)).select(
+        source_col,
+        "tokens",
+        F.round(F.col("p"), 6).alias("p_raw"),
+        F.round(pa / F.col("z"), 6).alias("weight"),
+        F.round(pa / F.col("z") / F.col("p"), 6).alias("oversample"),
+    )

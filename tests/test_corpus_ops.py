@@ -944,3 +944,33 @@ def test_pack_context_windows_exact_span_bookkeeping(spark):
         assert ctxs == list(range(len(ctxs)))  # dense ordinals from 0
         for c in ctxs[:-1]:
             assert fill[(bucket, c)] == L
+
+
+def test_temperature_mixture_weights_flattens_distribution(spark):
+    from crawler_spark.operators.corpus import temperature_mixture_weights
+
+    rows = (
+        [("big", 800) for _ in range(10)]
+        + [("mid", 190) for _ in range(10)]
+        + [("tail", 10) for _ in range(10)]
+    )
+    docs = spark.createDataFrame(rows, "source string, n_tokens long")
+
+    out = {r["source"]: r for r in
+           temperature_mixture_weights(docs, alpha=0.5).collect()}
+    assert set(out) == {"big", "mid", "tail"}
+    assert abs(sum(r["weight"] for r in out.values()) - 1.0) < 1e-5
+    assert abs(sum(r["p_raw"] for r in out.values()) - 1.0) < 1e-5
+    # alpha < 1 down-samples the head, up-samples the tail
+    assert out["big"]["oversample"] < 1.0 < out["tail"]["oversample"]
+    assert out["tail"]["weight"] > out["tail"]["p_raw"]
+    assert out["big"]["weight"] < out["big"]["p_raw"]
+    # ordering of weights still follows size
+    assert out["big"]["weight"] > out["mid"]["weight"] > out["tail"]["weight"]
+
+    # alpha = 1 is a no-op: weight == raw share
+    flat = {r["source"]: r for r in
+            temperature_mixture_weights(docs, alpha=1.0).collect()}
+    for s in flat:
+        assert flat[s]["weight"] == flat[s]["p_raw"]
+        assert abs(flat[s]["oversample"] - 1.0) < 1e-5
