@@ -46,20 +46,29 @@ class _DuckOracle:
         self.sf_dir = sf_dir
         self.con = _duck_connect(sf_dir)
 
+    def _reconnect(self, memory_limit="24GB"):
+        try:
+            self.con.close()
+        except Exception:  # noqa: BLE001 — already broken
+            pass
+        self.con = _duck_connect(self.sf_dir, memory_limit=memory_limit)
+
     def run(self, sql):
         for limit in (None, "24GB", "8GB"):
             if limit is not None:
-                try:
-                    self.con.close()
-                except Exception:  # noqa: BLE001 — already broken
-                    pass
-                self.con = _duck_connect(self.sf_dir, memory_limit=limit)
+                self._reconnect(memory_limit=limit)
             try:
                 res = self.con.execute(sql)
-                return res.fetchall(), [d[0] for d in res.description]
+                out = res.fetchall(), [d[0] for d in res.description]
             except duckdb.OutOfMemoryException:
                 if limit == "8GB":
                     raise
+                continue
+            if limit == "8GB":
+                # heal back to the validated steady-state budget so later
+                # heavy queries don't pay a deterministic OOM + reconnect
+                self._reconnect(memory_limit="24GB")
+            return out
 
 
 @pytest.fixture(scope="module")
