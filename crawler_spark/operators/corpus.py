@@ -1342,79 +1342,35 @@ def _bpe_merge_fold(seq, a: str, b: str):
 
 
 def bpe_train(docs: DataFrame, merges: int = 6, text_col: str = "text",
-              top_words: int | None = None) -> DataFrame:
-    """Byte-pair-encoding merge training (Sennrich et al. 2016) as a
-    fixed-round relational job — the vocab-induction step of a tokenizer
-    pipeline, run where the corpus already lives.
-
-    Round r: count adjacent symbol pairs over the weighted word vocabulary
-    (one map-side-combined groupBy, weight = word frequency), pick the most
-    frequent pair (ties by pair text ascending — TakeOrdered, k=1), and
-    merge every non-overlapping left-to-right occurrence in each word's
-    symbol sequence via a greedy ``aggregate`` fold (the same fold the
-    DuckDB oracle runs with ``list_reduce``, so rounds stay bit-identical
-    across engines).  Word-internal BPE, no end-of-word marker (the
+              top_words: int | None = None, batch_size: int = 8,
+              strategy: str = "auto") -> DataFrame:
+    """Byte-pair-encoding merge training (Sennrich et al. 2016) — the
+    vocab-induction step of a tokenizer pipeline, run where the corpus
+    already lives.  Word-internal BPE, no end-of-word marker (the
     GPT-2-style boundary convention lives in pre-tokenization); only
     ``[a-z0-9]+`` words train, so symbols never collide with the space
-    separator.
+    separator; round r picks the most frequent adjacent symbol pair (ties
+    by pair text ascending) and merges every greedy left-to-right
+    non-overlapping occurrence — bit-identical to the DuckDB oracle's
+    ``list_reduce`` replay.
 
-    Scale notes: the trainer never touches documents after the initial
-    word count — every round runs over the |vocab| table (≤ millions of
-    rows at 100 TB, and ``top_words`` caps it like every production BPE
-    trainer does); pair counting keys on the pair string (uniform); only
-    ONE (pair, count) row reaches the driver per round.
+    Delegates to :mod:`.corpus_bpe`, which replaces round 3's
+    one-Spark-job-per-merge pacing with two scale-safe strategies that
+    produce the identical merge table: batched relational rounds (up to
+    ``batch_size`` provably-safe disjoint merges per pair-count job) and
+    a driver-local merge loop over the ``top_words``-capped vocabulary
+    (the subword-nmt / HF-tokenizers architecture: distribute the word
+    count, train on the bounded frequency table — 1 driver round-trip for
+    any merge count).  See corpus_bpe.py for the batching soundness
+    argument and tools/bpe_bench.py for the round-trip measurements.
 
     Returns the merge table (merge_round, sym_a, sym_b, pair_count).
     """
-    from ..functions.text import tokens
+    from .corpus_bpe import train_merges
 
-    words = (
-        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
-        .where(F.col("word").rlike("^[a-z0-9]+$"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    if top_words is not None:
-        words = words.orderBy(F.col("n").desc(), F.col("word")).limit(top_words)
-    vocab = words.select(
-        "word",
-        "n",
-        F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")).alias("seq"),
-    ).persist()
-
-    out_rows = []
-    for r in range(1, merges + 1):
-        syms = F.split(F.col("seq"), " ", -1)
-        starts = F.sequence(F.lit(1), F.size(syms) - 1)
-        pairs = vocab.where(F.size(syms) >= 2).select(
-            "n",
-            F.explode(
-                F.transform(
-                    starts, lambda i: F.array_join(F.slice(syms, i, 2), " ")
-                )
-            ).alias("pair"),
-        )
-        best = (
-            pairs.groupBy("pair")
-            .agg(F.sum("n").alias("c"))
-            .orderBy(F.col("c").desc(), F.col("pair"))
-            .limit(1)
-            .collect()
-        )
-        if not best:
-            break
-        pair, count = best[0]["pair"], int(best[0]["c"])
-        a, b = pair.split(" ")
-        out_rows.append((r, a, b, count))
-        merged = _bpe_merge_fold(F.col("seq"), a, b)
-        new_vocab = vocab.select("word", "n", merged.alias("seq")).persist()
-        vocab.unpersist(False)
-        vocab = new_vocab
-    vocab.unpersist(False)
-    spark = docs.sparkSession
-    return spark.createDataFrame(
-        out_rows,
-        "merge_round long, sym_a string, sym_b string, pair_count long",
+    return train_merges(
+        docs, merges=merges, text_col=text_col, top_words=top_words,
+        batch_size=batch_size, strategy=strategy,
     )
 
 

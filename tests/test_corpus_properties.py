@@ -302,3 +302,72 @@ def test_registered_domain_subdomain_invariance(spark):
     ).collect()
     for r in out:
         assert r["d0"] == r["d1"] == r["d2"], r
+
+
+# ---------------------------------------------------------------------------
+# BPE: every training strategy must produce the identical merge table
+# ---------------------------------------------------------------------------
+
+
+def _py_bpe_sequential(word_counts: dict[str, int], merges: int):
+    """Pure-python sequential reference: most-frequent adjacent pair
+    (count desc, 'a b' text asc), greedy left-to-right non-overlapping
+    merge — the contract all engine strategies replay bit-exactly."""
+    vocab = {tuple(w): n for w, n in word_counts.items()}
+    out = []
+    for r in range(1, merges + 1):
+        counts: Counter = Counter()
+        for syms, n in vocab.items():
+            for p in zip(syms, syms[1:]):
+                counts[p] += n
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1]))
+        (a, b), c = best
+        out.append((r, a, b, c))
+        ab = a + b
+        new_vocab: dict = {}
+        for syms, n in vocab.items():
+            acc: list = []
+            for s in syms:
+                if acc and acc[-1] == a and s == b:
+                    acc[-1] = ab
+                else:
+                    acc.append(s)
+            new_vocab[tuple(acc)] = new_vocab.get(tuple(acc), 0) + n
+        vocab = new_vocab
+    return out
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    words=st.lists(
+        st.tuples(
+            st.text(alphabet="abc0", min_size=1, max_size=7),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    merges=st.integers(min_value=1, max_value=6),
+    batch_size=st.sampled_from([1, 2, 4, 8]),
+)
+def test_bpe_strategies_all_match_sequential_reference(
+    spark, words, merges, batch_size
+):
+    from crawler_spark.operators.corpus import bpe_train
+
+    wc: dict[str, int] = {}
+    for w, n in words:
+        wc[w] = wc.get(w, 0) + n
+    text = " ".join(w for w, n in wc.items() for _ in range(n))
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    expect = _py_bpe_sequential(wc, merges)
+
+    rel = bpe_train(docs, merges=merges, strategy="relational",
+                    batch_size=batch_size).collect()
+    assert [tuple(r) for r in rel] == expect
+
+    loc = bpe_train(docs, merges=merges, strategy="local").collect()
+    assert [tuple(r) for r in loc] == expect
