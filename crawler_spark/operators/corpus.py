@@ -1594,8 +1594,18 @@ def nb_domain_classifier(docs: DataFrame, label_col: str = "source",
     ).where(F.col("tok") != "")
 
     # -- model ------------------------------------------------------------
-    n_docs = docs.count()
-    vocab_v = inst.select("tok").distinct().count()
+    # corpus-level scalars (total docs, vocab size) as broadcast 1-row
+    # crossJoins — the temperature_mixture_weights pattern — so the
+    # operator stays lazy (no Spark jobs at DataFrame-construction time)
+    # and the upstream scan/tokenize pipeline isn't executed eagerly
+    scalars = F.broadcast(
+        docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs_total"))
+        .crossJoin(
+            inst.select("tok")
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("double").alias("vocab_v"))
+        )
+    )
     class_tok = inst.groupBy("cls", "tok").agg(
         F.count(F.lit(1)).alias("ctk")
     )
@@ -1607,19 +1617,23 @@ def nb_domain_classifier(docs: DataFrame, label_col: str = "source",
             ),
             "cls",
         )
+        .crossJoin(scalars)
         .select(
             "cls",
-            F.log(F.col("nd") / F.lit(float(n_docs))).alias("prior"),
-            F.log(F.lit(1.0) / (F.col("tot") + F.lit(float(vocab_v)))).alias(
+            F.log(F.col("nd") / F.col("n_docs_total")).alias("prior"),
+            F.log(F.lit(1.0) / (F.col("tot") + F.col("vocab_v"))).alias(
                 "dflt"
             ),
             "tot",
+            "vocab_v",
         )
     )
-    model = class_tok.join(class_stats.select("cls", "tot"), "cls").select(
+    model = class_tok.join(
+        class_stats.select("cls", "tot", "vocab_v"), "cls"
+    ).select(
         "cls", "tok",
         F.log(
-            (F.col("ctk") + F.lit(1.0)) / (F.col("tot") + F.lit(float(vocab_v)))
+            (F.col("ctk") + F.lit(1.0)) / (F.col("tot") + F.col("vocab_v"))
         ).alias("ll"),
     )
 

@@ -974,3 +974,20 @@ def test_temperature_mixture_weights_flattens_distribution(spark):
     for s in flat:
         assert flat[s]["weight"] == flat[s]["p_raw"]
         assert abs(flat[s]["oversample"] - 1.0) < 1e-5
+
+
+def test_nb_domain_classifier_is_lazy(spark):
+    # constructing the plan must trigger no Spark jobs (the corpus-level
+    # scalars are broadcast crossJoins, not eager .count() calls) — else
+    # every plan sweep / bench warmup runs the tokenize pipeline 3x
+    from crawler_spark.operators.corpus import nb_domain_classifier
+
+    docs = spark.createDataFrame(
+        [(1, "a", "dog cat"), (2, "b", "stock bond")],
+        "doc_id long, source string, text string",
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup() or [])
+    nb_domain_classifier(docs)
+    after = set(tracker.getJobIdsForGroup() or [])
+    assert before == after, "plan construction ran Spark jobs"
