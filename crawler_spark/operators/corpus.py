@@ -467,10 +467,60 @@ def gopher_quality_flags(docs: DataFrame, text_col: str = "text",
     )
 
 
+def suggest_n_buckets(corpus_rows: int | None = None,
+                      total_tokens: int | None = None,
+                      max_rows_per_bucket: int = 2_000_000,
+                      max_tokens_per_bucket: int = 2_000_000_000,
+                      min_buckets: int = 32) -> int:
+    """Bucket-count sizing rule for the packing operators
+    (:func:`pack_token_shards` / :func:`pack_context_windows`), the
+    packing twin of ``similarity.suggest_n_planes``.
+
+    Each bucket's running-total window sorts in ONE task, so the bucket
+    count must scale with the data: a fixed ``n_buckets=32`` puts
+    corpus/32 in a single sort — fine at sf0.1, a straggler at 100 TB.
+    The rule returns the smallest bucket count that keeps every bucket
+    under ``max_rows_per_bucket`` documents AND ``max_tokens_per_bucket``
+    tokens (a 2M-row slim (id, n_tok, bucket) sort is ~100 MB of task
+    memory; the token cap bounds shard-stream length for audit/resume
+    arithmetic), floored at ``min_buckets`` so small corpora still spread
+    across a cluster:
+
+    | corpus            | rows      | suggested |
+    |-------------------|-----------|-----------|
+    | sf0.01 documents  | 10^4      | 32        |
+    | 1 TB web text     | ~10^9     | 500       |
+    | 100 TB web text   | ~10^11    | 50,000    |
+
+    Pass the sized value explicitly where determinism matters (the oracle
+    queries pin n_buckets so both engines agree), or pass
+    ``n_buckets=None`` to the packers to have them size themselves from
+    one aggregate over the input (costs a Spark job at plan-build time —
+    convenience path, not for lazy composition).
+    """
+    need = min_buckets
+    if corpus_rows is not None:
+        need = max(need, -(-int(corpus_rows) // max_rows_per_bucket))
+    if total_tokens is not None:
+        need = max(need, -(-int(total_tokens) // max_tokens_per_bucket))
+    return need
+
+
+def _auto_buckets(docs: DataFrame, n_tokens_col: str | None) -> int:
+    agg = [F.count(F.lit(1)).alias("rows")]
+    if n_tokens_col is not None:
+        agg.append(F.sum(F.col(n_tokens_col).cast("long")).alias("toks"))
+    row = docs.agg(*agg).collect()[0]
+    return suggest_n_buckets(
+        corpus_rows=row["rows"],
+        total_tokens=row["toks"] if n_tokens_col is not None else None,
+    )
+
+
 def pack_token_shards(docs: DataFrame, id_col: str = "doc_id",
                       n_tokens_col: str = "n_tokens",
                       target_tokens: int = 100_000,
-                      n_buckets: int = 32) -> DataFrame:
+                      n_buckets: int | None = 32) -> DataFrame:
     """Assign documents to ~``target_tokens``-sized training shards.
 
     The writer-friendly layout a pretraining run consumes: documents are
@@ -484,8 +534,9 @@ def pack_token_shards(docs: DataFrame, id_col: str = "doc_id",
     Scale: the only shuffle is the hash partition + within-bucket sort for
     the window — the sort is per-bucket, never global, so 1000 executors
     sort 1000+ buckets in parallel and no single task ever sees more than
-    ~1/n_buckets of the corpus.  Raise ``n_buckets`` with the cluster, not
-    with the data.
+    ~1/n_buckets of the corpus.  Size ``n_buckets`` with the DATA via
+    :func:`suggest_n_buckets` (each bucket is one sort task), or pass
+    ``None`` to auto-size from one aggregate over the input.
 
     Returns (id_col, bucket, shard_seq, start_offset) — ``(bucket,
     shard_seq)`` is the shard key; ``start_offset`` is the document's token
@@ -493,6 +544,8 @@ def pack_token_shards(docs: DataFrame, id_col: str = "doc_id",
     """
     from pyspark.sql import Window
 
+    if n_buckets is None:
+        n_buckets = _auto_buckets(docs, n_tokens_col)
     bucket = (h32(F.col(id_col).cast("string")) % n_buckets).alias("bucket")
     w = (
         Window.partitionBy("bucket")
@@ -1708,7 +1761,7 @@ def weighted_sample(docs: DataFrame, weight_col, k: int,
 def pack_context_windows(docs: DataFrame, context_len: int = 2048,
                          id_col: str = "doc_id",
                          n_tokens_col: str = "n_tokens",
-                         n_buckets: int = 32) -> DataFrame:
+                         n_buckets: int | None = 32) -> DataFrame:
     """Sequence packing — the concat-and-chunk step that turns a document
     stream into fixed-length training contexts with EXACT span bookkeeping
     (which tokens of which doc land where), unlike
@@ -1723,7 +1776,9 @@ def pack_context_windows(docs: DataFrame, context_len: int = 2048,
     ``s`` with ``n`` tokens spans contexts ``floor(s/L) ..
     floor((s+n-1)/L)``, splitting at each boundary.  All pure int64
     arithmetic in codegen — the oracle match is exact, no float contract
-    needed.
+    needed.  Size ``n_buckets`` with the DATA via :func:`suggest_n_buckets`
+    (each bucket's window sorts in one task), or pass ``None`` to
+    auto-size from one aggregate over the input.
 
     Returns (id_col, bucket, ctx_id, ctx_offset, doc_offset, span_len):
     ``ctx_id`` is the window ordinal within the bucket stream;
@@ -1734,6 +1789,8 @@ def pack_context_windows(docs: DataFrame, context_len: int = 2048,
     """
     from pyspark.sql import Window
 
+    if n_buckets is None:
+        n_buckets = _auto_buckets(docs, n_tokens_col)
     L = F.lit(context_len).cast("long")
     bucket = (h32(F.col(id_col).cast("string")) % n_buckets).alias("bucket")
     w = (

@@ -991,3 +991,27 @@ def test_nb_domain_classifier_is_lazy(spark):
     nb_domain_classifier(docs)
     after = set(tracker.getJobIdsForGroup() or [])
     assert before == after, "plan construction ran Spark jobs"
+
+
+def test_suggest_n_buckets_scales_with_data(spark):
+    from crawler_spark.operators.corpus import (
+        pack_token_shards,
+        suggest_n_buckets,
+    )
+
+    # floor for small corpora; ceil-div growth with rows; token cap can bind
+    assert suggest_n_buckets(corpus_rows=10_000) == 32
+    assert suggest_n_buckets(corpus_rows=10**9) == 500
+    assert suggest_n_buckets(corpus_rows=10**11) == 50_000
+    assert suggest_n_buckets(corpus_rows=100, total_tokens=10**13) == 5_000
+    assert suggest_n_buckets() == 32
+
+    # n_buckets=None auto-sizes from the input and still packs correctly
+    docs = spark.createDataFrame(
+        [(i, 10) for i in range(100)], "doc_id long, n_tokens long"
+    )
+    auto = pack_token_shards(docs, target_tokens=50, n_buckets=None)
+    manual = pack_token_shards(docs, target_tokens=50, n_buckets=32)
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, manual.collect())
+    )

@@ -13,69 +13,21 @@ import pytest
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import __spark_entry__ as entrymod
-from tools.oracle_check import TABLES, value_hash
+from tools.duck_oracle import DuckOracle
+from tools.oracle_check import value_hash
 
 QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 
 
-def _duck_connect(sf_dir, memory_limit="24GB"):
-    con = duckdb.connect()
-    # bounded budget + capped threads + a spill directory: DuckDB 1.0's
-    # default (80% of physical RAM, 32 threads, no temp dir for in-memory
-    # DBs) turns allocation bursts alongside the Spark JVM into hard
-    # OutOfMemoryException; threads=8 shrinks the burst and the temp dir
-    # lets the spillable operators spill (mirrors tools/oracle_check.py)
-    con.execute(f"SET memory_limit='{memory_limit}'")
-    con.execute("SET threads=8")
-    con.execute("SET temp_directory='/tmp/duck_spill'")
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    return con
-
-
-class _DuckOracle:
-    """Connection holder that survives a DuckDB OOM: an OutOfMemory-
-    wedged connection stays wedged, so on OOM the holder CLOSES it and
-    replaces it for this query AND all later tests (the round-3 full-suite
-    cascade: one mid-module OOM left the shared module connection broken
-    and every subsequent parity test failed against it).  The last retry
-    rung shrinks the budget so spillable plans spill instead of dying."""
-
-    def __init__(self, sf_dir):
-        self.sf_dir = sf_dir
-        self.con = _duck_connect(sf_dir)
-
-    def _reconnect(self, memory_limit="24GB"):
-        try:
-            self.con.close()
-        except Exception:  # noqa: BLE001 — already broken
-            pass
-        self.con = _duck_connect(self.sf_dir, memory_limit=memory_limit)
-
-    def run(self, sql):
-        for limit in (None, "24GB", "8GB"):
-            if limit is not None:
-                self._reconnect(memory_limit=limit)
-            try:
-                res = self.con.execute(sql)
-                out = res.fetchall(), [d[0] for d in res.description]
-            except duckdb.OutOfMemoryException:
-                if limit == "8GB":
-                    raise
-                continue
-            if limit == "8GB":
-                # heal back to the validated steady-state budget so later
-                # heavy queries don't pay a deterministic OOM + reconnect
-                self._reconnect(memory_limit="24GB")
-            return out
-
-
 @pytest.fixture(scope="module")
 def duck(sf_dir):
-    holder = _DuckOracle(sf_dir)
+    # OOM-surviving shared connection (see tools/duck_oracle.py: close the
+    # wedged connection, retry down the budget ladder, heal back to the
+    # steady 24GB budget after a shrunken-rung success)
+    holder = DuckOracle(sf_dir)
     yield holder
-    holder.con.close()
+    holder.close()
 
 
 def test_every_oracle_key_has_a_query():

@@ -52,8 +52,6 @@ def value_hash(rows, columns) -> str:
 
 
 def main() -> int:
-    import duckdb
-
     import __spark_entry__ as entrymod
     from crawler_spark.session import get_spark
 
@@ -63,20 +61,9 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
-    def duck_connect():
-        # bounded budget, fewer threads, spill dir: DuckDB 1.0 co-resident
-        # with a Spark JVM occasionally hard-OOMs on a small allocation
-        # despite free RAM (see tests/test_oracle_parity.py); a fresh
-        # connection retry below recovers the rest
-        c = duckdb.connect()
-        c.execute("SET memory_limit='24GB'")
-        c.execute("SET threads=8")
-        c.execute("SET temp_directory='/tmp/duck_spill'")
-        for t in TABLES:
-            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-        return c
+    from tools.duck_oracle import DuckOracle
 
-    con = duck_connect()
+    oracle = DuckOracle(sf_dir)
 
     spark = get_spark("oracle-check", cores=8, shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
@@ -92,15 +79,7 @@ def main() -> int:
             print(f"{name:28s} rows={len(srows):7d}  (no oracle — rows-only)")
             continue
         try:
-            try:
-                res = con.execute(oracles[name])
-                drows = res.fetchall()
-            except duckdb.OutOfMemoryException:
-                con.close()
-                con = duck_connect()
-                res = con.execute(oracles[name])
-                drows = res.fetchall()
-            dcols = [d[0] for d in res.description]
+            drows, dcols = oracle.run(oracles[name])
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"{name:28s} ORACLE SQL ERROR: {str(e).splitlines()[0][:120]}")
@@ -127,6 +106,7 @@ def main() -> int:
             print(f"   duck-only : {d_only}")
 
     spark.stop()
+    oracle.close()
     print("FAILURES:", failures if failures else "none")
     return 1 if failures else 0
 
