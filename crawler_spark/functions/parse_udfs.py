@@ -178,7 +178,7 @@ def parse_catalog_udf(text: pd.Series) -> pd.DataFrame:
             rows.append({"cards": None, "error": "No page content"})
             continue
         try:
-            cards, err = pet911.get_catalog_cards(pet911.parse_html(t))
+            cards, err = pet911.get_catalog_cards(pet911.parse_doc(t))
         except Exception as exc:
             cards, err = None, f"Parser exception: {exc}"
         rows.append({"cards": cards, "error": err})

@@ -188,6 +188,10 @@ class _DomBuilder:
     two engines produce IDENTICAL trees by construction wherever their
     tokenizations agree (equivalence-tested over every reference fixture)."""
 
+    wants_text = True  # the tokenizer may skip text work when False
+    skip_prefilter = None  # None = attrs always needed (full tree)
+    skip_jump = False  # full tree: every token matters, never leap
+
     def __init__(self):
         self.root = Node("#document")
         self.stack = [self.root]
@@ -252,6 +256,138 @@ class _DomBuilder:
         return self.root
 
 
+class _PruningBuilder:
+    """Build-only-what-the-extractors-read tree construction.
+
+    The P1-P15 parse kernel runs ~20 selectors, ALL of which anchor inside
+    subtrees whose root element's class attribute contains one of a small
+    set of trigger substrings (pet911: "card" / "breadcrumbs" /
+    "catalog-item" — every class the selectors name contains one of these,
+    and every nested lookup starts from a node matched that way).  Outside
+    a triggered subtree this builder materializes NOTHING: elements become
+    lightweight tag-name string frames (nesting bookkeeping only — implied
+    ends, stray end tags and void elements behave exactly like
+    _DomBuilder's stack), text is dropped before entity work
+    (``wants_text`` gates the tokenizer's text path), and the element
+    counter still advances so built nodes carry the IDENTICAL
+    ``_start``/``_end`` spans they would in the full tree (asserted in
+    tests/test_parser_golden.py).  Inside a triggered subtree every
+    descendant builds normally; triggered roots parent to the document
+    root (no selector inspects ancestors).
+
+    The pruned tree therefore yields byte-identical extractor results to
+    the full tree whenever the triggers cover the selector set — gated by
+    the 23 goldens, a per-extractor full-vs-pruned equality sweep over
+    every fixture era, and the adversarial fuzz comparison.
+    """
+
+    skip_jump = True  # the tokenizer may leap over invisible regions
+
+    def __init__(self, trigger_substrings):
+        self.root = Node("#document")
+        self.stack = [self.root]  # BUILT frames only (root + open Nodes)
+        self._counter = 0
+        self._active = None  # build parent Node while inside a triggered subtree
+        self._trigger = tuple(trigger_substrings)
+        self.wants_text = False  # plain attr, updated on mode transitions
+
+    def skip_prefilter(self, raw_attrs: str) -> bool:
+        """Does the tokenizer need to parse this start tag's attributes?
+        Yes while building (the node stores them); in skip mode only if
+        the raw attribute text could contain a trigger class (substring
+        containment is conservative: the exact class check happens in
+        _open on the parsed attrs; entity-obfuscated values never reach
+        this path — _SIMPLE_START rejects '&' in values, routing those
+        tags through the tolerant parser with decoded attrs)."""
+        if self._active is not None:
+            return True
+        for t in self._trigger:
+            if t in raw_attrs:
+                return True
+        return False
+
+    def _open(self, tag, attrs, push):
+        # implied end over BUILT frames only (skip-mode elements are
+        # invisible: their implied closes can affect no built node, and a
+        # trigger root always parents to the document root)
+        top = self.stack[-1]
+        if top is not self.root:
+            ttag = top.tag
+            if (ttag == "p" and tag in _P_CLOSERS) or (
+                ttag in _SELF_NESTING_CLOSERS.get(tag, ())
+            ):
+                self._pop_to(len(self.stack) - 1)
+        parent = self._active
+        if parent is None:
+            cls = None
+            for k, v in attrs:
+                if k == "class":
+                    cls = v
+                    break
+            if cls is None or not any(t in cls for t in self._trigger):
+                return  # invisible
+            parent = self.root
+        node = Node(tag, dict(attrs), parent=parent)
+        node._start = self._counter
+        self._counter += 1
+        node._end = self._counter
+        parent.children.append(node)
+        if push:
+            self.stack.append(node)
+            self._active = node
+            self.wants_text = True
+
+    def handle_starttag(self, tag, attrs):
+        self._open(tag, attrs, push=tag not in VOID_ELEMENTS)
+
+    def handle_startendtag(self, tag, attrs):
+        self._open(tag, attrs, push=False)
+
+    def _pop_to(self, i):
+        for f in self.stack[i:]:
+            f._end = self._counter
+        del self.stack[i:]
+        top = self.stack[-1]
+        if top is not self.root:
+            self._active = top
+            self.wants_text = True
+        else:
+            self._active = None
+            self.wants_text = False
+
+    def handle_endtag(self, tag):
+        if tag in VOID_ELEMENTS:
+            return
+        stack = self.stack
+        for i in range(len(stack) - 1, 0, -1):
+            if stack[i].tag == tag:
+                self._pop_to(i)
+                return
+        if len(stack) > 1:
+            # Ambiguous while building: with skipped outer elements not
+            # tracked, this end tag is either stray (full tree ignores it)
+            # or closes a skipped ancestor (full tree would close the
+            # build root with it).  Never guess — reparse the whole
+            # document with the full engine.
+            from .scanner import FallbackNeeded
+
+            raise FallbackNeeded("end tag crosses pruned boundary")
+
+    def handle_data(self, data):
+        parent = self._active
+        if parent is None or not data:
+            return
+        if parent.children and parent.children[-1].tag is None:
+            parent.children[-1].text += data
+        else:
+            parent.children.append(Node(None, parent=parent, text=data))
+
+    def finish(self) -> Node:
+        for f in self.stack:
+            f._end = self._counter
+        return self.root
+
+
 class _TreeBuilder(_DomBuilder, HTMLParser):
     def __init__(self):
         _DomBuilder.__init__(self)
@@ -291,5 +427,19 @@ def parse_html(text: str) -> Node:
 
     try:
         return parse_html_fast(text)
+    except FallbackNeeded:
+        return parse_html_stdlib(text)
+
+
+def parse_html_pruned(text: str, trigger_substrings) -> Node:
+    """Parse building ONLY subtrees whose root class contains a trigger
+    substring (see _PruningBuilder) — the extractor hot path.  Falls back
+    to the FULL stdlib tree on markup outside the scanner's subset: the
+    full tree is a superset, and extractor results are identical on it.
+    """
+    from .scanner import FallbackNeeded, parse_html_fast
+
+    try:
+        return parse_html_fast(text, _PruningBuilder(trigger_substrings))
     except FallbackNeeded:
         return parse_html_stdlib(text)

@@ -19,7 +19,23 @@ from __future__ import annotations
 import re
 from datetime import datetime, timezone
 
-from .dom import Node, parse_html
+from .dom import Node, parse_html, parse_html_pruned
+
+# Every class attribute the P1-P15 selectors name contains one of these
+# substrings, and every nested lookup starts from a node matched that way
+# ("card" covers card / card-information / card-info / card-info__value /
+# card__content / card__descr / card-map__address / js-card-slide;
+# swiper-wrapper is only ever searched INSIDE a card subtree) — so a tree
+# built only from these subtrees yields byte-identical extractor results
+# to the full tree (per-extractor sweep + goldens + fuzz in
+# tests/test_parser_golden.py).
+_TRIGGER_CLASSES = ("card", "breadcrumbs", "catalog-item", "swiper")
+
+
+def parse_doc(text: str) -> Node:
+    """Extractor-path parse: pruned tree (see dom._PruningBuilder)."""
+    return parse_html_pruned(text, _TRIGGER_CLASSES)
+
 
 HOST_URL = "https://pet911.ru"  # ParserPet911.fs:7
 NO_PHOTO_STUB = "https://pet911.ru/img/no-photo/"  # ParserPet911.fs:41
@@ -275,12 +291,19 @@ def parse_card(text: str):
 
     Returns a dict with the ``cards`` schema of FIXTURES.md §5.
     """
+    return assemble_card(parse_doc(text), text)
+
+
+def assemble_card(doc: Node, text: str):
+    """parse_card's extractor pipeline over an already-built tree — split
+    out so the pruned-vs-full equivalence gates (test_parser_golden /
+    test_pruned_equivalence fuzz) can drive the identical assembly over
+    both tree constructions."""
     failed = {
         "id": None, "animal": None, "sex": None, "type": None, "address": None,
         "latitude": None, "longitude": None, "date": None, "description": None,
         "author_name": None, "photos": None, "error": None,
     }
-    doc = parse_html(text)
 
     species, err = get_animal_species(doc)
     if err:

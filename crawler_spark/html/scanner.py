@@ -100,36 +100,88 @@ def _emit_text(builder: _DomBuilder, s: str, at_eof: bool) -> None:
     builder.handle_data("".join(out))
 
 
-def parse_html_fast(text: str) -> Node:
-    builder = _DomBuilder()
+_ASCII_LETTERS = frozenset("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
+
+# Skip-mode jump targets (pruning builders only): the next position that
+# can possibly matter to the pruned tree.  A triggering element MUST carry
+# a literal `class` attribute NAME (attribute names are never
+# entity-encoded — an encoded name is a different attribute to every
+# engine), so stopping at every case-insensitive "class" token catches
+# every candidate tag no matter how its VALUE is quoted or encoded.
+# script/style/comment/declaration/PI openers stop the leap earlier so
+# raw-text and commented regions are consumed by the normal construct
+# handlers and fake markup inside them can never trigger a build.
+_SKIP_STOP = re.compile(r"<(?i:script|style)|<!|<\?|(?i:class)")
+
+
+def parse_html_fast(text: str, builder: _DomBuilder | None = None) -> Node:
+    if builder is None:
+        builder = _DomBuilder()
     n = len(text)
     i = 0
     find = text.find
     startswith = text.startswith
     handle_data = builder.handle_data
+    handle_starttag = builder.handle_starttag
+    handle_startendtag = builder.handle_startendtag
+    handle_endtag = builder.handle_endtag
+    simple_match = _SIMPLE_START.match
+    attr_findall = _SIMPLE_ATTR.findall
+    endtag_match = _ENDTAGFIND.match
+    skip_search = _SKIP_STOP.search
+    rfind = text.rfind
+    pre = builder.skip_prefilter
+    can_jump = builder.skip_jump
     while i < n:
+        if can_jump and not builder.wants_text:
+            # skip mode: leap to the next position that can matter
+            sm = skip_search(text, i)
+            if sm is None:
+                break  # rest of the document is invisible
+            j = sm.start()
+            if text[j] == "<":
+                i = j  # construct opener: normal handling below
+            else:
+                # "class" token: find its enclosing start tag, if any
+                lt = rfind("<", i, j + 1)
+                if lt < 0 or text[lt + 1: lt + 2] not in _ASCII_LETTERS:
+                    i = sm.end()  # plain text / end-tag innards: invisible
+                    continue
+                i = lt  # tokenize the candidate tag normally below
         lt = find("<", i)
         if lt < 0:
-            _emit_text(builder, text[i:], at_eof=True)
+            # a pruning builder drops skip-mode text before entity work
+            # (incomplete-entity-at-EOF inside DROPPED text needs no
+            # stdlib-parity fallback: nothing reads it)
+            if builder.wants_text:
+                _emit_text(builder, text[i:], at_eof=True)
             break
-        if lt > i:
+        if lt > i and builder.wants_text:
             _emit_text(builder, text[i:lt], at_eof=False)
         i = lt
         c = text[lt + 1: lt + 2]
-        if c.isalpha() and c.isascii():
-            m = _SIMPLE_START.match(text, lt)
+        if c in _ASCII_LETTERS:
+            m = simple_match(text, lt)
             if m is not None:
-                tag = m.group(1).lower()
-                raw_attrs = m.group(2)
-                attrs = (
-                    [(k.lower(), v) for k, v in _SIMPLE_ATTR.findall(raw_attrs)]
-                    if raw_attrs else []
-                )
-                if m.group(3):
-                    builder.handle_startendtag(tag, attrs)
+                tag, raw_attrs, close = m.group(1, 2, 3)
+                tag = tag.lower()
+                # skip-mode fast path: a pruning builder only needs attrs
+                # to decide triggering, and a trigger substring in any
+                # class VALUE necessarily appears in the raw attribute
+                # text — so when the raw text contains no trigger, skip
+                # attribute tokenization entirely (conservative: raw hits
+                # from non-class attrs just take the exact path below)
+                if raw_attrs and (pre is None or pre(raw_attrs)):
+                    attrs = [
+                        (k.lower(), v) for k, v in attr_findall(raw_attrs)
+                    ]
+                else:
+                    attrs = ()
+                if close:
+                    handle_startendtag(tag, attrs)
                     i = m.end()
                 else:
-                    builder.handle_starttag(tag, attrs)
+                    handle_starttag(tag, attrs)
                     i = (
                         _cdata(builder, text, m.end(), tag)
                         if tag in _CDATA_ELEMENTS else m.end()
@@ -137,10 +189,10 @@ def parse_html_fast(text: str) -> Node:
             else:
                 i = _starttag(builder, text, lt)
         elif c == "/":
-            m = _ENDTAGFIND.match(text, lt)
+            m = endtag_match(text, lt)
             if m is None:
                 raise FallbackNeeded("malformed end tag")
-            builder.handle_endtag(m.group(1).lower())
+            handle_endtag(m.group(1).lower())
             i = m.end()
         elif startswith("<!--", lt):
             end = find("-->", lt + 4)
