@@ -45,6 +45,7 @@ from ..operators.seen import (
     filter_not_missing,
     filter_unseen,
     filter_unseen_with_bloom,
+    filter_unseen_with_bloom_sharded,
 )
 from ..sources.frontier import frontier_from_range
 from ..sources.store import SnapshotStore
@@ -101,7 +102,11 @@ class CrawlJob:
         # deletion-capable cuckoo variant, north_rule "bloom/cuckoo") and the
         # seen snapshot id it covers; persisted per wave under seen_bloom/ so
         # a resumed job reloads it instead of rescanning the seen table
-        assert seen_filter in ("bloom", "cuckoo")
+        # "sharded-routed" = same ShardedBloom state, but the wave
+        # prefilter ROUTES each bitmap shard to the tasks holding its key
+        # range (cogroup) instead of broadcasting the whole filter — the
+        # 10^10-key layout where a full filter no longer fits an executor
+        assert seen_filter in ("bloom", "cuckoo", "sharded-routed")
         self.seen_filter = seen_filter
         self._filter_degraded = False  # cuckoo overflow -> exact path only
         # cost gate: while |seen| is below this, the exact anti-join is
@@ -316,8 +321,13 @@ class CrawlJob:
             use_prefilter = (
                 bloom is not None and bloom.n_items >= self.prefilter_min_seen
             )
+            prefilter_fn = (
+                filter_unseen_with_bloom_sharded
+                if self.seen_filter == "sharded-routed"
+                else filter_unseen_with_bloom
+            )
             frontier = (
-                filter_unseen_with_bloom(
+                prefilter_fn(
                     frontier, seen, bloom, persisted_out=wave_persisted
                 )
                 if use_prefilter

@@ -35,8 +35,13 @@ def get_spark(app_name: str = "crawler-spark", cores: int | None = None,
     _export_package_path()
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or cores
+    # SPARK_GRAFT_MASTER overrides the master URL — used by the scaling
+    # evidence to run `local-cluster[n,cores,mem]` (separate executor JVMs,
+    # each with its OWN Python worker pool, the closest sandbox analog of
+    # N real executors); default stays single-JVM local[cores]
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")

@@ -667,3 +667,40 @@ def test_e2e_maintain_compacts_and_resume_stays_exact(
     # no re-crawl of range 1: each url fetched exactly once across both runs
     seen = b.seen_set()
     assert seen.count() == seen.select("url_hash").distinct().count()
+
+
+def test_e2e_sharded_routed_seen_filter_matches_broadcast(
+    spark, crawl_result, tmp_path_factory
+):
+    """seen_filter="sharded-routed": the wave prefilter cogroups each bloom
+    bitmap shard with the frontier rows that can only probe it (the
+    10^10-key layout where the merged filter no longer broadcasts) — final
+    crawl state must equal the exact-anti-join reference run, and the wave
+    plan must actually route via cogroup (FlatMapCoGroupsInPandas)."""
+    ref_job, _, n_docs = crawl_result
+    pages = ref_job.pages
+    store = str(tmp_path_factory.mktemp("routedstore"))
+    job = CrawlJob(spark, store, pages, wave_seconds=10**9, use_bloom=True,
+                   prewarm=False, prefilter_min_seen=0,
+                   seen_filter="sharded-routed")
+    job.seed_frontier(ref_job.store.read(spark, "frontier", as_of=0))
+    job.crawl(max_waves=10)
+
+    for getter in ("cards", "seen_set", "missing_set"):
+        da, db = getattr(ref_job, getter)(), getattr(job, getter)()
+        cols = [c for c in da.columns if c != "wave"]
+        assert (
+            da.select(cols).exceptAll(db.select(cols)).count() == 0
+            and db.select(cols).exceptAll(da.select(cols)).count() == 0
+        ), f"{getter} differs between sharded-routed and exact runs"
+
+    # the routed path was really taken: probe the prefilter plan directly
+    from crawler_spark.operators.seen import filter_unseen_with_bloom_sharded
+
+    bloom = job._bloom_sync()
+    assert bloom is not None and bloom.n_items > 0
+    flagged = filter_unseen_with_bloom_sharded(
+        ref_job.store.read(spark, "frontier", as_of=0), job.seen_set(), bloom
+    )
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan

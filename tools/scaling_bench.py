@@ -22,21 +22,35 @@ Prints one JSON line per run + a summary line per workload.
 from __future__ import annotations
 
 import json
+import os
 import statistics
 import subprocess
 import sys
 from pathlib import Path
 
+# SPARK_GRAFT_SCALING_MODE=cluster runs each rung as local-cluster[N,8,mem]
+# — N separate executor JVMs, EACH WITH ITS OWN PYTHON WORKER POOL — the
+# closest sandbox analog of N→4N real executors, and the direct test of the
+# three-round hypothesis that the crawl job's sub-0.8 local[N] efficiency is
+# a single-JVM shared-worker-pool artifact (VERDICT r03 Next #4).  In this
+# mode N_LO/N_HI are EXECUTOR COUNTS (default 1 vs 4, 8 cores each).
+CLUSTER = os.environ.get("SPARK_GRAFT_SCALING_MODE") == "cluster"
+EXEC_CORES = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "8"))
+EXEC_MEM_MB = int(os.environ.get("SPARK_GRAFT_EXEC_MEM_MB", "12288"))
+
 CARDS = int(sys.argv[1]) if len(sys.argv) > 1 else 150_000
 FRONTIER_URLS = int(sys.argv[2]) if len(sys.argv) > 2 else 4_000_000
 REPEATS = int(sys.argv[3]) if len(sys.argv) > 3 else 2
-N_LO = int(sys.argv[4]) if len(sys.argv) > 4 else 2
-N_HI = int(sys.argv[5]) if len(sys.argv) > 5 else 8
+N_LO = int(sys.argv[4]) if len(sys.argv) > 4 else (1 if CLUSTER else 2)
+N_HI = int(sys.argv[5]) if len(sys.argv) > 5 else (4 if CLUSTER else 8)
 
 WORKER = r"""
 import json, sys, time, tempfile, shutil, os
 sys.path.insert(0, {repo!r})
 os.environ["SPARK_GRAFT_CPUS"] = str({cpus})
+master = {master!r}
+if master:
+    os.environ["SPARK_GRAFT_MASTER"] = master
 os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
 from crawler_spark.session import get_spark
 from pyspark.sql import functions as F
@@ -112,9 +126,16 @@ print("RESULT " + json.dumps({{
 
 
 def run(cpus: int, mode: str) -> dict:
+    if CLUSTER:
+        master = f"local-cluster[{cpus},{EXEC_CORES},{EXEC_MEM_MB}]"
+        total_cores = cpus * EXEC_CORES
+    else:
+        master = ""
+        total_cores = cpus
     code = WORKER.format(repo=str(Path(__file__).resolve().parent.parent),
-                         cpus=cpus, cards=CARDS, frontier_urls=FRONTIER_URLS,
-                         mode=mode)
+                         cpus=total_cores, cards=CARDS,
+                         frontier_urls=FRONTIER_URLS, mode=mode,
+                         master=master)
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=3600)
     for line in out.stdout.splitlines():
@@ -123,7 +144,7 @@ def run(cpus: int, mode: str) -> dict:
             print(json.dumps(r), flush=True)
             return r
     raise RuntimeError(
-        f"no RESULT from local[{cpus}] {mode}:\n"
+        f"no RESULT from {master or f'local[{cpus}]'} {mode}:\n"
         f"{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
     )
 
