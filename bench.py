@@ -229,6 +229,35 @@ def main() -> None:
         fn(spark, SF_DIR).count()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # ---- parse-kernel micro-bench (driver Python, no Spark) -------------
+    # cards/sec of the P1-P15 kernel over the REAL reference fixture pages
+    # (~57 KB each) — the per-core floor of crawl parsing.  The crawl
+    # workload's synthetic pages are ~2 KB all-card-content, so the pruned
+    # jump-scan kernel's gains on real page shapes only show here.
+    import glob as _glob
+
+    from crawler_spark.html.pet911 import parse_card as _parse_card
+
+    _fixtures = [
+        open(f, "rb").read().decode("utf-8", "replace")
+        for f in sorted(
+            _glob.glob("/root/reference/data/20240114/petCard_*.html.dump")
+        )
+    ]
+    if _fixtures:
+        for d in _fixtures:  # warm (regex caches, index paths)
+            _parse_card(d)
+        _kn = max(1, 400 // len(_fixtures))
+        _t0 = time.perf_counter()
+        for _ in range(_kn):
+            for d in _fixtures:
+                _parse_card(d)
+        _kdt = time.perf_counter() - _t0
+        timings["parse_kernel_fixtures"] = round(_kdt / _kn / len(_fixtures), 5)
+        kernel_cards_per_sec = round(_kn * len(_fixtures) / _kdt, 1)
+    else:
+        kernel_cards_per_sec = None
+
     fetched = crawl_runs[0]["fetched"]
     total = round(sum(timings.values()), 3)
     out = {
@@ -253,6 +282,7 @@ def main() -> None:
         "frontier_urls_per_sec_best": round(
             BENCH_FRONTIER_URLS / min(frontier_secs), 1
         ),
+        "parse_kernel_cards_per_sec": kernel_cards_per_sec,
         "runs": {
             "crawl_waves": crawl_runs,
             "frontier_select": frontier_runs,
