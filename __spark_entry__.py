@@ -2357,6 +2357,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_temperature_mix"] = corpus_temperature_mix
 
+    def doc_c4_filters(spark, sf_dir):
+        # C4-style line/document quality filters (Raffel 2020 §2.2):
+        # terminal-punctuation + min-words + no-javascript line keeps, doc
+        # drops on lorem-ipsum / brace / too-few-kept-lines; pure codegen
+        from crawler_spark.operators.corpus import c4_quality_flags
+
+        return c4_quality_flags(_docs_text_double(spark, sf_dir))
+
+    q["doc_c4_filters"] = doc_c4_filters
+
     return _driver_gate_order(q)
 
 
@@ -2820,6 +2830,37 @@ def oracle_sql() -> dict[str, str]:
             AND ellipsis_frac < 0.3 AND dup_line_frac < 0.3
             AND top2_frac < 0.2) AS keep
     FROM b2 JOIN t2 USING (doc_id)
+    """
+
+    # C4-style line/doc filters (Raffel 2020 §2.2): a kept line is trimmed,
+    # ends in terminal punctuation, has >=5 whitespace words (shared
+    # tokenizer rule), and lacks "javascript"; the doc drops on <3 kept
+    # lines, "lorem ipsum", or a brace.
+    o["doc_c4_filters"] = """
+    WITH base AS (
+      SELECT doc_id, text,
+             string_split(text, chr(10)) AS lines,
+             list_transform(string_split(text, chr(10)), x -> trim(x)) AS tl
+      FROM documents
+    ),
+    flags AS (
+      SELECT doc_id,
+        len(lines)::bigint AS n_lines,
+        len(list_filter(tl,
+            l -> regexp_matches(l, '[.!?"]$')
+                 AND len(list_filter(string_split_regex(l, '\\s+'),
+                                     w -> w <> '')) >= 5
+                 AND NOT contains(lower(l), 'javascript')))::bigint
+          AS n_kept_lines,
+        len(list_filter(tl, l -> contains(lower(l), 'javascript')))::bigint
+          AS js_lines,
+        contains(lower(text), 'lorem ipsum') AS has_lorem,
+        contains(text, '{') AS has_brace
+      FROM base
+    )
+    SELECT doc_id, n_lines, n_kept_lines, js_lines, has_lorem, has_brace,
+           (n_kept_lines >= 3 AND NOT has_lorem AND NOT has_brace) AS keep
+    FROM flags
     """
 
     # full clean_corpus composition: quality+lang gate → C4 line dedup →

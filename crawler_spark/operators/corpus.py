@@ -380,6 +380,54 @@ def clean_corpus_funnel(docs: DataFrame, text_col: str = "text",
     return out
 
 
+def c4_quality_flags(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     min_words_per_line: int = 5,
+                     min_kept_lines: int = 3) -> DataFrame:
+    """C4-style line/document filters (Raffel et al. 2020 §2.2), the other
+    canonical web-text cleaning rulebook next to :func:`gopher_quality_flags`:
+    keep only lines that end in terminal punctuation (``. ! ? "``) and have
+    at least ``min_words_per_line`` words and no "javascript" token; drop
+    documents with fewer than ``min_kept_lines`` surviving lines, any
+    "lorem ipsum", or a ``{`` (code page signal).
+
+    Everything is per-row array arithmetic over ``split(text, '\\n')`` —
+    zero shuffles, whole-stage codegen, scan-stage at any corpus size.
+    Line-word counting uses the same whitespace-token rule as the shared
+    tokenizer so the DuckDB oracle agrees exactly.
+
+    Returns (id_col, n_lines, n_kept_lines, js_lines, has_lorem, has_brace,
+    keep).
+    """
+    lines = F.split(F.col(text_col), "\n", -1)
+    trimmed = F.transform(lines, F.trim)
+    wordsish = lambda l: F.size(  # noqa: E731 — local readability
+        F.filter(F.split(l, r"\s+", -1), lambda w: w != "")
+    )
+    is_js = lambda l: F.lower(l).contains("javascript")  # noqa: E731
+    kept = F.filter(
+        trimmed,
+        lambda l: l.rlike(r'[.!?"]$')
+        & (wordsish(l) >= min_words_per_line)
+        & ~is_js(l),
+    )
+    lowered = F.lower(F.col(text_col))
+    out = docs.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        F.size(F.filter(trimmed, is_js)).cast("long").alias("js_lines"),
+        lowered.contains("lorem ipsum").alias("has_lorem"),
+        F.col(text_col).contains("{").alias("has_brace"),
+    )
+    keep = (
+        (F.col("n_kept_lines") >= min_kept_lines)
+        & ~F.col("has_lorem")
+        & ~F.col("has_brace")
+    )
+    return out.select("*", keep.alias("keep"))
+
+
 def gopher_quality_flags(docs: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id",
                          min_words: int = 50, max_words: int = 100_000,
