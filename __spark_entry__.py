@@ -2367,6 +2367,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_c4_filters"] = doc_c4_filters
 
+    def doc_repetition_signature(spark, sf_dir):
+        # full Gopher repetition signature (Rae 2021 A1): top-{2,3,4}-gram
+        # char fractions, dup-{5..10}-gram coverage char fractions (overlap
+        # counted once), dup-line char fraction — doc-keyed shuffles only
+        from crawler_spark.operators.corpus import repetition_signature
+
+        return repetition_signature(_docs_text_double(spark, sf_dir))
+
+    q["doc_repetition_signature"] = doc_repetition_signature
+
     return _driver_gate_order(q)
 
 
@@ -2861,6 +2871,125 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id, n_lines, n_kept_lines, js_lines, has_lorem, has_brace,
            (n_kept_lines >= 3 AND NOT has_lorem AND NOT has_brace) AS keep
     FROM flags
+    """
+
+    # full Gopher repetition signature (Rae 2021 A1): top-n-gram char
+    # fractions (n=2..4), duplicate-n-gram coverage char fractions
+    # (n=5..10, overlapping positions counted once), dup-line char
+    # fraction.  Token chars exclude separators (len(gram) minus spaces).
+    o["doc_repetition_signature"] = """
+    WITH b2 AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks,
+             string_split(text, chr(10)) AS lines,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS n_toks,
+             greatest(list_sum(list_transform(
+                 string_split_regex(trim(lower(text)), '\\s+'),
+                 t -> len(t))), 1)::bigint AS tot_chars
+      FROM documents
+    ),
+    gn AS (
+      SELECT doc_id, toks, n_toks, tot_chars,
+             unnest([2,3,4,5,6,7,8,9,10]) AS n
+      FROM b2
+    ),
+    gi AS (
+      SELECT doc_id, toks, n_toks, tot_chars, n,
+             unnest(range(1, greatest(n_toks - n + 1, 1) + 1)) AS i
+      FROM gn
+    ),
+    grams AS (
+      SELECT doc_id, n_toks, tot_chars, n, i,
+             array_to_string(toks[i : i + n - 1], ' ') AS gram
+      FROM gi
+    ),
+    counts AS (
+      SELECT doc_id, n, gram, count(*) AS c, min(tot_chars) AS tot_chars
+      FROM grams GROUP BY doc_id, n, gram
+    ),
+    topf AS (
+      SELECT doc_id, n,
+             round(max(c * len(replace(gram, ' ', '')))::double
+                   / min(tot_chars)::double, 6) AS frac,
+             'top' AS src
+      FROM counts WHERE n IN (2,3,4) GROUP BY doc_id, n
+    ),
+    dupgr AS (
+      SELECT doc_id, n, gram FROM counts WHERE n >= 5 AND c >= 2
+    ),
+    covp AS (
+      SELECT DISTINCT doc_id, n, p FROM (
+        SELECT g.doc_id, g.n,
+               unnest(range(g.i, least(g.i + g.n - 1, g.n_toks) + 1)) AS p
+        FROM grams g JOIN dupgr USING (doc_id, n, gram)
+      )
+    ),
+    toklen AS (
+      SELECT doc_id,
+             unnest(range(1, len(toks) + 1)) AS p,
+             unnest(list_transform(toks, t -> len(t))) AS tlen
+      FROM b2
+    ),
+    dupf AS (
+      SELECT c.doc_id, c.n,
+             round(sum(t.tlen)::double / min(b.tot_chars)::double, 6) AS frac,
+             'dup' AS src
+      FROM covp c
+      JOIN toklen t USING (doc_id, p)
+      JOIN b2 b USING (doc_id)
+      GROUP BY c.doc_id, c.n
+    ),
+    lc AS (
+      SELECT doc_id, line, count(*) AS c FROM (
+        SELECT doc_id, unnest(lines) AS line FROM b2
+      ) GROUP BY doc_id, line
+    ),
+    linef AS (
+      SELECT doc_id,
+             round(sum(CASE WHEN c >= 2 THEN len(line) * c ELSE 0 END)::double
+                   / greatest(sum(len(line) * c), 1)::double, 6)
+               AS dup_line_char_frac
+      FROM lc GROUP BY doc_id
+    ),
+    wide AS (
+      SELECT doc_id,
+        max(CASE WHEN src='top' AND n=2 THEN frac END) AS top2_char_frac,
+        max(CASE WHEN src='top' AND n=3 THEN frac END) AS top3_char_frac,
+        max(CASE WHEN src='top' AND n=4 THEN frac END) AS top4_char_frac,
+        max(CASE WHEN src='dup' AND n=5 THEN frac END) AS dup5_char_frac,
+        max(CASE WHEN src='dup' AND n=6 THEN frac END) AS dup6_char_frac,
+        max(CASE WHEN src='dup' AND n=7 THEN frac END) AS dup7_char_frac,
+        max(CASE WHEN src='dup' AND n=8 THEN frac END) AS dup8_char_frac,
+        max(CASE WHEN src='dup' AND n=9 THEN frac END) AS dup9_char_frac,
+        max(CASE WHEN src='dup' AND n=10 THEN frac END) AS dup10_char_frac
+      FROM (SELECT doc_id, n, frac, src FROM topf
+            UNION ALL SELECT doc_id, n, frac, src FROM dupf)
+      GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           coalesce(top2_char_frac, 0.0) AS top2_char_frac,
+           coalesce(top3_char_frac, 0.0) AS top3_char_frac,
+           coalesce(top4_char_frac, 0.0) AS top4_char_frac,
+           coalesce(dup5_char_frac, 0.0) AS dup5_char_frac,
+           coalesce(dup6_char_frac, 0.0) AS dup6_char_frac,
+           coalesce(dup7_char_frac, 0.0) AS dup7_char_frac,
+           coalesce(dup8_char_frac, 0.0) AS dup8_char_frac,
+           coalesce(dup9_char_frac, 0.0) AS dup9_char_frac,
+           coalesce(dup10_char_frac, 0.0) AS dup10_char_frac,
+           coalesce(l.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+           (coalesce(l.dup_line_char_frac, 0.0) < 0.20
+            AND coalesce(top2_char_frac, 0.0) < 0.20
+            AND coalesce(top3_char_frac, 0.0) < 0.18
+            AND coalesce(top4_char_frac, 0.0) < 0.16
+            AND coalesce(dup5_char_frac, 0.0) < 0.15
+            AND coalesce(dup6_char_frac, 0.0) < 0.14
+            AND coalesce(dup7_char_frac, 0.0) < 0.13
+            AND coalesce(dup8_char_frac, 0.0) < 0.12
+            AND coalesce(dup9_char_frac, 0.0) < 0.11
+            AND coalesce(dup10_char_frac, 0.0) < 0.10) AS keep
+    FROM b2 b
+    LEFT JOIN wide USING (doc_id)
+    LEFT JOIN linef l USING (doc_id)
     """
 
     # full clean_corpus composition: quality+lang gate → C4 line dedup →

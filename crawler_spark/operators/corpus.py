@@ -515,6 +515,186 @@ def gopher_quality_flags(docs: DataFrame, text_col: str = "text",
     )
 
 
+def repetition_signature(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         top_ns: tuple = (2, 3, 4),
+                         dup_ns: tuple = (5, 6, 7, 8, 9, 10),
+                         top_max: tuple = (0.20, 0.18, 0.16),
+                         dup_max: tuple = (0.15, 0.14, 0.13, 0.12, 0.11, 0.10),
+                         max_dup_line_char_frac: float = 0.20) -> DataFrame:
+    """The complete Gopher repetition signature (Rae et al. 2021, table A1)
+    — the char-fraction rules :func:`gopher_quality_flags` only samples:
+
+    * ``top{n}_char_frac`` (n in ``top_ns``): chars of all occurrences of
+      the single most frequent word n-gram / total token chars,
+    * ``dup{n}_char_frac`` (n in ``dup_ns``): chars of token positions
+      covered by ANY n-gram occurring >= 2 times in the doc, counted once
+      per position (the "don't double count overlaps" rule),
+    * ``dup_line_char_frac``: chars in lines occurring >= 2 times / total
+      line chars.
+
+    Tokens are the shared whitespace tokenizer; token chars exclude
+    separators, so a gram's chars = len(gram string minus spaces).
+
+    Scale shape: ONE n-gram explode over ``len(top_ns)+len(dup_ns)`` n
+    values (~9x the token stream — run per-n or on a sample if that
+    multiplier hurts at full corpus size); every aggregate/join keys on
+    ``(doc_id[, n, gram])`` or ``(doc_id, position)`` — uniform, no skew,
+    no global window, no all-pairs.  Coverage dedup is a distinct on
+    (doc, n, position), again doc-keyed.
+
+    Returns (id_col, top{n}_char_frac..., dup{n}_char_frac...,
+    dup_line_char_frac, keep) with Gopher's A1 thresholds.
+    """
+    from ..functions.text import tokens as _tokens
+
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    base = docs.select(
+        F.col(id_col),
+        _tokens(F.col(text_col)).alias("toks"),
+        F.split(F.col(text_col), "\n", -1).alias("lines"),
+    ).select(
+        F.col(id_col), "toks", "lines",
+        F.size("toks").alias("n_toks"),
+        F.greatest(
+            F.aggregate(
+                "toks", F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+            ),
+            F.lit(1).cast("long"),
+        ).alias("tot_chars"),
+    )
+    grams = (
+        base.select(
+            id_col, "toks", "n_toks", "tot_chars",
+            F.explode(F.array(*[F.lit(int(n)) for n in all_ns])).alias("n"),
+        )
+        .select(
+            id_col, "toks", "n_toks", "tot_chars", "n",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.col("n_toks") - F.col("n") + 1, F.lit(1)),
+                )
+            ).alias("i"),
+        )
+        .select(
+            id_col, "n_toks", "tot_chars", "n", "i",
+            F.array_join(F.slice("toks", F.col("i"), F.col("n")), " ")
+            .alias("gram"),
+        )
+    )
+    counts = grams.groupBy(id_col, "n", "gram").agg(
+        F.count(F.lit(1)).alias("c"), F.min("tot_chars").alias("tot_chars")
+    )
+    topf = (
+        counts.where(F.col("n").isin([int(n) for n in top_ns]))
+        .groupBy(id_col, "n")
+        .agg(
+            F.round(
+                F.max(
+                    F.col("c") * F.length(F.translate(F.col("gram"), " ", ""))
+                ).cast("double")
+                / F.min("tot_chars").cast("double"),
+                6,
+            ).alias("frac")
+        )
+        .select(id_col, "n", "frac", F.lit("top").alias("src"))
+    )
+    dupg = counts.where(
+        F.col("n").isin([int(n) for n in dup_ns]) & (F.col("c") >= 2)
+    ).select(id_col, "n", "gram")
+    covp = (
+        grams.join(dupg, [id_col, "n", "gram"])
+        .select(
+            id_col, "n",
+            F.explode(
+                F.sequence(
+                    F.col("i"),
+                    F.least(F.col("i") + F.col("n") - 1, F.col("n_toks")),
+                )
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    toklen = base.select(
+        F.col(id_col), F.posexplode("toks").alias("p0", "t")
+    ).select(id_col, (F.col("p0") + 1).alias("p"), F.length("t").alias("tlen"))
+    dupf = (
+        covp.join(toklen, [id_col, "p"])
+        .join(base.select(id_col, "tot_chars"), id_col)
+        .groupBy(id_col, "n")
+        .agg(
+            F.round(
+                F.sum("tlen").cast("double") / F.min("tot_chars").cast("double"),
+                6,
+            ).alias("frac")
+        )
+        .select(id_col, "n", "frac", F.lit("dup").alias("src"))
+    )
+    linef = (
+        base.select(F.col(id_col), F.explode("lines").alias("line"))
+        .groupBy(id_col, "line")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("c") >= 2, F.length("line") * F.col("c")
+                    ).otherwise(F.lit(0))
+                ).cast("double")
+                / F.greatest(
+                    F.sum(F.length("line") * F.col("c")), F.lit(1)
+                ).cast("double"),
+                6,
+            ).alias("dup_line_char_frac")
+        )
+    )
+    fr = topf.unionByName(dupf)
+    wide = fr.groupBy(id_col).agg(
+        *[
+            F.max(
+                F.when((F.col("src") == "top") & (F.col("n") == int(n)),
+                       F.col("frac"))
+            ).alias(f"top{n}_char_frac")
+            for n in top_ns
+        ],
+        *[
+            F.max(
+                F.when((F.col("src") == "dup") & (F.col("n") == int(n)),
+                       F.col("frac"))
+            ).alias(f"dup{n}_char_frac")
+            for n in dup_ns
+        ],
+    )
+    out = (
+        base.select(id_col)
+        .join(wide, id_col, "left")
+        .join(linef, id_col, "left")
+        .select(
+            F.col(id_col),
+            *[
+                F.coalesce(F.col(f"top{n}_char_frac"), F.lit(0.0))
+                .alias(f"top{n}_char_frac")
+                for n in top_ns
+            ],
+            *[
+                F.coalesce(F.col(f"dup{n}_char_frac"), F.lit(0.0))
+                .alias(f"dup{n}_char_frac")
+                for n in dup_ns
+            ],
+            F.coalesce(F.col("dup_line_char_frac"), F.lit(0.0))
+            .alias("dup_line_char_frac"),
+        )
+    )
+    keep = F.col("dup_line_char_frac") < max_dup_line_char_frac
+    for n, mx in zip(top_ns, top_max):
+        keep = keep & (F.col(f"top{n}_char_frac") < mx)
+    for n, mx in zip(dup_ns, dup_max):
+        keep = keep & (F.col(f"dup{n}_char_frac") < mx)
+    return out.select("*", keep.alias("keep"))
+
+
 def suggest_n_buckets(corpus_rows: int | None = None,
                       total_tokens: int | None = None,
                       max_rows_per_bucket: int = 2_000_000,

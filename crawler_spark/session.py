@@ -51,6 +51,13 @@ def get_spark(app_name: str = "crawler-spark", cores: int | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local-cluster mode: executors request spark.executor.memory (1g
+        # default!) no matter how big the worker is — size the request to
+        # the worker capacity or every cluster-mode executor runs on 1 GB
+        .config(
+            "spark.executor.memory",
+            os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "1g"),
+        )
         .config("spark.ui.enabled", "false")
         # catalog home for bucketed tables (write_pages_bucketed) — session
         # catalog metadata is in-memory; only table data lands here

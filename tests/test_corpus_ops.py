@@ -1015,3 +1015,34 @@ def test_suggest_n_buckets_scales_with_data(spark):
     assert sorted(map(tuple, auto.collect())) == sorted(
         map(tuple, manual.collect())
     )
+
+
+def test_repetition_signature_pinned_values(spark):
+    from crawler_spark.operators.corpus import repetition_signature
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),                       # heavy top-gram repetition
+            (1, " ".join(f"w{i:03d}" for i in range(60))),  # 60 distinct 4-char words
+            (2, "a b c d e a b c d e"),               # repeated 5-gram, full coverage
+            (3, "hello there\nhello there\nworld line x"),  # duplicate lines
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_signature(docs).collect()}
+    # doc 0: tokens [a b a b a b], tot_chars 6; 'a b' x3 -> 3*2/6
+    assert out[0]["top2_char_frac"] == 1.0
+    assert out[0]["top3_char_frac"] == 1.0          # 'a b a' x2 -> 2*3/6
+    assert out[0]["dup5_char_frac"] == 0.0          # all 5-grams distinct
+    assert out[0]["keep"] is False
+    # doc 1: all grams unique -> top2 = 8/240
+    assert out[1]["top2_char_frac"] == round(8 / 240, 6)
+    assert out[1]["top4_char_frac"] == round(16 / 240, 6)
+    assert out[1]["dup_line_char_frac"] == 0.0
+    assert out[1]["keep"] is True
+    # doc 2: 'a b c d e' occurs at i=1 and i=6 -> every position covered once
+    assert out[2]["dup5_char_frac"] == 1.0
+    assert out[2]["dup6_char_frac"] == 0.0
+    assert out[2]["top2_char_frac"] == round(4 / 10, 6)   # 'a b' x2, chars 2
+    # doc 3: dup line chars 22 of 34
+    assert out[3]["dup_line_char_frac"] == round(22 / 34, 6)

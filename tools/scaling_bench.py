@@ -51,6 +51,7 @@ os.environ["SPARK_GRAFT_CPUS"] = str({cpus})
 master = {master!r}
 if master:
     os.environ["SPARK_GRAFT_MASTER"] = master
+    os.environ["SPARK_GRAFT_EXECUTOR_MEM"] = {exec_mem_mb!r} + "m"
 os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
 from crawler_spark.session import get_spark
 from pyspark.sql import functions as F
@@ -95,6 +96,10 @@ if mode == "crawl":
     dt = time.perf_counter() - t0; a1, i1 = cpu_counters()
     shutil.rmtree(store, ignore_errors=True)
     units = sum(s["fetched"] for s in stats)
+    steps = {{}}
+    for s in stats:
+        for k, v in s.get("step_seconds", {{}}).items():
+            steps[k] = round(steps.get(k, 0.0) + v, 2)
 else:
     from crawler_spark.operators.politeness import select_wave_salted
     from crawler_spark.operators.seen import filter_unseen
@@ -114,13 +119,14 @@ else:
     pipeline(n_ids)
     dt = time.perf_counter() - t0; a1, i1 = cpu_counters()
     units = {frontier_urls}
+    steps = {{}}
 
 busy = 1 - (i1 - i0) / max(a1 - a0, 1)
 spark.stop()
 print("RESULT " + json.dumps({{
     "mode": mode, "cpus": {cpus}, "units": units,
     "seconds": round(dt, 1), "per_sec": round(units / dt, 1),
-    "cpu_busy_cores": round(busy * 32, 1),
+    "cpu_busy_cores": round(busy * 32, 1), "steps": steps,
 }}))
 """
 
@@ -135,7 +141,7 @@ def run(cpus: int, mode: str) -> dict:
     code = WORKER.format(repo=str(Path(__file__).resolve().parent.parent),
                          cpus=total_cores, cards=CARDS,
                          frontier_urls=FRONTIER_URLS, mode=mode,
-                         master=master)
+                         master=master, exec_mem_mb=str(EXEC_MEM_MB))
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=3600)
     for line in out.stdout.splitlines():
