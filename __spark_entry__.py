@@ -2377,6 +2377,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_repetition_signature"] = doc_repetition_signature
 
+    def corpus_stratified_sample(spark, sf_dir):
+        # deterministic exact-k-per-stratum sample: k smallest md5(seed:id)
+        # per source; partitioned window + count-gated hash prefilter
+        from crawler_spark.operators.corpus import stratified_sample
+
+        return stratified_sample(
+            _docs_text_double(spark, sf_dir), "source", k=5, seed="s1"
+        )
+
+    q["corpus_stratified_sample"] = corpus_stratified_sample
+
+    def corpus_shuffle_shards(spark, sf_dir):
+        # deterministic global training shuffle: shard = h32(seed:id) % 8,
+        # in-shard order by full md5 key — windows partitioned per shard
+        from crawler_spark.operators.corpus import shuffle_shards
+
+        return shuffle_shards(_docs_text_double(spark, sf_dir), n_shards=8,
+                              seed="s1")
+
+    q["corpus_shuffle_shards"] = corpus_shuffle_shards
+
+    def doc_sentence_split(spark, sf_dir):
+        # dialect-safe regex sentence segmentation: one regexp_extract_all
+        # + posexplode, no shuffle; (doc_id, sent_idx, sentence, n_words)
+        from crawler_spark.operators.corpus import split_sentences
+
+        return split_sentences(_docs_text_double(spark, sf_dir))
+
+    q["doc_sentence_split"] = doc_sentence_split
+
     return _driver_gate_order(q)
 
 
@@ -2990,6 +3020,57 @@ def oracle_sql() -> dict[str, str]:
     FROM b2 b
     LEFT JOIN wide USING (doc_id)
     LEFT JOIN linef l USING (doc_id)
+    """
+
+    # deterministic exact-k-per-stratum sample: k smallest md5('s1:'||id)
+    # per source, ties on id (matches stratified_sample(k=5, seed='s1'))
+    o["corpus_stratified_sample"] = """
+    SELECT doc_id, source, sample_rank FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('s1:' || doc_id::varchar) ASC, doc_id ASC
+             ) AS sample_rank
+      FROM documents
+    ) WHERE sample_rank <= 5
+    """
+
+    # deterministic global shuffle: shard = h32('s1:'||id) % 8, in-shard
+    # position by full md5 key then id (matches shuffle_shards(8, 's1'))
+    o["corpus_shuffle_shards"] = f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             {_h32("'s1:' || doc_id::varchar")} % 8 AS shard_id,
+             md5('s1:' || doc_id::varchar) AS k
+      FROM documents
+    )
+    SELECT doc_id, shard_id,
+           row_number() OVER (
+             PARTITION BY shard_id ORDER BY k ASC, doc_id ASC
+           ) AS shard_pos
+    FROM keyed
+    """
+
+    # dialect-safe sentence segmentation: same RE2/Java-common pattern as
+    # corpus.SENTENCE_RE, trim, drop fragments < 2 chars, dense 0-based idx
+    o["doc_sentence_split"] = """
+    WITH segd AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(
+                 regexp_extract_all(text, '[^.!?\\n]+[.!?]*'),
+                 x -> trim(x)),
+               x -> len(x) >= 2) AS s
+      FROM documents
+    )
+    SELECT doc_id, sent_idx, sentence,
+           len(string_split_regex(sentence, '\\s+')) AS n_words
+    FROM (
+      SELECT doc_id,
+             unnest(range(0, len(s))) AS sent_idx,
+             unnest(s) AS sentence
+      FROM segd
+    )
     """
 
     # full clean_corpus composition: quality+lang gate → C4 line dedup →

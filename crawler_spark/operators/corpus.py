@@ -2096,3 +2096,124 @@ def temperature_mixture_weights(docs: DataFrame, alpha: float = 0.5,
         F.round(pa / F.col("z"), 6).alias("weight"),
         F.round(pa / F.col("z") / F.col("p"), 6).alias("oversample"),
     )
+
+
+def stratified_sample(docs: DataFrame, strata_col: str = "source",
+                      k: int = 10, seed: str = "s1",
+                      id_col: str = "doc_id",
+                      prefilter_min_rows: int = 1_000_000) -> DataFrame:
+    """Deterministic exact-k-per-stratum sampling: within each stratum keep
+    the ``k`` rows with the smallest ``md5(seed ':' id)`` — a reproducible
+    uniform draw (every id's hash rank is i.i.d.-uniform), the per-group
+    analog of :func:`hash_sample`, with ties broken on the id.
+
+    Scale shape: one hash shuffle on ``strata_col`` plus a PARTITIONED
+    window (never global).  A 100 TB stratum would still funnel into one
+    window partition, so above ``prefilter_min_rows`` rows per stratum the
+    operator first broadcasts per-stratum counts and pre-filters to rows
+    whose uniform hash position is below ``64k/n`` — a scan-stage codegen
+    predicate that keeps the expected k plus >60 sigma of slack (the
+    chance a stratum ends under k survivors is < 1e-300), so the window
+    then sorts ~64k rows per stratum instead of n.  The survivor set is a
+    superset of the k smallest hashes by construction (the filter keeps a
+    hash PREFIX), so the result is bit-identical to the plain window.
+
+    Returns (id_col, strata_col, sample_rank) — rank 1..k by hash order.
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.lit(seed), F.lit(":"),
+                         F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(key.asc(), F.col(id_col).asc())
+    base = docs.select(F.col(id_col), F.col(strata_col), key.alias("__key"))
+    counts = base.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    # uniform position of the hash in [0,1): same h32 the whole repo uses
+    pos = (h32(F.concat(F.lit(seed), F.lit(":"),
+                        F.col(id_col).cast("string"))) + F.lit(0.5)
+           ) / F.lit(4294967296.0)
+    pruned = (
+        base.join(F.broadcast(counts), strata_col)
+        .where(
+            (F.col("__n") <= F.lit(prefilter_min_rows))
+            | (pos < F.lit(64.0) * k / F.col("__n"))
+        )
+    )
+    return (
+        pruned.select(
+            id_col, strata_col,
+            F.row_number().over(w).alias("sample_rank"),
+        )
+        .where(F.col("sample_rank") <= k)
+    )
+
+
+def shuffle_shards(docs: DataFrame, n_shards: int = 8, seed: str = "s1",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Deterministic global training-data shuffle: route each doc to shard
+    ``h32(seed ':' id) % n_shards`` and order it inside the shard by the
+    full md5 key — together a reproducible uniform permutation of the
+    corpus (shard, then position), the standard "shuffle before packing /
+    epoch ordering" step of an LLM data pipeline.
+
+    Spark never materializes a global order: routing is a scan-stage
+    projection, the in-shard position is a window PARTITIONED on shard_id
+    (shards are sized ~corpus/n_shards — pick ``n_shards`` with
+    :func:`suggest_n_buckets` so one shard's sort fits an executor), and
+    different seeds give independent epoch permutations with zero state.
+    Reproducible across engines, runs, partitionings (keyed on row
+    identity, not partition position).
+
+    Returns (id_col, shard_id, shard_pos) — shard_pos is 1-based.
+    """
+    from pyspark.sql import Window
+
+    sk = F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
+    shard = (h32(sk) % n_shards).alias("shard_id")
+    key = F.md5(sk)
+    w = Window.partitionBy("shard_id").orderBy(F.col("__key").asc(),
+                                               F.col(id_col).asc())
+    return (
+        docs.select(F.col(id_col), shard, key.alias("__key"))
+        .select(
+            id_col, "shard_id",
+            F.row_number().over(w).alias("shard_pos"),
+        )
+    )
+
+
+# One sentence = a maximal run of non-terminator chars plus its trailing
+# .!? run.  Every construct is dialect-safe (same meaning in Java regex
+# and RE2) — no lookaround, which RE2 lacks.  Newlines terminate like
+# sentence punctuation so headings don't glue to the next paragraph.
+SENTENCE_RE = r"[^.!?\n]+[.!?]*"
+
+
+def split_sentences(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    min_chars: int = 2) -> DataFrame:
+    """Regex sentence segmentation — the unit step under per-sentence
+    dedup, decontamination and quality scoring.  One
+    ``regexp_extract_all`` + ``posexplode`` per doc: pure codegen
+    projection then a narrow explode, no shuffle at all (downstream
+    aggregations shuffle on (doc_id) as usual).  Sentences are trimmed;
+    fragments under ``min_chars`` chars (stray punctuation, empty lines)
+    are dropped BEFORE position assignment, so ``sent_idx`` is dense and
+    0-based over the kept sentences in document order.
+
+    Returns (id_col, sent_idx, sentence, n_words).
+    """
+    sents = F.filter(
+        F.transform(
+            F.regexp_extract_all(F.col(text_col), F.lit(SENTENCE_RE), 0),
+            lambda s: F.trim(s),
+        ),
+        lambda s: F.length(s) >= min_chars,
+    )
+    return (
+        docs.select(F.col(id_col), F.posexplode(sents).alias("sent_idx",
+                                                             "sentence"))
+        .select(
+            id_col, "sent_idx", "sentence",
+            F.size(F.split(F.col("sentence"), r"\s+", -1)).alias("n_words"),
+        )
+    )

@@ -1046,3 +1046,77 @@ def test_repetition_signature_pinned_values(spark):
     assert out[2]["top2_char_frac"] == round(4 / 10, 6)   # 'a b' x2, chars 2
     # doc 3: dup line chars 22 of 34
     assert out[3]["dup_line_char_frac"] == round(22 / 34, 6)
+
+
+def test_stratified_sample_exact_and_prefilter_identical(spark):
+    from crawler_spark.operators.corpus import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "s" + str(i % 2)) for i in range(2000)],
+        "doc_id long, source string",
+    )
+    plain = stratified_sample(docs, "source", k=3, seed="z",
+                              prefilter_min_rows=10**9).collect()
+    pruned = stratified_sample(docs, "source", k=3, seed="z",
+                               prefilter_min_rows=10).collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, pruned))
+    by_src = {}
+    for r in plain:
+        by_src.setdefault(r["source"], []).append(r["sample_rank"])
+    assert all(sorted(v) == [1, 2, 3] for v in by_src.values())
+    # short stratum: takes all rows, rank stays dense
+    small = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, source string"
+    )
+    got = stratified_sample(small, "source", k=5).collect()
+    assert len(got) == 3
+
+
+def test_shuffle_shards_permutation_properties(spark):
+    from crawler_spark.operators.corpus import shuffle_shards
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(500)], "doc_id long"
+    )
+    out = shuffle_shards(docs, n_shards=4, seed="e0").collect()
+    assert len(out) == 500 and len({r["doc_id"] for r in out}) == 500
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard_id"], []).append(r["shard_pos"])
+    # positions dense 1..size per shard; shards roughly balanced
+    for s, pos in by_shard.items():
+        assert sorted(pos) == list(range(1, len(pos) + 1))
+    sizes = sorted(len(v) for v in by_shard.values())
+    assert len(sizes) == 4 and sizes[0] > 80
+    # deterministic across runs; a different seed gives a different order
+    again = shuffle_shards(docs, n_shards=4, seed="e0").collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    other = shuffle_shards(docs, n_shards=4, seed="e1").collect()
+    assert sorted(map(tuple, other)) != sorted(map(tuple, out))
+
+
+def test_split_sentences_pinned(spark):
+    from crawler_spark.operators.corpus import split_sentences
+
+    docs = spark.createDataFrame(
+        [
+            (0, "Hello world. How are you?! Fine...\nNew para here"),
+            (1, "!. ?"),                      # only sub-min fragments
+            (2, "One sentence no punct"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = split_sentences(docs).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append(
+            (r["sent_idx"], r["sentence"], r["n_words"])
+        )
+    assert got[0] == [
+        (0, "Hello world.", 2),
+        (1, "How are you?!", 3),
+        (2, "Fine...", 1),
+        (3, "New para here", 3),
+    ]
+    assert 1 not in got          # fragments under min_chars dropped
+    assert got[2] == [(0, "One sentence no punct", 4)]
