@@ -156,7 +156,11 @@ def run(cpus: int, mode: str) -> dict:
 
 
 def main() -> None:
-    for mode in ("frontier", "crawl"):
+    # SPARK_GRAFT_SCALING_MODES=crawl (or frontier) runs just that workload
+    modes = tuple(
+        os.environ.get("SPARK_GRAFT_SCALING_MODES", "frontier,crawl").split(",")
+    )
+    for mode in modes:
         runs: dict[int, list[float]] = {N_LO: [], N_HI: []}
         for _ in range(REPEATS):          # interleaved A/B to ride out drift
             for cpus in (N_LO, N_HI):
