@@ -2400,10 +2400,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def doc_sentence_split(spark, sf_dir):
         # dialect-safe regex sentence segmentation: one regexp_extract_all
-        # + posexplode, no shuffle; (doc_id, sent_idx, sentence, n_words)
+        # + posexplode, no shuffle; (doc_id, sent_idx, sentence, n_words).
+        # The synthetic corpus has no punctuation, so the query first
+        # inserts deterministic boundaries (same global, non-overlapping,
+        # left-to-right regexp_replace in both engines) to exercise real
+        # multi-sentence splitting rather than the 1-sentence trivial path.
         from crawler_spark.operators.corpus import split_sentences
 
-        return split_sentences(_docs_text_double(spark, sf_dir))
+        docs = _docs_text_double(spark, sf_dir).select(
+            "doc_id",
+            F.regexp_replace(
+                F.col("text"), r" (table|spark|line) ", ". $1 "
+            ).alias("text"),
+        )
+        return split_sentences(docs)
 
     q["doc_sentence_split"] = doc_sentence_split
 
@@ -3054,14 +3064,20 @@ def oracle_sql() -> dict[str, str]:
     # dialect-safe sentence segmentation: same RE2/Java-common pattern as
     # corpus.SENTENCE_RE, trim, drop fragments < 2 chars, dense 0-based idx
     o["doc_sentence_split"] = """
-    WITH segd AS (
+    WITH punct AS (
+      SELECT doc_id,
+             regexp_replace(text, ' (table|spark|line) ', '. \\1 ', 'g')
+               AS text
+      FROM documents
+    ),
+    segd AS (
       SELECT doc_id,
              list_filter(
                list_transform(
                  regexp_extract_all(text, '[^.!?\\n]+[.!?]*'),
                  x -> trim(x)),
                x -> len(x) >= 2) AS s
-      FROM documents
+      FROM punct
     )
     SELECT doc_id, sent_idx, sentence,
            len(string_split_regex(sentence, '\\s+')) AS n_words
