@@ -469,12 +469,18 @@ class CrawlJob:
 
         absent = fetched.where(F.col("fetch_status") == "absent")
 
-        # The four table writes below touch DISJOINT tables and inputs, so
-        # they are submitted as concurrent Spark jobs (driver threads) — at
-        # scale the wave's fixed cost is the sum of job latencies, and
-        # parallel submission collapses it to the slowest one.  crawl_log
-        # and next_frontier stay AFTER this block: both read `parsed`, whose
-        # cache the cards commit materializes.
+        # EVERY remaining wave action — the seven table commits, the bloom
+        # fold, and the three stat aggregates — is submitted concurrently
+        # from driver threads.  The round-4 stage profiler (BENCH.md §16.2)
+        # measured the wave's fixed cost as ~10 s of SEQUENTIAL thin-job
+        # latency (each ≤0.2 s of task time behind 0.4-1.3 s of
+        # submit/barrier overhead); concurrent submission collapses that sum
+        # to the slowest member.  Sharing the `parsed`/`picked`/`fetched`
+        # caches across concurrent jobs is safe AND work-free: Spark's
+        # BlockManager takes a per-block write lock in getOrElseUpdate, so a
+        # second job needing a partition another job is already computing
+        # blocks until it lands, then reads it — partitions are computed
+        # exactly once no matter how many jobs race.
         from concurrent.futures import ThreadPoolExecutor
 
         # seen = successfully STORED resources ({dirs created} in the
@@ -494,34 +500,7 @@ class CrawlJob:
             F.sum(F.when(F.col("fetch_status") == "error", 1).otherwise(0)).alias("errors"),
         ).select(F.lit(wave).alias("wave"), "host", "fetched", "downloaded",
                  "absent", "errors")
-        with ThreadPoolExecutor(max_workers=5) as pool:
-            futures = [
-                pool.submit(self.store.commit, "cards", parsed.drop("url")),
-                pool.submit(self.store.commit, "card_photos", photo_results),
-                pool.submit(
-                    self.store.commit, "missing",
-                    absent.select("id", F.lit(wave).alias("wave")),
-                ),
-                pool.submit(self.store.commit, "seen", seen_rows),
-                pool.submit(self.store.commit, "host_metrics", host_metrics),
-            ]
-            for fut in futures:
-                fut.result()
-        if self.use_bloom:
-            # fold ONLY this wave's keys into the persisted merged filter —
-            # the seen table itself is never rescanned after wave 0.  The
-            # wave size is already known (frow), so small waves fold
-            # driver-side in milliseconds instead of a 32-task partial job.
-            self._bloom_add_wave(
-                fetched.where(F.col("fetch_status") == "downloaded").select(
-                    "url_hash"
-                ),
-                futures[3].result(),
-                n_rows=int(frow["downloaded"] or 0),
-            )
-        t0 = _mark("parallel_commits", t0)
-
-        # ---- crawl log (K5/K6, ordering evidence) ---------------------------
+        # ---- crawl log plan (K5/K6, ordering evidence) — lazy until commit
         log = fetched.select(
             F.lit(wave).alias("wave"),
             "seq",
@@ -542,10 +521,8 @@ class CrawlJob:
                 "error",
             )
         )
-        self.store.commit("crawl_log", log)
-        t0 = _mark("commit_seen_log", t0)
 
-        # ---- next frontier --------------------------------------------------
+        # ---- next frontier plan ---------------------------------------------
         # F2: transport errors (impossible against the deterministic corpus,
         # kept for the live-fetch variant) re-enter within the fib budget
         frontier_cols = [c.split(" ")[0] for c in FRONTIER_SCHEMA.split(", ")]
@@ -562,21 +539,79 @@ class CrawlJob:
             .select(*frontier_cols)
         )
         next_frontier = deferred.unionByName(photo_frontier).unionByName(retries)
-        self.store.commit("frontier", next_frontier, mode="overwrite")
-        t0 = _mark("commit_next_frontier", t0)
 
-        prow = picked.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.when(F.col("selected"), 1).otherwise(0)).alias("selected"),
-        ).collect()[0]
+        def _timed(label, fn):
+            def run():
+                ts = _time.perf_counter()
+                out = fn()
+                steps[label] = round(_time.perf_counter() - ts, 3)
+                return out
+            return run
+
+        def _seen_then_bloom():
+            # seen = successfully STORED resources; the bloom fold chains
+            # onto the commit inside the same thread (it needs the snapshot
+            # id) — this wave's keys only, the seen table is never rescanned
+            # after wave 0, and small waves fold driver-side in milliseconds.
+            snap = self.store.commit("seen", seen_rows)
+            if self.use_bloom:
+                self._bloom_add_wave(
+                    fetched.where(F.col("fetch_status") == "downloaded").select(
+                        "url_hash"
+                    ),
+                    snap,
+                    n_rows=int(frow["downloaded"] or 0),
+                )
+            return snap
+
+        with ThreadPoolExecutor(max_workers=10) as pool:
+            fut = {
+                "cards": pool.submit(_timed(
+                    "tail.cards",
+                    lambda: self.store.commit("cards", parsed.drop("url")))),
+                "card_photos": pool.submit(_timed(
+                    "tail.card_photos",
+                    lambda: self.store.commit("card_photos", photo_results))),
+                "missing": pool.submit(_timed(
+                    "tail.missing",
+                    lambda: self.store.commit(
+                        "missing",
+                        absent.select("id", F.lit(wave).alias("wave"))))),
+                "seen": pool.submit(_timed("tail.seen_bloom", _seen_then_bloom)),
+                "host_metrics": pool.submit(_timed(
+                    "tail.host_metrics",
+                    lambda: self.store.commit("host_metrics", host_metrics))),
+                "crawl_log": pool.submit(_timed(
+                    "tail.crawl_log",
+                    lambda: self.store.commit("crawl_log", log))),
+                "frontier": pool.submit(_timed(
+                    "tail.next_frontier",
+                    lambda: self.store.commit(
+                        "frontier", next_frontier, mode="overwrite"))),
+                "parsed_ok": pool.submit(_timed(
+                    "tail.parsed_ok", good_cards.count)),
+                "enqueued_photos": pool.submit(_timed(
+                    "tail.enqueued_photos", photo_frontier.count)),
+                "picked_agg": pool.submit(_timed(
+                    "tail.picked_agg",
+                    lambda: picked.agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum(F.when(F.col("selected"), 1).otherwise(0)).alias(
+                            "selected"),
+                    ).collect()[0])),
+            }
+            results = {k: f.result() for k, f in fut.items()}
+        t0 = _mark("parallel_tail", t0)
+
+        prow = results["picked_agg"]
         stats = {
             "wave": wave,
             "fetched": frow["fetched"],
             "downloaded": int(frow["downloaded"] or 0),
             "absent": int(frow["absent"] or 0),
-            "parsed_ok": good_cards.count(),
+            "parsed_ok": results["parsed_ok"],
             "deferred": int(prow["n"]) - int(prow["selected"] or 0),
-            "enqueued_photos": photo_frontier.count(),
+            "enqueued_photos": results["enqueued_photos"],
             "done": False,
         }
         _mark("stats", t0)
