@@ -19,19 +19,27 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def fanout_photos(cards_df: DataFrame) -> DataFrame:
+def fanout_photos(cards_df: DataFrame, carry: tuple = ()) -> DataFrame:
     """J1: one row per (card, photo), preserving per-card photo order as
     ``photo_seq`` (the reference posts photos in array order,
     PhotosForCardCrawler.fs:30-36 → first-failure semantics need it).
+
+    ``carry`` names extra per-card columns to thread THROUGH the explode —
+    card ids are unique, so carrying them here is plan-equivalent to
+    exploding bare and joining back on card_id, minus that join's two
+    exchanges (a generate is narrow; the join re-shuffled the whole
+    fan-out on the wave's critical path).
     """
     return (
         cards_df.where(F.col("error").isNull() & (F.size("photos") > 0))
         .select(
             F.col("id").alias("card_id"),
+            *carry,
             F.posexplode("photos").alias("photo_seq", "photo"),
         )
         .select(
             "card_id",
+            *carry,
             "photo_seq",
             F.col("photo.ID").alias("photo_id"),
             F.col("photo.url").alias("url"),

@@ -422,11 +422,15 @@ class CrawlJob:
         ).cache()
         good_cards = parsed.where(F.col("error").isNull())
 
-        # J1: photo fan-out → next wave's frontier rows
+        # J1: photo fan-out → next wave's frontier rows.  seq/num/kind ride
+        # through the explode (card ids are unique), so the fan-out is a
+        # narrow generate — no join-back shuffle on the wave's critical path.
         photo_frontier = (
-            fanout_photos(good_cards.select(F.col("id"), "photos", "error"))
-            .join(good_cards.select(F.col("id").alias("card_id"), "seq", "num", "kind"),
-                  "card_id")
+            fanout_photos(
+                good_cards.select(F.col("id"), "photos", "error",
+                                  "seq", "num", "kind"),
+                carry=("seq", "num", "kind"),
+            )
             .select(
                 (F.col("seq") * PHOTO_SEQ_SLOT + F.col("photo_seq") + 1).alias("seq"),
                 F.col("photo_id").alias("id"),
