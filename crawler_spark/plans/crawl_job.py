@@ -238,6 +238,11 @@ class CrawlJob:
                         n_rows: int | None = None) -> None:
         """Fold the freshly committed wave's keys into the merged filter and
         persist — the only per-wave filter work (the wave, never the table)."""
+        if self._bloom is None:
+            # first wave with anything stored: seen was empty until now, so
+            # the sync path had nothing to load — start a fresh filter
+            self._bloom = self._filter_new()
+            self._bloom_snap = -1
         self._filter_add(wave_keys_df, n_rows)
         self._bloom_snap = seen_snap
         if not self._filter_degraded:
@@ -297,19 +302,32 @@ class CrawlJob:
 
         t0 = _time.perf_counter()
         wave = self.next_wave_number()
+        # snapshot-summary row counts (Iceberg planner stats): the drained
+        # check is a manifest lookup, not a scan job; a None (pre-summary
+        # manifest) falls back to the scan-side isEmpty
+        n_frontier = self.store.total_rows("frontier")
+        if n_frontier == 0:
+            return {"wave": wave, "fetched": 0, "done": True}
         frontier = self.pending_frontier()
-        if frontier.isEmpty():
+        if n_frontier is None and frontier.isEmpty():
             return {"wave": wave, "fetched": 0, "done": True}
         t0 = _mark("read_frontier", t0)
 
-        seen = self._read("seen", SEEN_SCHEMA)
-        missing = self._read("missing", MISSING_SCHEMA)
-
         # C1-C3: negative cache first (reference checks missing before local
-        # presence, CrawlerPet911.fs:79-92), then the positive seen set
-        frontier = filter_not_missing(frontier, missing)
+        # presence, CrawlerPet911.fs:79-92), then the positive seen set.
+        # Both anti-joins are ELIDED when the manifest row counts prove the
+        # build side empty — the stats-based join elision a real catalog
+        # (Iceberg total-records) gives its planner.  In a fully-resolving
+        # corpus the missing table stays at 0 rows forever, so this deletes
+        # a shuffle barrier from every wave, not just wave 0.
+        if self.store.total_rows("missing") != 0:
+            missing = self._read("missing", MISSING_SCHEMA)
+            frontier = filter_not_missing(frontier, missing)
         wave_persisted: list = []  # prefilter caches to release at wave end
-        if self.use_bloom:
+        if self.store.total_rows("seen") == 0:
+            pass  # wave 0 (or nothing stored yet): no seen filter at all
+        elif self.use_bloom:
+            seen = self._read("seen", SEEN_SCHEMA)
             # incremental filter: covers all committed seen snapshots without
             # rescanning the seen table (per-wave folds; the exact anti-join
             # backstop guarantees correctness).  None ⇒ seen empty or the
@@ -334,7 +352,9 @@ class CrawlJob:
                 else filter_unseen(frontier, seen)
             )
         else:
-            frontier = filter_unseen(frontier, seen)
+            frontier = filter_unseen(
+                frontier, self._read("seen", SEEN_SCHEMA)
+            )
 
         if self.robots is not None:
             frontier = apply_robots(frontier, self.robots)

@@ -85,10 +85,23 @@ class SnapshotStore:
         data_dir = self.root / table / f"snap-{snap_id}"
         df.write.mode("overwrite").parquet(str(data_dir))
         prev_dirs = snaps[-1]["dirs"] if (snaps and mode == "append") else []
+        # Iceberg-style snapshot summary: record counts from the parquet
+        # footers just written (driver-side metadata reads, no Spark job).
+        # Planners use these the way Iceberg uses added-records/total-records
+        # — e.g. CrawlJob elides anti-joins against provably-empty tables
+        # and answers "is the frontier drained?" without a scan.
+        rows = self._dir_rows(data_dir)
+        if mode == "append" and snaps:
+            prev_total = snaps[-1].get("total_rows")
+            total = None if prev_total is None else prev_total + rows
+        else:
+            total = rows
         line = {
             "snapshot": snap_id,
             "mode": mode,
             "dirs": prev_dirs + [f"snap-{snap_id}"],
+            "rows": rows,
+            "total_rows": total,
             "ts": time.time(),
         }
         if extra:
@@ -102,6 +115,29 @@ class SnapshotStore:
         snaps.append(line)
         self._write_manifest(table, snaps)
         return snap_id
+
+    @staticmethod
+    def _dir_rows(data_dir: Path) -> int:
+        """Row count of one snapshot dir from parquet footer metadata —
+        milliseconds of driver-side file reads, never a Spark job."""
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in data_dir.glob("*.parquet")
+        )
+
+    def total_rows(self, table: str, as_of: int | None = None) -> int | None:
+        """Row count of the table's current (or ``as_of``) snapshot, from
+        manifest summaries alone.  Returns 0 for a never-committed table and
+        None when the snapshot predates summary tracking (callers must then
+        fall back to scanning) — never a wrong number."""
+        snaps = self.snapshots(table)
+        if as_of is not None:
+            snaps = [s for s in snaps if s["snapshot"] <= as_of]
+        if not snaps:
+            return 0
+        return snaps[-1].get("total_rows")
 
     def data_dirs_between(self, table: str, after: int,
                           until: int | None = None) -> list[str]:

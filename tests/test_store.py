@@ -124,3 +124,36 @@ def test_snapshot_diff_expired_raises(spark, tmp_path):
     store.expire_snapshots("t", keep_last=1)
     with _pytest.raises(ValueError):
         snapshot_diff(spark, store, "t", 0, 2, ["k"])
+
+
+def test_snapshot_summary_row_counts(spark, tmp_path):
+    """Iceberg-style snapshot summaries: rows/total_rows from parquet
+    footers, correct across append / overwrite / compaction / expiry, 0 for
+    a never-committed table, and None (never a wrong number) for manifest
+    lines that predate the summary fields."""
+    store = SnapshotStore(str(tmp_path))
+    assert store.total_rows("t") == 0             # never committed
+    _commit_range(spark, store, "t", 0, 10)       # snap 0: +10
+    assert store.snapshots("t")[-1]["rows"] == 10
+    assert store.total_rows("t") == 10
+    _commit_range(spark, store, "t", 10, 25)      # snap 1: +15
+    assert store.total_rows("t") == 25
+    assert store.total_rows("t", as_of=0) == 10   # time-travel count
+    store.commit("t", spark.range(0, 3).withColumnRenamed("id", "v"),
+                 mode="overwrite")                # snap 2: =3
+    assert store.total_rows("t") == 3
+    _commit_range(spark, store, "t", 3, 7)        # snap 3: 3+4
+    assert store.total_rows("t") == 7
+    store.compact(spark, "t")                     # snap 4 (overwrite)
+    assert store.total_rows("t") == 7
+    store.expire_snapshots("t", keep_last=1)
+    assert store.total_rows("t") == 7
+    # legacy line without summaries → None, and an append on top of it
+    # propagates the unknown instead of inventing a number
+    snaps = store.snapshots("t")
+    del snaps[-1]["rows"], snaps[-1]["total_rows"]
+    store._write_manifest("t", snaps)
+    assert store.total_rows("t") is None
+    _commit_range(spark, store, "t", 7, 9)
+    assert store.snapshots("t")[-1]["rows"] == 2
+    assert store.total_rows("t") is None
