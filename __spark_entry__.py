@@ -910,6 +910,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_mix_sources"] = corpus_mix_sources
 
+    def corpus_budget_select(spark, sf_dir):
+        # quality-ranked token-budget fill: per source, the best-scoring
+        # docs whose running token total stays within 2,500 tokens —
+        # two-phase threshold refinement (histogram + boundary-bucket-only
+        # window), equivalent to the plain per-source cumulative window
+        from crawler_spark.operators.corpus import select_until_token_budget
+
+        return select_until_token_budget(
+            _docs_text_double(spark, sf_dir), token_budget=2_500
+        )
+
+    q["corpus_budget_select"] = corpus_budget_select
+
     def event_type_pagerank(spark, sf_dir):
         # iterative graph analytics: per-user event-type transition graph →
         # 5-round weighted PageRank (fixed iteration count, identical
@@ -3266,6 +3279,26 @@ def oracle_sql() -> dict[str, str]:
     SELECT t.doc_id, t.source, t.n_tokens, r.bp
     FROM toks t JOIN rates r USING (source)
     WHERE {_h32("'mix' || doc_id::varchar")} % 10000 < r.bp
+    """
+
+    # plain-window statement of the budget fill — the Spark side's bucketed
+    # two-phase refinement must equal this exactly (integer cumulative sums,
+    # deterministic (score DESC, doc_id) tie-break shared by both engines)
+    o["corpus_budget_select"] = f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TOKCNT_SQL}::bigint AS n_tokens,
+             {_QUALITY_SQL} AS score
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, source, n_tokens, score,
+             (sum(n_tokens) OVER (
+                PARTITION BY source ORDER BY score DESC, doc_id
+                ROWS UNBOUNDED PRECEDING))::bigint AS cum_tokens
+      FROM toks
+    )
+    SELECT doc_id, source, n_tokens, score
+    FROM cum WHERE cum_tokens <= 2500
     """
 
     # 5 unrolled PageRank rounds — same arithmetic as operators/graph.py

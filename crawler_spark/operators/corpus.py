@@ -2217,3 +2217,73 @@ def split_sentences(docs: DataFrame, text_col: str = "text",
             F.size(F.split(F.col("sentence"), r"\s+", -1)).alias("n_words"),
         )
     )
+
+
+def select_until_token_budget(docs: DataFrame, token_budget: int,
+                              n_score_buckets: int = 1024,
+                              text_col: str = "text", id_col: str = "doc_id",
+                              source_col: str = "source") -> DataFrame:
+    """Quality-ranked token-budget fill: per source, keep the best-scoring
+    documents whose running token total stays within ``token_budget`` — the
+    selection step a curated pretraining mix runs after scoring (take the
+    best N tokens, not a random N tokens).
+
+    Semantics are the plain window — ``sum(n_tokens) OVER (PARTITION BY
+    source ORDER BY score DESC, doc_id) <= budget`` — but the plan is NOT a
+    corpus-wide per-source window (one source can be most of a 100 TB
+    corpus).  Two-phase threshold refinement instead:
+
+    1. histogram: one map-side-combined groupBy over (source,
+       floor(score·B)) — |sources|·B rows, tiny at any corpus size;
+    2. the per-source cumulative over that histogram (window over ≤B rows)
+       marks each bucket fully-selected / boundary / dropped;
+    3. fully-selected buckets join back broadcast + semi (scan-stage, no
+       doc shuffle); ONLY the single boundary bucket per source — expected
+       corpus/B of the data — pays an exact in-bucket window.
+
+    Bucket order is consistent with the global order (floor is monotone;
+    ties share a bucket), so the union equals the naive window exactly
+    (property-tested).  Returns (id_col, source_col, n_tokens, score).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import quality_score, token_count
+
+    toks = docs.select(
+        F.col(id_col), F.col(source_col),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        quality_score(F.col(text_col)).alias("score"),
+    ).withColumn(
+        "bkt", F.floor(F.col("score") * n_score_buckets).cast("long")
+    )
+    hist = toks.groupBy(source_col, "bkt").agg(F.sum("n_tokens").alias("btok"))
+    wb = Window.partitionBy(source_col).orderBy(F.col("bkt").desc())
+    marked = (
+        hist.withColumn("cum_before", F.sum("btok").over(wb) - F.col("btok"))
+        .withColumn(
+            "full", (F.col("cum_before") + F.col("btok")) <= token_budget
+        )
+        .withColumn(
+            "boundary", (~F.col("full")) & (F.col("cum_before") < token_budget)
+        )
+    )
+    out_cols = [id_col, source_col, "n_tokens", "score"]
+    sel_full = toks.join(
+        F.broadcast(marked.where("full").select(source_col, "bkt")),
+        [source_col, "bkt"], "left_semi",
+    ).select(*out_cols)
+    wd = Window.partitionBy(source_col, "bkt").orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    sel_boundary = (
+        toks.join(
+            F.broadcast(
+                marked.where("boundary").select(source_col, "bkt", "cum_before")
+            ),
+            [source_col, "bkt"],
+        )
+        .withColumn("cum_in", F.sum("n_tokens").over(wd))
+        .where(F.col("cum_before") + F.col("cum_in") <= token_budget)
+        .select(*out_cols)
+    )
+    return sel_full.unionByName(sel_boundary)

@@ -1120,3 +1120,47 @@ def test_split_sentences_pinned(spark):
     ]
     assert 1 not in got          # fragments under min_chars dropped
     assert got[2] == [(0, "One sentence no punct", 4)]
+
+
+def test_select_until_token_budget_equals_naive_window(spark):
+    """The bucketed two-phase refinement must equal the plain per-source
+    cumulative window (score DESC, doc_id) <= budget, across budgets that
+    land inside a bucket, between buckets, at zero, and above the corpus."""
+    from pyspark.sql import Window
+
+    from crawler_spark.functions.text import quality_score, token_count
+    from crawler_spark.operators.corpus import select_until_token_budget
+
+    rows = [
+        (i, f"s{i % 3}",
+         " ".join(f"word{j % 7}" for j in range(3 + (i * 13) % 40))
+         + ("." if i % 2 else "! Extra, STUFF?"))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    def naive(budget):
+        toks = docs.select(
+            "doc_id", "source",
+            token_count(F.col("text")).cast("long").alias("n_tokens"),
+            quality_score(F.col("text")).alias("score"),
+        )
+        w = (Window.partitionBy("source")
+             .orderBy(F.col("score").desc(), "doc_id")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        return {
+            tuple(r) for r in toks.withColumn(
+                "cum", F.sum("n_tokens").over(w)
+            ).where(F.col("cum") <= budget)
+            .select("doc_id", "source", "n_tokens", "score").collect()
+        }
+
+    for budget in (0, 5, 37, 120, 10**9):
+        # tiny bucket count forces real boundary-bucket refinement
+        for nb in (4, 1024):
+            got = {
+                tuple(r) for r in select_until_token_budget(
+                    docs, budget, n_score_buckets=nb
+                ).collect()
+            }
+            assert got == naive(budget), (budget, nb)
