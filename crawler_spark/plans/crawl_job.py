@@ -98,6 +98,12 @@ class CrawlJob:
         from ..operators.fetch import DELAY_UNIT_MS, MAX_PERMITTED_DELAY_MS
         self.retry_delay_unit_ms = retry_delay_unit_ms or DELAY_UNIT_MS
         self.retry_max_delay_ms = retry_max_delay_ms or MAX_PERMITTED_DELAY_MS
+        # wave pipelining state: one shared driver pool; per-table commit
+        # chains (a table's next commit waits on its previous one, so
+        # snapshot ids can never race); the deferred-finalize queue
+        self._pool_obj = None
+        self._last_commit: dict = {}
+        self._pending: list = []
         # incremental seen-filter state: the merged filter (bloom or the
         # deletion-capable cuckoo variant, north_rule "bloom/cuckoo") and the
         # seen snapshot id it covers; persisted per wave under seen_bloom/ so
@@ -257,6 +263,65 @@ class CrawlJob:
         tmp.write_bytes(self._bloom.to_bytes())
         os.replace(tmp, path)  # atomic, like the manifest
 
+    # ------------------------------------------------------ wave pipelining
+    @property
+    def _pool(self):
+        """Shared driver thread pool for wave-tail jobs.  16 workers is
+        deadlock-safe by construction: pipeline depth is capped at 2 waves
+        (see run_wave head), each wave submits ≤12 tasks, and a wave's
+        tasks only ever wait on the PREVIOUS wave's — which were submitted
+        first, so FIFO worker assignment means they already hold workers
+        and can always make progress (they depend only on a fully-drained
+        wave)."""
+        if self._pool_obj is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool_obj = ThreadPoolExecutor(
+                max_workers=16, thread_name_prefix="crawl-tail"
+            )
+        return self._pool_obj
+
+    def _submit_chained(self, label: str, steps: dict, table: str, fn):
+        """Submit ``fn`` chained on ``table``'s previous commit — concurrent
+        across TABLES, serialized per table, so two pipelined waves can
+        never race a snapshot id.  ``prev`` is captured HERE, on the driver
+        thread, so chain order is submission order even though the bodies
+        run on pool threads."""
+        import time as _time
+
+        prev = self._last_commit.get(table)
+
+        def run():
+            if prev is not None:
+                prev.result()
+            ts = _time.perf_counter()
+            out = fn()
+            steps[label] = round(_time.perf_counter() - ts, 3)
+            return out
+
+        fut = self._pool.submit(run)
+        self._last_commit[table] = fut
+        return fut
+
+    def _submit_commit(self, label: str, steps: dict, table: str,
+                       df: DataFrame, mode: str = "append"):
+        return self._submit_chained(
+            label, steps, table,
+            lambda: self.store.commit(table, df, mode=mode),
+        )
+
+    def _await_tables(self, *tables: str) -> None:
+        """Barrier on the commit chains the NEXT wave's plan reads."""
+        for t in tables:
+            f = self._last_commit.get(t)
+            if f is not None:
+                f.result()
+
+    def _drain_pending(self) -> None:
+        pending, self._pending = self._pending, []
+        for fin in pending:
+            fin.result()
+
     def next_wave_number(self) -> int:
         latest = self.store.latest_snapshot_id("frontier")
         return 0 if latest is None else latest + 1
@@ -287,10 +352,19 @@ class CrawlJob:
         self.store.commit("frontier", merged, mode="overwrite")
 
     # ------------------------------------------------------------------ waves
-    def run_wave(self) -> dict:
+    def run_wave(self, drain: bool = True) -> dict:
         """Execute one fetch wave; commits one snapshot per state table.
         Returns wave stats (also appended to crawl_log), including a
-        ``step_seconds`` breakdown — the per-wave lineage/metrics surface."""
+        ``step_seconds`` breakdown — the per-wave lineage/metrics surface.
+
+        ``drain=False`` pipelines waves the way a real crawler overlaps
+        fetch with store: the wave returns as soon as its tail jobs are
+        SUBMITTED, and the next wave's frontier/politeness/fetch pipeline
+        runs while this wave's cards/log/metrics commits finish.  The next
+        wave's head barriers only on the commit chains its plan actually
+        reads (frontier, seen, missing); per-table commit chaining keeps
+        snapshot ids race-free; the returned stats dict is completed in
+        place when :meth:`crawl` drains.  Pipeline depth is capped at 2."""
         import time as _time
 
         steps: dict[str, float] = {}
@@ -301,6 +375,12 @@ class CrawlJob:
             return now
 
         t0 = _time.perf_counter()
+        # pipeline-depth cap (deadlock-safe pool sizing, see _pool) + the
+        # head barrier: everything this wave's PLAN reads must be committed
+        while len(self._pending) > 1:
+            self._pending.pop(0).result()
+        self._await_tables("frontier", "seen", "missing")
+        t0 = _mark("await_prev_wave", t0)
         wave = self.next_wave_number()
         # snapshot-summary row counts (Iceberg planner stats): the drained
         # check is a manifest lookup, not a scan job; a None (pre-summary
@@ -505,7 +585,6 @@ class CrawlJob:
         # second job needing a partition another job is already computing
         # blocks until it lands, then reads it — partitions are computed
         # exactly once no matter how many jobs race.
-        from concurrent.futures import ThreadPoolExecutor
 
         # seen = successfully STORED resources ({dirs created} in the
         # reference) — absent goes to `missing`, transport errors stay out
@@ -588,65 +667,65 @@ class CrawlJob:
                 )
             return snap
 
-        with ThreadPoolExecutor(max_workers=10) as pool:
-            fut = {
-                "cards": pool.submit(_timed(
-                    "tail.cards",
-                    lambda: self.store.commit("cards", parsed.drop("url")))),
-                "card_photos": pool.submit(_timed(
-                    "tail.card_photos",
-                    lambda: self.store.commit("card_photos", photo_results))),
-                "missing": pool.submit(_timed(
-                    "tail.missing",
-                    lambda: self.store.commit(
-                        "missing",
-                        absent.select("id", F.lit(wave).alias("wave"))))),
-                "seen": pool.submit(_timed("tail.seen_bloom", _seen_then_bloom)),
-                "host_metrics": pool.submit(_timed(
-                    "tail.host_metrics",
-                    lambda: self.store.commit("host_metrics", host_metrics))),
-                "crawl_log": pool.submit(_timed(
-                    "tail.crawl_log",
-                    lambda: self.store.commit("crawl_log", log))),
-                "frontier": pool.submit(_timed(
-                    "tail.next_frontier",
-                    lambda: self.store.commit(
-                        "frontier", next_frontier, mode="overwrite"))),
-                "parsed_ok": pool.submit(_timed(
-                    "tail.parsed_ok", good_cards.count)),
-                "enqueued_photos": pool.submit(_timed(
-                    "tail.enqueued_photos", photo_frontier.count)),
-                "picked_agg": pool.submit(_timed(
-                    "tail.picked_agg",
-                    lambda: picked.agg(
-                        F.count(F.lit(1)).alias("n"),
-                        F.sum(F.when(F.col("selected"), 1).otherwise(0)).alias(
-                            "selected"),
-                    ).collect()[0])),
-            }
-            results = {k: f.result() for k, f in fut.items()}
-        t0 = _mark("parallel_tail", t0)
+        fut = {
+            "cards": self._submit_commit(
+                "tail.cards", steps, "cards", parsed.drop("url")),
+            "card_photos": self._submit_commit(
+                "tail.card_photos", steps, "card_photos", photo_results),
+            "missing": self._submit_commit(
+                "tail.missing", steps, "missing",
+                absent.select("id", F.lit(wave).alias("wave"))),
+            "seen": self._submit_chained(
+                "tail.seen_bloom", steps, "seen", _seen_then_bloom),
+            "host_metrics": self._submit_commit(
+                "tail.host_metrics", steps, "host_metrics", host_metrics),
+            "crawl_log": self._submit_commit(
+                "tail.crawl_log", steps, "crawl_log", log),
+            "frontier": self._submit_commit(
+                "tail.next_frontier", steps, "frontier", next_frontier,
+                mode="overwrite"),
+            "parsed_ok": self._pool.submit(_timed(
+                "tail.parsed_ok", good_cards.count)),
+            "enqueued_photos": self._pool.submit(_timed(
+                "tail.enqueued_photos", photo_frontier.count)),
+            "picked_agg": self._pool.submit(_timed(
+                "tail.picked_agg",
+                lambda: picked.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.when(F.col("selected"), 1).otherwise(0)).alias(
+                        "selected"),
+                ).collect()[0])),
+        }
+        t_tail = _time.perf_counter()
 
-        prow = results["picked_agg"]
+        # stats returned NOW (head numbers are final; tail numbers are
+        # filled in place by the finalize task) — callers that need the
+        # complete dict drain first (run_wave default / crawl end)
         stats = {
             "wave": wave,
             "fetched": frow["fetched"],
             "downloaded": int(frow["downloaded"] or 0),
             "absent": int(frow["absent"] or 0),
-            "parsed_ok": results["parsed_ok"],
-            "deferred": int(prow["n"]) - int(prow["selected"] or 0),
-            "enqueued_photos": results["enqueued_photos"],
+            "parsed_ok": None,
+            "deferred": None,
+            "enqueued_photos": None,
             "done": False,
+            "step_seconds": steps,
         }
-        _mark("stats", t0)
-        stats["step_seconds"] = steps
-        # persist the wave metrics row (the K6 trace surface, queryable like
-        # any other table — not just a return value)
-        import json as _json
 
-        self.store.commit(
-            "wave_metrics",
-            self.spark.createDataFrame(
+        def _finalize():
+            # barrier on THIS wave's tail, complete the stats in place,
+            # persist the wave metrics row (the K6 trace surface, queryable
+            # like any other table), then release the wave's caches
+            results = {k: f.result() for k, f in fut.items()}
+            steps["parallel_tail"] = round(_time.perf_counter() - t_tail, 3)
+            prow = results["picked_agg"]
+            stats["parsed_ok"] = results["parsed_ok"]
+            stats["deferred"] = int(prow["n"]) - int(prow["selected"] or 0)
+            stats["enqueued_photos"] = results["enqueued_photos"]
+            import json as _json
+
+            return self.spark.createDataFrame(
                 [(
                     wave, int(stats["fetched"]), stats["downloaded"],
                     stats["absent"], int(stats["parsed_ok"]),
@@ -656,23 +735,48 @@ class CrawlJob:
                 "wave int, fetched long, downloaded long, absent long, "
                 "parsed_ok long, deferred long, enqueued_photos long, "
                 "step_seconds_json string",
-            ),
+            )
+
+        def _release():
+            picked.unpersist()
+            fetched.unpersist()
+            parsed.unpersist()
+            for df in wave_persisted:
+                df.unpersist()
+            return stats
+
+        # wave_metrics rides the same per-table chain as every other commit
+        # (submission order = wave order, so snapshot ids stay monotone);
+        # the metrics fn itself barriers on this wave's tail futures first.
+        # Its own duration goes to a scratch dict — the metrics row can't
+        # contain the timing of the commit that writes it.
+        metrics_fut = self._submit_chained(
+            "tail.wave_metrics", {}, "wave_metrics",
+            lambda: self.store.commit("wave_metrics", _finalize()),
         )
-        picked.unpersist()
-        fetched.unpersist()
-        parsed.unpersist()
-        for df in wave_persisted:
-            df.unpersist()
+        fin = self._pool.submit(
+            lambda: (metrics_fut.result(), _release())[1]
+        )
+        self._pending.append(fin)
+        if drain:
+            self._drain_pending()
         return stats
 
     def crawl(self, max_waves: int | None = None) -> list[dict]:
-        """Run waves until the frontier drains (D5 batch mode)."""
+        """Run waves until the frontier drains (D5 batch mode).  Waves are
+        PIPELINED: wave w+1's frontier/politeness/fetch head overlaps wave
+        w's cards/log/metrics tail (drain=False), the way a real crawler
+        overlaps fetch with store; the final drain completes every stats
+        dict in place before returning."""
         stats = []
-        while max_waves is None or len(stats) < max_waves:
-            s = self.run_wave()
-            if s.get("done"):
-                break
-            stats.append(s)
+        try:
+            while max_waves is None or len(stats) < max_waves:
+                s = self.run_wave(drain=False)
+                if s.get("done"):
+                    break
+                stats.append(s)
+        finally:
+            self._drain_pending()
         return stats
 
     # ------------------------------------------------------------ maintenance
