@@ -2430,6 +2430,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_sentence_split"] = doc_sentence_split
 
+    def corpus_kmv_distinct(spark, sf_dir):
+        # KMV (bottom-k) distinct-shingle cardinality sketch per source:
+        # scan-stage hash ceiling → tiny distinct → per-source bottom-100;
+        # estimate (k-1)*2^32/kth_min, exact fallback when k_used < k
+        from crawler_spark.operators.sketches import kmv_distinct_estimate
+
+        return kmv_distinct_estimate(
+            _docs_text_double(spark, sf_dir),
+            k=100, shingle_k=3, hash_ceiling=1_073_741_824,
+        )
+
+    q["corpus_kmv_distinct"] = corpus_kmv_distinct
+
+    def corpus_cms_heavy_hitters(spark, sf_dir):
+        # count-min-sketch calibration report: 4x1024 sketch built from the
+        # aggregated token counts (one shuffle), broadcast read-back for
+        # the true top-50, overcount column = observable CMS error
+        from crawler_spark.operators.sketches import cms_heavy_hitters
+
+        return cms_heavy_hitters(
+            _docs_text_double(spark, sf_dir), depth=4, width=1024, top_k=50
+        )
+
+    q["corpus_cms_heavy_hitters"] = corpus_cms_heavy_hitters
+
+    def corpus_pmi_bigrams(spark, sf_dir):
+        # top adjacent-bigram collocations by PMI with positional marginals
+        # and a min-count floor; ordering uses the rounded pmi so both
+        # engines cut the top-50 at identical ranks
+        from crawler_spark.operators.corpus import pmi_bigrams
+
+        return pmi_bigrams(_docs_text_double(spark, sf_dir), min_count=3,
+                           top_k=50)
+
+    q["corpus_pmi_bigrams"] = corpus_pmi_bigrams
+
     return _driver_gate_order(q)
 
 
@@ -5527,6 +5563,89 @@ def oracle_sql() -> dict[str, str]:
            round(pow(p, 0.5) / (SELECT z FROM z), 6) AS weight,
            round(pow(p, 0.5) / (SELECT z FROM z) / p, 6) AS oversample
     FROM p
+    """
+
+    # KMV sketch: identical shingle construction to the minhash chain, a
+    # scan-stage hash ceiling (2^30 = keep ~25% of the hash space), then
+    # bottom-100 distinct hashes per source.  All-integer until the final
+    # division, so the estimate doubles agree exactly.
+    o["corpus_kmv_distinct"] = f"""
+    WITH base AS (SELECT source, {_TOKS} AS toks FROM documents),
+    shingled AS (
+      SELECT source,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - {_SHINGLE_K - 1}, 1) + 1),
+               i -> array_to_string(toks[i:i+{_SHINGLE_K - 1}], ' '))) AS shingles
+      FROM base
+    ),
+    hashed AS (
+      SELECT DISTINCT source, h FROM (
+        SELECT source, {_h32('s')} AS h
+        FROM (SELECT source, unnest(shingles) AS s FROM shingled)
+      ) WHERE h < 1073741824
+    ),
+    ranked AS (
+      SELECT source, h,
+             row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+      FROM hashed
+    )
+    SELECT source, count(*)::bigint AS k_used, max(h)::bigint AS kth_min,
+           round(CASE WHEN count(*) < 100 THEN count(*)::double
+                 ELSE (count(*) - 1)::double * 4294967296.0
+                      / max(h)::double END, 6) AS est_distinct
+    FROM ranked WHERE rn <= 100
+    GROUP BY source ORDER BY source
+    """
+
+    # count-min sketch: counters sum token counts per (row, bucket) with
+    # bucket = h32('d:'||token) % 1024; read-back = min over the 4 rows.
+    o["corpus_cms_heavy_hitters"] = f"""
+    WITH tc AS (
+      SELECT t AS token, count(*)::bigint AS cnt
+      FROM (SELECT unnest({_TOKS}) AS t FROM documents)
+      GROUP BY t
+    ),
+    rows_ AS (
+      SELECT d.d, ({_h32("d.d || ':' || token")}) % 1024 AS bucket, cnt
+      FROM tc CROSS JOIN (VALUES ('0'),('1'),('2'),('3')) d(d)
+    ),
+    sketch AS (
+      SELECT d, bucket, sum(cnt)::bigint AS c FROM rows_ GROUP BY d, bucket
+    ),
+    cand AS (SELECT token, cnt FROM tc ORDER BY cnt DESC, token LIMIT 50),
+    cb AS (
+      SELECT token, cnt, d.d,
+             ({_h32("d.d || ':' || token")}) % 1024 AS bucket
+      FROM cand CROSS JOIN (VALUES ('0'),('1'),('2'),('3')) d(d)
+    )
+    SELECT cb.token, max(cb.cnt)::bigint AS true_cnt,
+           min(s.c)::bigint AS cms_est,
+           (min(s.c) - max(cb.cnt))::bigint AS overcount
+    FROM cb JOIN sketch s USING (d, bucket)
+    GROUP BY cb.token
+    ORDER BY true_cnt DESC, token
+    """
+
+    # PMI collocations: positional marginals (w1-as-left, w2-as-right),
+    # scalar N cross-joined, ordering on the ROUNDED pmi in both engines.
+    o["corpus_pmi_bigrams"] = f"""
+    WITH base AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    inst AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM (SELECT t, unnest(range(1, len(t))) AS i
+            FROM base WHERE len(t) >= 2)
+    ),
+    c12 AS (SELECT w1, w2, count(*)::bigint AS c12 FROM inst GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*)::bigint AS c1 FROM inst GROUP BY w1),
+    c2 AS (SELECT w2, count(*)::bigint AS c2 FROM inst GROUP BY w2),
+    n AS (SELECT count(*)::bigint AS n_total FROM inst)
+    SELECT w1, w2, c12,
+           round(ln(c12::double * n_total::double
+                    / (c1::double * c2::double)), 6) AS pmi
+    FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+    WHERE c12 >= 3
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 50
     """
 
     return o

@@ -2287,3 +2287,72 @@ def select_until_token_budget(docs: DataFrame, token_budget: int,
         .select(*out_cols)
     )
     return sel_full.unionByName(sel_boundary)
+
+
+def pmi_bigrams(docs: DataFrame, min_count: int = 3, top_k: int = 50,
+                text_col: str = "text") -> DataFrame:
+    """Top adjacent-bigram collocations by pointwise mutual information.
+
+    PMI(w1,w2) = ln( c12 * N / (c1 * c2) ) over the corpus's adjacent
+    token pairs, where ``N`` is the total number of bigram instances,
+    ``c1`` counts ``w1`` as a LEFT element and ``c2`` counts ``w2`` as a
+    RIGHT element (the self-consistent positional marginals, so the
+    probabilities sum to 1 on both sides).  High-PMI pairs are the
+    multi-word expressions / boilerplate phrases a tokenizer or a
+    phrase-dedup pass wants to know about before committing a vocab; the
+    ``min_count`` floor removes the classic PMI pathology of rare pairs
+    scoring highest.
+
+    Scale shape: bigram instances come from a scan-stage ``transform``
+    over ``sequence(1, n-1)`` (no self-join); the three count tables are
+    map-side-combined groupBys; the two marginal joins are vocab-sized
+    hash joins; ``N`` is one scalar aggregate broadcast back via
+    crossJoin; the final top-k is TakeOrderedAndProject.  Ordering (and
+    the top-k cut) uses the ROUNDED pmi so Spark and the DuckDB oracle
+    cut at identical ranks.
+
+    Returns (w1, w2, c12, pmi) — pmi rounded to 6 d.p. — ordered by pmi
+    descending, then (w1, w2).
+    """
+    from ..functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    inst = docs.where(F.size(toks) >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("w1"),
+                    F.element_at(toks, i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c12 = inst.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    c1 = inst.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    c2 = inst.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    n = inst.select(F.count(F.lit(1)).cast("long").alias("n_total"))
+    scored = (
+        c12.where(F.col("c12") >= min_count)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(
+                    F.col("c12").cast("double")
+                    * F.col("n_total").cast("double")
+                    / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi"), F.asc("w1"), F.asc("w2")
+    ).limit(top_k)

@@ -1,0 +1,137 @@
+"""Tests for the bounded-memory sketch operators (operators/sketches.py)
+and the PMI collocation miner (operators/corpus.pmi_bigrams)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.operators.corpus import pmi_bigrams
+from crawler_spark.operators.sketches import (
+    H32_SPACE,
+    cms_heavy_hitters,
+    kmv_distinct_estimate,
+)
+
+
+@pytest.fixture(scope="module")
+def word_docs(spark):
+    # two sources with very different distinct-shingle counts; every text
+    # is >= 3 tokens so the shingle path (not the short-doc fallback) runs
+    rows = []
+    for i in range(120):
+        rows.append(
+            ("big", i, f"alpha w{i} beta w{i + 1} gamma w{i * 7 % 97} delta")
+        )
+    for i in range(30):
+        rows.append(("small", 1000 + i, f"one two three common tail {i % 5}"))
+    return spark.createDataFrame(rows, "source string, doc_id long, text string")
+
+
+def test_kmv_exact_fallback_when_under_k(spark):
+    # 3 docs, tiny shingle universe << k  ->  k_used < k and est == exact
+    docs = spark.createDataFrame(
+        [("s", 0, "a b c"), ("s", 1, "a b c"), ("s", 2, "x y z")],
+        "source string, doc_id long, text string",
+    )
+    row = kmv_distinct_estimate(docs, k=100).collect()[0]
+    assert row["k_used"] < 100
+    exact = (
+        docs.select(F.explode(F.split(F.col("text"), " "))).distinct().count()
+    )
+    # 3-token docs yield one full-text shingle each -> 2 distinct shingles
+    assert row["k_used"] == 2
+    assert row["est_distinct"] == float(row["k_used"])
+    assert exact == 6  # sanity on the fixture, not the operator
+
+
+def test_kmv_estimate_tracks_exact_cardinality(word_docs):
+    out = {r["source"]: r for r in kmv_distinct_estimate(word_docs, k=64).collect()}
+    # exact distinct shingle counts per source for comparison
+    from crawler_spark.functions.text import shingles
+
+    exact = {
+        r["source"]: r["n"]
+        for r in word_docs.select(
+            "source", F.explode(shingles(F.col("text"), 3)).alias("s")
+        )
+        .groupBy("source")
+        .agg(F.countDistinct("s").alias("n"))
+        .collect()
+    }
+    big = out["big"]
+    assert big["k_used"] == 64
+    # KMV with k=64 has relative sd ~ 1/sqrt(62) ~ 13%; allow 3 sigma
+    assert abs(big["est_distinct"] - exact["big"]) / exact["big"] < 0.4
+    # the small source has fewer distinct shingles than k -> exact
+    small = out["small"]
+    assert small["k_used"] == exact["small"]
+    assert small["est_distinct"] == float(exact["small"])
+
+
+def test_kmv_hash_ceiling_filters_but_stays_sound(word_docs):
+    # a mid-range ceiling keeps enough survivors for the big source; the
+    # estimate must stay in the same band as the unfiltered one
+    full = {
+        r["source"]: r
+        for r in kmv_distinct_estimate(word_docs, k=32).collect()
+    }
+    filt = {
+        r["source"]: r
+        for r in kmv_distinct_estimate(
+            word_docs, k=32, hash_ceiling=H32_SPACE // 2
+        ).collect()
+    }
+    big_full, big_filt = full["big"], filt["big"]
+    if big_filt["k_used"] == 32:
+        # still saturated -> bottom-32 survivors are IDENTICAL hashes
+        # (the ceiling only removed larger ones), so the estimate is equal
+        assert big_filt["kth_min"] == big_full["kth_min"]
+        assert big_filt["est_distinct"] == big_full["est_distinct"]
+    else:
+        # undersized ceiling is visible, never silent
+        assert big_filt["k_used"] < 32
+
+
+def test_cms_never_underestimates_and_tight_when_wide(word_docs):
+    out = cms_heavy_hitters(word_docs, depth=4, width=2048, top_k=20).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r["cms_est"] >= r["true_cnt"]          # CMS one-sided error
+        assert r["overcount"] == r["cms_est"] - r["true_cnt"]
+    # with width >> vocab, collisions are rare: the heaviest token exact
+    top = out[0]
+    assert top["overcount"] <= top["true_cnt"]  # loose: far from degenerate
+    # ordering: true_cnt desc, token asc
+    counts = [r["true_cnt"] for r in out]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_cms_narrow_width_overcounts_more(word_docs):
+    wide = {
+        r["token"]: r["overcount"]
+        for r in cms_heavy_hitters(word_docs, depth=2, width=4096, top_k=10).collect()
+    }
+    narrow = {
+        r["token"]: r["overcount"]
+        for r in cms_heavy_hitters(word_docs, depth=2, width=8, top_k=10).collect()
+    }
+    assert sum(narrow.values()) > sum(wide.values())
+
+
+def test_pmi_ranks_true_collocation_first(spark):
+    # "hong kong" always adjacent; "the" is everywhere -> low PMI
+    rows = [
+        (0, "visit hong kong the city the harbor"),
+        (1, "hong kong the skyline and the peak"),
+        (2, "flights to hong kong depart the gate"),
+        (3, "the weather in hong kong is humid"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pmi_bigrams(docs, min_count=3, top_k=10).collect()
+    assert out[0]["w1"] == "hong" and out[0]["w2"] == "kong"
+    assert out[0]["c12"] == 4
+    pmis = [r["pmi"] for r in out]
+    assert pmis == sorted(pmis, reverse=True)
+    # min_count floor: nothing below 3 instances survives
+    assert all(r["c12"] >= 3 for r in out)
