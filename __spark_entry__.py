@@ -2466,6 +2466,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_pmi_bigrams"] = corpus_pmi_bigrams
 
+    def dedup_minhash_calibration(spark, sf_dir):
+        # minhash estimator calibration: signature-agreement estimate vs
+        # EXACT shingle-set Jaccard for every LSH candidate pair, zero-
+        # overlap bucket collisions surfaced (left join), never all-pairs
+        from crawler_spark.operators.dedup import minhash_calibration
+
+        return minhash_calibration(
+            _docs_text_double(spark, sf_dir),
+            num_perm=_NUM_PERM, bands=_BANDS, shingle_k=_SHINGLE_K,
+        )
+
+    q["dedup_minhash_calibration"] = dedup_minhash_calibration
+
     return _driver_gate_order(q)
 
 
@@ -5646,6 +5659,44 @@ def oracle_sql() -> dict[str, str]:
     WHERE c12 >= 3
     ORDER BY pmi DESC, w1, w2
     LIMIT 50
+    """
+
+    # minhash calibration: the sig/cand CTE chain is the shared minhash
+    # skeleton; est = elementwise signature agreement / num_perm; exact
+    # Jaccard over the SAME distinct-shingle lists the signature hashed.
+    o["dedup_minhash_calibration"] = f"""
+    WITH {_minhash_sig_sql()},
+    est AS (
+      SELECT c.id_a, c.id_b,
+             len(list_filter(range(1, {_NUM_PERM + 1}),
+                             i -> x.sig[i] = y.sig[i]))::double
+               / {_NUM_PERM}.0 AS est_j
+      FROM cand c
+      JOIN sig x ON x.doc_id = c.id_a
+      JOIN sig y ON y.doc_id = c.id_b
+    ),
+    sh AS (SELECT doc_id, unnest(shingles) AS s FROM shingled),
+    sizes AS (SELECT doc_id, count(*)::bigint AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.id_a, c.id_b, count(*)::bigint AS cmn
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT e.id_a, e.id_b,
+           round(e.est_j, 6) AS est_jaccard,
+           round(coalesce(cm.cmn, 0)::double
+                 / (sza.n + szb.n - coalesce(cm.cmn, 0))::double, 6)
+             AS jaccard,
+           round(abs(e.est_j - coalesce(cm.cmn, 0)::double
+                 / (sza.n + szb.n - coalesce(cm.cmn, 0))::double), 6)
+             AS abs_err
+    FROM est e
+    LEFT JOIN common cm USING (id_a, id_b)
+    JOIN sizes sza ON sza.doc_id = e.id_a
+    JOIN sizes szb ON szb.doc_id = e.id_b
+    ORDER BY id_a, id_b
     """
 
     return o

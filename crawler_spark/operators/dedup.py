@@ -733,3 +733,81 @@ def resolve_clusters_keep_best(docs: DataFrame, clusters: DataFrame,
         id_col, "cluster_id", "quality",
         (F.col(id_col) == F.col("keep_id")).alias("keep"),
     )
+
+
+def minhash_calibration(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", num_perm: int = 16,
+                        bands: int = 4, shingle_k: int = 3) -> DataFrame:
+    """MinHash estimator calibration over the LSH candidate pairs.
+
+    For every banding candidate pair, reports the signature-agreement
+    estimate ``est_jaccard = |{p : h_p(a) = h_p(b)}| / num_perm`` next to
+    the EXACT shingle-set Jaccard, plus ``abs_err``.  This is the
+    pre-flight evidence for the dedup threshold choice: before trusting
+    "minhash >= 0.7 means duplicate" on the 100 TB corpus, measure how
+    tight the num_perm-permutation estimator actually is on a sample —
+    the empirical counterpart of the sd = sqrt(J(1-J)/num_perm) bound.
+
+    Scale shape: reuses the banded candidate generation (never all-pairs);
+    the signature join is two hash joins against the num_perm flat-column
+    signature table; the exact Jaccard is the same explode/semi-join-count
+    skeleton as :func:`ngram_jaccard_pairs` but over SHINGLE sets (what
+    minhash actually estimates, unlike the token-set verifier).  Pairs
+    whose bucket collision shares no shingle at all surface with
+    ``jaccard = 0`` (left join + coalesce), not silently dropped — those
+    are exactly the false-positive rate the calibration wants visible.
+
+    Returns (id_a, id_b, est_jaccard, jaccard, abs_err) ordered by
+    (id_a, id_b).
+    """
+    cand = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands,
+                                  shingle_k)
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
+    sa = sigs.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"h{p}").alias(f"a{p}") for p in range(num_perm)],
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"h{p}").alias(f"b{p}") for p in range(num_perm)],
+    )
+    matches = None
+    for p in range(num_perm):
+        m = F.when(F.col(f"a{p}") == F.col(f"b{p}"), 1).otherwise(0)
+        matches = m if matches is None else matches + m
+    est = cand.join(sa, "id_a").join(sb, "id_b").select(
+        "id_a", "id_b",
+        (matches.cast("double") / F.lit(float(num_perm))).alias("est_j"),
+    )
+
+    sh = _ensure_parallelism(df, id_col).select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), shingle_k)).alias("s"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    ha = sh.select(F.col(id_col).alias("id_a"), "s")
+    hb = sh.select(F.col(id_col).alias("id_b"), "s")
+    common = (
+        cand.join(ha, "id_a")
+        .join(hb, ["id_b", "s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    joined = (
+        est.join(common, ["id_a", "id_b"], "left")
+        .na.fill({"common": 0})
+        .join(sizes.select(F.col(id_col).alias("id_a"),
+                           F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"),
+                           F.col("n").alias("nb")), "id_b")
+    )
+    jac = (
+        F.col("common").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("common")).cast("double")
+    )
+    return joined.select(
+        "id_a", "id_b",
+        F.round(F.col("est_j"), 6).alias("est_jaccard"),
+        F.round(jac, 6).alias("jaccard"),
+        F.round(F.abs(F.col("est_j") - jac), 6).alias("abs_err"),
+    ).orderBy("id_a", "id_b")

@@ -135,3 +135,27 @@ def test_pmi_ranks_true_collocation_first(spark):
     assert pmis == sorted(pmis, reverse=True)
     # min_count floor: nothing below 3 instances survives
     assert all(r["c12"] >= 3 for r in out)
+
+
+def test_minhash_calibration_est_vs_exact(spark):
+    from crawler_spark.operators.dedup import minhash_calibration
+
+    base = "the quick brown fox jumps over the lazy dog near the red barn"
+    rows = [
+        (1, base),
+        (2, base + " tonight"),                      # near-dup of 1
+        (3, "completely different text about spark shuffles and joins ok"),
+        (4, base),                                   # exact dup of 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["id_a"], r["id_b"]): r
+           for r in minhash_calibration(docs).collect()}
+    assert (1, 4) in out                 # exact dup must be a candidate
+    exact_pair = out[(1, 4)]
+    assert exact_pair["est_jaccard"] == 1.0
+    assert exact_pair["jaccard"] == 1.0
+    assert exact_pair["abs_err"] == 0.0
+    for r in out.values():               # estimator consistency everywhere
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert 0.0 <= r["jaccard"] <= 1.0
+        assert abs(r["abs_err"] - abs(r["est_jaccard"] - r["jaccard"])) < 2e-6
