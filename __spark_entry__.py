@@ -2479,6 +2479,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_minhash_calibration"] = dedup_minhash_calibration
 
+    def dedup_editdist_verify(spark, sf_dir):
+        # order-sensitive second-opinion verifier: bounded-prefix
+        # Levenshtein (JVM codegen) over the banded LSH candidate pairs —
+        # never all-pairs, per-pair cost capped at prefix_len^2
+        from crawler_spark.operators.dedup import levenshtein_verify
+
+        return levenshtein_verify(
+            _docs_text_double(spark, sf_dir), prefix_len=200,
+            num_perm=_NUM_PERM, bands=_BANDS, shingle_k=_SHINGLE_K,
+        )
+
+    q["dedup_editdist_verify"] = dedup_editdist_verify
+
+    def host_fetch_hhi(spark, sf_dir):
+        # frontier-fairness dashboard row: HHI / effective-host-count /
+        # top-share concentration of fetch traffic (host ≙ custkey mod 97);
+        # two hash aggs + TakeOrdered, no global window, no pairwise join
+        from crawler_spark.operators.politeness import (
+            host_fetch_concentration,
+        )
+
+        orders = _t(spark, sf_dir, "orders")
+        fetches = orders.select(
+            F.concat(
+                F.lit("h"),
+                F.pmod(F.col("o_custkey"), F.lit(97)).cast("string"),
+            ).alias("host")
+        )
+        return host_fetch_concentration(fetches, "host", top_n=10)
+
+    q["host_fetch_hhi"] = host_fetch_hhi
+
+    def page_feed_discovery(spark, sf_dir):
+        # RSS/Atom autodiscovery: <link rel="alternate"> extraction from
+        # HTML synthesized around each document (stylesheet link is the
+        # negative case; every 3rd doc also advertises an atom feed)
+        from crawler_spark.operators.web import discover_feeds
+
+        docs = _docs_text_double(spark, sf_dir)
+        html = F.concat(
+            F.lit('<head><link rel="stylesheet" href="/s.css">'
+                  '<link rel="alternate" type="application/rss+xml"'
+                  ' title="doc '),
+            F.col("doc_id").cast("string"),
+            F.lit('" href="/feed/'),
+            F.col("doc_id").cast("string"),
+            F.lit('.xml">'),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit('<link rel="alternate"'
+                          ' type="application/atom+xml" title="src '),
+                    F.col("source"),
+                    F.lit('" href="https://ex.org/atom/'),
+                    F.col("source"),
+                    F.lit('">'),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("</head>"),
+        )
+        return discover_feeds(docs.select("doc_id", html.alias("html")))
+
+    q["page_feed_discovery"] = page_feed_discovery
+
     return _driver_gate_order(q)
 
 
@@ -5697,6 +5761,83 @@ def oracle_sql() -> dict[str, str]:
     JOIN sizes sza ON sza.doc_id = e.id_a
     JOIN sizes szb ON szb.doc_id = e.id_b
     ORDER BY id_a, id_b
+    """
+
+    # bounded-prefix Levenshtein over the same banded candidate pairs;
+    # DuckDB's levenshtein() and Spark's F.levenshtein are both the
+    # classic unit-cost DP, and the prefixes are plain ASCII
+    o["dedup_editdist_verify"] = f"""
+    WITH {_minhash_sig_sql()},
+    pref AS (
+      SELECT doc_id, substr(text, 1, 200) AS pref,
+             length(substr(text, 1, 200))::bigint AS plen
+      FROM documents
+    )
+    SELECT c.id_a, c.id_b, a.plen AS len_a, b.plen AS len_b,
+           levenshtein(a.pref, b.pref)::bigint AS lev_dist,
+           CASE WHEN greatest(a.plen, b.plen) = 0 THEN 1.0
+                ELSE round(1.0 - levenshtein(a.pref, b.pref)::double
+                           / greatest(a.plen, b.plen)::double, 6)
+           END AS norm_sim
+    FROM cand c
+    JOIN pref a ON a.doc_id = c.id_a
+    JOIN pref b ON b.doc_id = c.id_b
+    ORDER BY id_a, id_b
+    """
+
+    # concentration report mirrors the Spark arithmetic order exactly:
+    # hhi = sum_sq / (n_fetches*n_fetches)::double, eff = 1.0/hhi
+    o["host_fetch_hhi"] = """
+    WITH f AS (SELECT 'h' || (o_custkey % 97)::varchar AS host FROM orders),
+    counts AS (SELECT host, count(*)::bigint AS cnt FROM f GROUP BY host),
+    tot AS (SELECT count(*)::bigint AS n_hosts,
+                   sum(cnt)::bigint AS n_fetches,
+                   sum(cnt * cnt)::double AS sum_sq,
+                   max(cnt)::bigint AS top1_cnt
+            FROM counts),
+    topn AS (SELECT sum(cnt)::bigint AS topn_cnt
+             FROM (SELECT cnt, host FROM counts
+                   ORDER BY cnt DESC, host ASC LIMIT 10))
+    SELECT n_hosts, n_fetches,
+           round(sum_sq / ((n_fetches * n_fetches)::double), 6) AS hhi,
+           round(1.0 / (sum_sq / ((n_fetches * n_fetches)::double)), 6)
+             AS eff_hosts,
+           round(top1_cnt::double / n_fetches::double, 6) AS top1_share,
+           round(topn_cnt::double / n_fetches::double, 6) AS topn_share
+    FROM tot CROSS JOIN topn
+    """
+
+    o["page_feed_discovery"] = """
+    WITH pages AS (
+      SELECT doc_id,
+             '<head><link rel="stylesheet" href="/s.css">'
+             || '<link rel="alternate" type="application/rss+xml"'
+             || ' title="doc ' || doc_id::varchar
+             || '" href="/feed/' || doc_id::varchar || '.xml">'
+             || CASE WHEN doc_id % 3 = 0 THEN
+                  '<link rel="alternate" type="application/atom+xml"'
+                  || ' title="src ' || source
+                  || '" href="https://ex.org/atom/' || source || '">'
+                ELSE '' END
+             || '</head>' AS html
+      FROM documents
+    ),
+    tags AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(html, '<link\\b[^>]*>')) AS tag
+      FROM pages
+    )
+    SELECT doc_id,
+           regexp_extract(tag, 'href="([^"]*)"', 1) AS feed_url,
+           CASE WHEN regexp_extract(tag, 'type="([^"]*)"', 1)
+                     = 'application/rss+xml'
+                THEN 'rss' ELSE 'atom' END AS feed_type,
+           regexp_extract(tag, 'title="([^"]*)"', 1) AS feed_title
+    FROM tags
+    WHERE regexp_extract(tag, 'rel="([^"]*)"', 1) = 'alternate'
+      AND regexp_matches(regexp_extract(tag, 'type="([^"]*)"', 1),
+                         '^application/(rss|atom)\\+xml$')
+      AND regexp_extract(tag, 'href="([^"]*)"', 1) <> ''
     """
 
     return o

@@ -811,3 +811,69 @@ def minhash_calibration(df: DataFrame, text_col: str = "text",
         F.round(jac, 6).alias("jaccard"),
         F.round(F.abs(F.col("est_j") - jac), 6).alias("abs_err"),
     ).orderBy("id_a", "id_b")
+
+
+def levenshtein_verify(df: DataFrame, candidates: DataFrame | None = None,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       prefix_len: int = 256, max_dist: int | None = None,
+                       num_perm: int = 16, bands: int = 4,
+                       shingle_k: int = 3) -> DataFrame:
+    """Edit-distance verification of near-dup candidate pairs.
+
+    LSH banding (or any supplied ``candidates`` frame with id_a < id_b)
+    proposes pairs; this confirms them with a character-level Levenshtein
+    distance computed JVM-side (``F.levenshtein``, whole-stage codegen —
+    no Python) over *bounded prefixes*.  The set-based verifiers
+    (:func:`ngram_jaccard_pairs`, :func:`minhash_calibration`) are blind
+    to token ORDER; edit distance is the order-sensitive second opinion a
+    template-heavy web corpus needs (two pages with identical word bags
+    but shuffled sections are not editorial duplicates).
+
+    Scale shape — never all-pairs:
+
+    * pairs come from the banded candidate generator (bucketed self-join);
+    * the length-difference lower bound ``|len(a)-len(b)| <= lev(a,b)``
+      prunes pairs BEFORE the quadratic-cost kernel runs when
+      ``max_dist`` is set (classic edit-distance filter pushup);
+    * prefix truncation caps per-row DP cost at ``prefix_len**2``
+      regardless of document size — the knob that keeps the kernel O(1)
+      per pair at 100 TB.
+
+    Returns (id_a, id_b, len_a, len_b, lev_dist, norm_sim) where
+    ``norm_sim = 1 - lev/greatest(len_a, len_b)`` over the truncated
+    prefixes (1.0 when both prefixes are empty).
+    """
+    if candidates is None:
+        candidates = minhash_lsh_candidates(df, text_col, id_col, num_perm,
+                                            bands, shingle_k)
+    pref = df.select(
+        F.col(id_col),
+        F.substring(F.col(text_col), 1, prefix_len).alias("pref"),
+    ).select(
+        id_col, "pref", F.length("pref").cast("long").alias("plen"),
+    )
+    a = pref.select(F.col(id_col).alias("id_a"),
+                    F.col("pref").alias("pref_a"),
+                    F.col("plen").alias("len_a"))
+    b = pref.select(F.col(id_col).alias("id_b"),
+                    F.col("pref").alias("pref_b"),
+                    F.col("plen").alias("len_b"))
+    paired = candidates.join(a, "id_a").join(b, "id_b")
+    if max_dist is not None:
+        # lower-bound prune: skip the DP whenever it provably exceeds the
+        # threshold — this runs on two already-materialized length columns
+        paired = paired.where(
+            F.abs(F.col("len_a") - F.col("len_b")) <= F.lit(max_dist)
+        )
+    lev = F.levenshtein(F.col("pref_a"), F.col("pref_b")).cast("long")
+    denom = F.greatest(F.col("len_a"), F.col("len_b"))
+    out = paired.withColumn("lev_dist", lev).select(
+        "id_a", "id_b", "len_a", "len_b", "lev_dist",
+        F.when(denom == 0, F.lit(1.0)).otherwise(
+            F.round(F.lit(1.0) - F.col("lev_dist").cast("double")
+                    / denom.cast("double"), 6)
+        ).alias("norm_sim"),
+    )
+    if max_dist is not None:
+        out = out.where(F.col("lev_dist") <= F.lit(max_dist))
+    return out.orderBy("id_a", "id_b")

@@ -354,3 +354,56 @@ def adaptive_crawl_delay(fetch_log: DataFrame, percentile: float = 0.95,
             F.least(F.lit(int(max_delay_ms)), delay),
         ).cast("long"),
     )
+
+
+def host_fetch_concentration(fetch_log: DataFrame, host_col: str = "host",
+                             top_n: int = 10) -> DataFrame:
+    """Fetch-traffic concentration report — the fairness dashboard row a
+    frontier scheduler is judged by.
+
+    Per-host fetch counts roll up into one summary row:
+
+    * ``hhi`` — Herfindahl–Hirschman index ``Σ share²`` (1/n_hosts for a
+      perfectly fair crawl, 1.0 when one host absorbs everything);
+    * ``eff_hosts = 1/hhi`` — the "effective number of hosts" actually
+      being crawled;
+    * ``top1_share`` / ``topn_share`` — mass captured by the heaviest
+      host and the heaviest ``top_n`` hosts.
+
+    These are the concentration metrics that do NOT need a global rank
+    over every host (a Gini coefficient would): everything here is two
+    hash aggregations plus a TakeOrdered of the already host-aggregated
+    table — ``orderBy(count desc, host asc).limit(top_n)`` compiles to
+    TakeOrderedAndProject, no partition-less window, no pairwise join.
+    At 100 TB the raw fetch log never leaves the first map-side-combined
+    groupBy.
+
+    Returns one row: (n_hosts, n_fetches, hhi, eff_hosts, top1_share,
+    topn_share), doubles rounded to 6 for cross-engine hashing.
+    """
+    counts = fetch_log.groupBy(host_col).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    totals = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hosts"),
+        F.sum("cnt").cast("long").alias("n_fetches"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("double").alias("sum_sq"),
+        F.max("cnt").cast("long").alias("top1_cnt"),
+    )
+    topn = (
+        counts.orderBy(F.col("cnt").desc(), F.col(host_col).asc())
+        .limit(top_n)
+        .agg(F.sum("cnt").cast("long").alias("topn_cnt"))
+    )
+    hhi = F.col("sum_sq") / (F.col("n_fetches") * F.col("n_fetches")).cast(
+        "double"
+    )
+    return totals.crossJoin(F.broadcast(topn)).select(
+        "n_hosts", "n_fetches",
+        F.round(hhi, 6).alias("hhi"),
+        F.round(F.lit(1.0) / hhi, 6).alias("eff_hosts"),
+        F.round(F.col("top1_cnt").cast("double")
+                / F.col("n_fetches").cast("double"), 6).alias("top1_share"),
+        F.round(F.col("topn_cnt").cast("double")
+                / F.col("n_fetches").cast("double"), 6).alias("topn_share"),
+    )

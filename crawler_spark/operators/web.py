@@ -927,3 +927,48 @@ def plan_frontier_shards(frontier: DataFrame, n_shards: int = 8,
         "n_urls",
         F.round(F.col("n_urls") * n_shards / F.col("total_urls"), 6).alias("rel_load"),
     )
+
+
+def discover_feeds(pages: DataFrame, html_col: str = "html",
+                   id_cols: tuple = ("doc_id",)) -> DataFrame:
+    """RSS/Atom feed autodiscovery over raw HTML — the standard
+    ``<link rel="alternate" type="application/rss+xml" …>`` convention a
+    crawler uses to find a site's syndication feeds without fetching
+    anything extra.
+
+    Pure codegen pipeline: one ``regexp_extract_all`` pulls every
+    ``<link …>`` tag out of the page, ``explode`` fans the tags out, and
+    three per-tag attribute ``regexp_extract`` s (rel / type / href /
+    title) run JVM-side — no Python anywhere, filter-before-explode is
+    unnecessary because non-matching tags are dropped by a cheap scalar
+    predicate right after the explode (narrow, same stage).
+
+    Returns one row per discovered feed: (*id_cols, feed_url, feed_type,
+    feed_title) with ``feed_type ∈ {rss, atom}``.  Scale: per-page work
+    is linear in page size, embarrassingly parallel, zero shuffles.
+    """
+    tags = pages.select(
+        *id_cols,
+        F.explode(
+            F.regexp_extract_all(F.col(html_col), F.lit(r"<link\b[^>]*>"),
+                                 0)
+        ).alias("tag"),
+    )
+    rel = F.regexp_extract("tag", r'rel="([^"]*)"', 1)
+    typ = F.regexp_extract("tag", r'type="([^"]*)"', 1)
+    href = F.regexp_extract("tag", r'href="([^"]*)"', 1)
+    title = F.regexp_extract("tag", r'title="([^"]*)"', 1)
+    return (
+        tags.where(
+            (rel == "alternate")
+            & typ.rlike(r"^application/(rss|atom)\+xml$")
+            & (href != "")
+        )
+        .select(
+            *id_cols,
+            href.alias("feed_url"),
+            F.when(typ == "application/rss+xml", F.lit("rss"))
+            .otherwise(F.lit("atom")).alias("feed_type"),
+            title.alias("feed_title"),
+        )
+    )

@@ -159,3 +159,106 @@ def test_minhash_calibration_est_vs_exact(spark):
         assert 0.0 <= r["est_jaccard"] <= 1.0
         assert 0.0 <= r["jaccard"] <= 1.0
         assert abs(r["abs_err"] - abs(r["est_jaccard"] - r["jaccard"])) < 2e-6
+
+
+def test_levenshtein_verify_known_distances(spark):
+    from crawler_spark.operators.dedup import levenshtein_verify
+
+    docs = spark.createDataFrame(
+        [(1, "kitten"), (2, "sitting"), (3, "kitten"), (4, "zzzzzz")],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long"
+    )
+    rows = {(r.id_a, r.id_b): r
+            for r in levenshtein_verify(docs, candidates=cand).collect()}
+    assert rows[(1, 2)].lev_dist == 3            # classic kitten->sitting
+    assert rows[(1, 3)].lev_dist == 0
+    assert rows[(1, 3)].norm_sim == 1.0
+    assert rows[(1, 4)].lev_dist == 6            # full substitution
+    assert rows[(1, 4)].norm_sim == 0.0
+    # normalized similarity uses the longer prefix as denominator
+    assert rows[(1, 2)].norm_sim == round(1 - 3 / 7, 6)
+
+
+def test_levenshtein_verify_length_prune_and_threshold(spark):
+    from crawler_spark.operators.dedup import levenshtein_verify
+
+    docs = spark.createDataFrame(
+        [(1, "abcdef"), (2, "abcdxf"), (3, "ab")],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_a long, id_b long"
+    )
+    out = levenshtein_verify(docs, candidates=cand, max_dist=2).collect()
+    pairs = {(r.id_a, r.id_b) for r in out}
+    # (1,3) is pruned by |len_a-len_b|=4 > 2 BEFORE the DP runs;
+    # (1,2) survives with dist 1 <= 2
+    assert pairs == {(1, 2)}
+    assert out[0].lev_dist == 1
+
+
+def test_levenshtein_verify_prefix_truncation_bounds_cost(spark):
+    from crawler_spark.operators.dedup import levenshtein_verify
+
+    long_a = "x" * 500
+    long_b = "x" * 400 + "y" * 100
+    docs = spark.createDataFrame(
+        [(1, long_a), (2, long_b)], "doc_id long, text string"
+    )
+    cand = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    r = levenshtein_verify(docs, candidates=cand, prefix_len=100).collect()[0]
+    # both prefixes are "x"*100 -> identical after truncation
+    assert (r.len_a, r.len_b, r.lev_dist, r.norm_sim) == (100, 100, 0, 1.0)
+
+
+def test_host_fetch_concentration_uniform_and_skewed(spark):
+    from crawler_spark.operators.politeness import host_fetch_concentration
+
+    # perfectly fair: 4 hosts x 5 fetches -> hhi = 1/4, eff_hosts = 4
+    fair = spark.createDataFrame(
+        [(f"h{i}",) for i in range(4) for _ in range(5)], "host string"
+    )
+    r = host_fetch_concentration(fair, top_n=2).collect()[0]
+    assert (r.n_hosts, r.n_fetches) == (4, 20)
+    assert r.hhi == 0.25 and r.eff_hosts == 4.0
+    assert r.top1_share == 0.25 and r.topn_share == 0.5
+
+    # one dominant host: 97 of 100 fetches
+    skew = spark.createDataFrame(
+        [("big",)] * 97 + [("a",), ("b",), ("c",)], "host string"
+    )
+    r = host_fetch_concentration(skew, top_n=10).collect()[0]
+    assert r.top1_share == 0.97
+    assert r.topn_share == 1.0           # top_n > n_hosts sums everything
+    assert r.hhi == round((97 * 97 + 3) / 10000, 6)
+
+
+def test_discover_feeds_filters_and_types(spark):
+    from crawler_spark.operators.web import discover_feeds
+
+    pages = spark.createDataFrame(
+        [
+            # rss + atom + stylesheet noise + hrefless alternate
+            (1, '<head><link rel="stylesheet" href="/s.css">'
+                '<link rel="alternate" type="application/rss+xml"'
+                ' title="T1" href="/f.xml">'
+                '<link rel="alternate" type="application/atom+xml"'
+                ' href="https://e.x/a">'
+                '<link rel="alternate" type="application/rss+xml"></head>'),
+            # wrong type value -> dropped
+            (2, '<link rel="alternate" type="text/html" href="/p">'),
+            (3, "<p>no links at all</p>"),
+        ],
+        "doc_id long, html string",
+    )
+    rows = sorted(
+        (r.doc_id, r.feed_type, r.feed_url, r.feed_title)
+        for r in discover_feeds(pages).collect()
+    )
+    assert rows == [
+        (1, "atom", "https://e.x/a", ""),
+        (1, "rss", "/f.xml", "T1"),
+    ]
