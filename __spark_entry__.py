@@ -2543,6 +2543,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["page_feed_discovery"] = page_feed_discovery
 
+    def robots_wildcard_match(spark, sf_dir):
+        # EXACT RFC 9309 §2.2.3 wildcard evaluation (vs the conservative
+        # truncation path): patterns compile to LIKE with '!' escaping,
+        # precedence = raw-pattern octets, Allow wins ties, unmatched
+        # paths allowed.  Paths carry a literal '_' suffix on every 7th
+        # doc so the metacharacter escaping is actually load-bearing.
+        from crawler_spark.operators.robots import robots_wildcard_verdicts
+
+        rules = spark.createDataFrame(
+            [("h0.example", "/src1*", False),
+             ("h0.example", "/src11", True),
+             ("h0.example", "/src2$", False),
+             ("h1.example", "*_x$", False),
+             ("h2.example", "/", False),
+             ("h2.example", "*/src3*", True)],
+            "host string, pattern string, is_allow boolean",
+        )
+        docs = _docs_text_double(spark, sf_dir)
+        urls = docs.select(
+            F.concat(
+                F.lit("https://h"), F.col("doc_id") % 3, F.lit(".example/"),
+                F.col("source"), F.lit("/"), F.col("doc_id"),
+                F.when(F.col("doc_id") % 7 == 0, F.lit("_x"))
+                .otherwise(F.lit("")),
+            ).alias("url"),
+            F.concat(F.lit("h"), F.col("doc_id") % 3, F.lit(".example"))
+            .alias("host"),
+        )
+        return robots_wildcard_verdicts(urls, rules)
+
+    q["robots_wildcard_match"] = robots_wildcard_match
+
     return _driver_gate_order(q)
 
 
@@ -5838,6 +5870,60 @@ def oracle_sql() -> dict[str, str]:
       AND regexp_matches(regexp_extract(tag, 'type="([^"]*)"', 1),
                          '^application/(rss|atom)\\+xml$')
       AND regexp_extract(tag, 'href="([^"]*)"', 1) <> ''
+    """
+
+    # exact RFC 9309 wildcard matching via the same LIKE compilation the
+    # Spark side uses ('!' escape, trailing-$ anchor, * -> %); precedence
+    # window partitioned per url
+    o["robots_wildcard_match"] = """
+    WITH rules AS (
+      SELECT * FROM (VALUES
+        ('h0.example', '/src1*', false),
+        ('h0.example', '/src11', true),
+        ('h0.example', '/src2$', false),
+        ('h1.example', '*_x$', false),
+        ('h2.example', '/', false),
+        ('h2.example', '*/src3*', true)
+      ) t(host, pattern, is_allow)
+    ),
+    compiled AS (
+      SELECT host, pattern, is_allow,
+             length(pattern)::bigint AS plen,
+             CASE WHEN ends_with(e, '$')
+                  THEN replace(substr(e, 1, length(e) - 1), '*', '%')
+                  ELSE replace(e, '*', '%') || '%' END AS like_pat
+      FROM (SELECT host, pattern, is_allow,
+                   replace(replace(replace(pattern, '!', '!!'),
+                           '%', '!%'), '_', '!_') AS e
+            FROM rules)
+    ),
+    urls AS (
+      SELECT 'https://h' || (doc_id % 3)::varchar || '.example/' || source
+             || '/' || doc_id::varchar
+             || CASE WHEN doc_id % 7 = 0 THEN '_x' ELSE '' END AS url,
+             'h' || (doc_id % 3)::varchar || '.example' AS host,
+             '/' || source || '/' || doc_id::varchar
+             || CASE WHEN doc_id % 7 = 0 THEN '_x' ELSE '' END AS path
+      FROM documents
+    ),
+    winners AS (
+      SELECT url, pattern AS rule_pattern, is_allow AS rule_is_allow
+      FROM (
+        SELECT u.url, c.pattern, c.is_allow,
+               row_number() OVER (
+                 PARTITION BY u.url
+                 ORDER BY c.plen DESC, c.is_allow DESC, c.pattern ASC
+               ) AS rn
+        FROM urls u
+        JOIN compiled c ON c.host = u.host
+        WHERE u.path LIKE c.like_pat ESCAPE '!'
+      ) WHERE rn = 1
+    )
+    SELECT u.url,
+           coalesce(w.rule_is_allow, true) AS allowed,
+           w.rule_pattern, w.rule_is_allow
+    FROM (SELECT DISTINCT url FROM urls) u
+    LEFT JOIN winners w USING (url)
     """
 
     return o

@@ -50,8 +50,41 @@ def compose_photo_id(card_id: Column, photo_url: Column) -> Column:
 
 
 def url_host(url: Column) -> Column:
-    """Host for politeness partitioning (north_rule)."""
-    return F.parse_url(url, F.lit("HOST"))
+    """Host for politeness partitioning (north_rule).
+
+    ``try_parse_url`` not ``parse_url``: a 100 TB frontier always contains
+    malformed urls (bad percent-escapes, stray spaces) and ``parse_url``
+    THROWS on them — one bad row would kill the whole job.  The regexp
+    fallback recovers the host from urls java.net.URI rejects but a
+    crawler still wants grouped by site.
+    """
+    return F.coalesce(
+        F.try_parse_url(url, F.lit("HOST")),
+        F.nullif(
+            F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)",
+                             1),
+            F.lit(""),
+        ),
+    )
+
+
+def url_path_safe(url: Column) -> Column:
+    """Path component for robots matching — total (never-throwing) and
+    never NULL: ``try_parse_url`` first (exact java.net.URI semantics on
+    valid urls), a scheme-authority regexp strip as the fallback for urls
+    URI rejects, ``/`` for bare-host urls.  ``nullif``: parse_url yields
+    ``''`` (not NULL) for a bare-host url, and 'https://host' must still
+    match ``Disallow: /``."""
+    return F.coalesce(
+        F.nullif(F.try_parse_url(url, F.lit("PATH")), F.lit("")),
+        F.nullif(
+            F.regexp_extract(
+                url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1
+            ),
+            F.lit(""),
+        ),
+        F.lit("/"),
+    )
 
 
 def canonicalize_url(url: Column) -> Column:

@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.url import url_path_safe
+
 DEFAULT_CRAWL_DELAY_MS = 60_000  # the reference's 60s timeout budget, Utils.fs:13
 
 
@@ -34,12 +36,7 @@ def apply_robots(frontier_df: DataFrame, robots_df: DataFrame) -> DataFrame:
     relative to the frontier.  Path-prefix match on the url's path part.
     """
     rules = F.broadcast(robots_df.select("host", "disallow_prefix"))
-    # parse_url returns '' (not NULL) for a bare-host url, so nullif —
-    # otherwise 'https://host' never matches even 'Disallow: /'
-    path = F.coalesce(
-        F.nullif(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("")),
-        F.lit("/"),
-    )
+    path = url_path_safe(F.col("url"))
     hit = (
         frontier_df.withColumn("__path", path)
         .join(rules, "host", "inner")
@@ -64,11 +61,7 @@ def apply_robots_rfc(frontier_df: DataFrame, rules_df: DataFrame) -> DataFrame:
         rules_df.where(F.col("prefix").isNotNull())
         .select("host", "prefix", "is_allow")
     )
-    # nullif: parse_url yields '' (not NULL) for bare-host urls — map to '/'
-    path = F.coalesce(
-        F.nullif(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("")),
-        F.lit("/"),
-    )
+    path = url_path_safe(F.col("url"))
     w = Window.partitionBy("url").orderBy(
         F.length("prefix").desc(), F.col("is_allow").desc()
     )

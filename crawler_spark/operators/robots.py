@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.url import url_host
+from ..functions.url import url_host, url_path_safe
 
 
 def robots_pages(pages_df: DataFrame) -> DataFrame:
@@ -214,10 +214,7 @@ def robots_coverage(frontier_df: DataFrame, robots_df: DataFrame) -> DataFrame:
     rounded to 6.
     """
     rules = F.broadcast(robots_df.select("host", "disallow_prefix"))
-    path = F.coalesce(
-        F.nullif(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("")),
-        F.lit("/"),
-    )
+    path = url_path_safe(F.col("url"))
     with_path = frontier_df.select("host", "url", path.alias("__path"))
     blocked = (
         with_path.join(rules, "host", "inner")
@@ -238,3 +235,86 @@ def robots_coverage(frontier_df: DataFrame, robots_df: DataFrame) -> DataFrame:
             6,
         ).alias("blocked_frac"),
     )
+
+
+def robots_wildcard_verdicts(frontier_df: DataFrame, rules_df: DataFrame,
+                             url_col: str = "url",
+                             host_col: str = "host") -> DataFrame:
+    """EXACT RFC 9309 §2.2.3 wildcard evaluation — the precise counterpart
+    of the conservative truncation in :func:`parse_robots_rfc`.
+
+    ``rules_df`` is (host, pattern, is_allow) with patterns kept verbatim
+    (``*`` and trailing ``$`` intact).  Every pattern compiles to a SQL
+    ``LIKE`` expression (escape LIKE metacharacters with ``!``, strip a
+    trailing ``$`` end-anchor, map ``*`` -> ``%``, append ``%`` unless
+    anchored) evaluated JVM-side;
+    precedence is the RFC's most-octets rule — ``length(pattern)`` of the
+    raw pattern, Allow winning exact ties (§2.2.2), unmatched paths
+    allowed.
+
+    Shape at 100 TB: the rules table broadcasts (robots bodies are
+    KBs/host); the frontier takes one broadcast-hash left join on host,
+    a scalar LIKE per (url, rule) candidate, and a ``row_number`` window
+    partitioned BY URL (a url matches at most a handful of rules — tiny,
+    uniform partitions, no global window).
+
+    Returns (url, allowed, rule_pattern, rule_is_allow) — rule columns
+    NULL for urls no rule matched.
+    """
+    rules = rules_df.where(
+        F.col("pattern").isNotNull() & (F.col("pattern") != "")
+    ).withColumn(
+        "__e",
+        F.replace(F.replace(F.replace(F.col("pattern"),
+                                      F.lit("!"), F.lit("!!")),
+                            F.lit("%"), F.lit("!%")),
+                  F.lit("_"), F.lit("!_")),
+    ).withColumn(
+        "__body",
+        F.when(F.col("__e").endswith("$"),
+               F.expr("substring(__e, 1, length(__e) - 1)"))
+        .otherwise(F.col("__e")),
+    ).select(
+        F.col(host_col),
+        F.col("pattern").alias("__pat"),
+        F.col("is_allow").alias("__ia"),
+        F.length("pattern").cast("long").alias("__plen"),
+        F.when(F.col("__e").endswith("$"),
+               F.replace(F.col("__body"), F.lit("*"), F.lit("%")))
+        .otherwise(F.concat(
+            F.replace(F.col("__body"), F.lit("*"), F.lit("%")),
+            F.lit("%"))).alias("__like"),
+    )
+    path = url_path_safe(F.col(url_col))
+    base = frontier_df.select(url_col, host_col).withColumn("__path", path)
+    w = Window.partitionBy(url_col).orderBy(
+        F.col("__plen").desc(), F.col("__ia").desc(), F.col("__pat").asc()
+    )
+    winners = (
+        base.join(F.broadcast(rules), host_col, "inner")
+        .where(F.expr("__path LIKE __like ESCAPE '!'"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(url_col, F.col("__pat").alias("rule_pattern"),
+                F.col("__ia").alias("rule_is_allow"))
+    )
+    return (
+        frontier_df.select(url_col).distinct()
+        .join(winners, url_col, "left")
+        .select(
+            url_col,
+            F.coalesce(F.col("rule_is_allow"), F.lit(True)).alias("allowed"),
+            "rule_pattern", "rule_is_allow",
+        )
+    )
+
+
+def apply_robots_wildcard(frontier_df: DataFrame,
+                          rules_df: DataFrame) -> DataFrame:
+    """Filter twin of :func:`robots_wildcard_verdicts`: keep only the
+    frontier rows whose winning wildcard rule allows them (or that no
+    rule matches)."""
+    allowed = robots_wildcard_verdicts(frontier_df, rules_df).where(
+        F.col("allowed")
+    ).select("url")
+    return frontier_df.join(allowed, "url", "left_semi")

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 def _with_host(df: DataFrame) -> DataFrame:
     return df.withColumn(
-        "host", F.coalesce(F.parse_url(F.col("url"), F.lit("HOST")),
+        "host", F.coalesce(F.try_parse_url(F.col("url"), F.lit("HOST")),
                            F.lit("")))
 
 

@@ -455,8 +455,8 @@ def surt_urlkey(url):
     """SURT-style sort key: reversed host labels + path —
     ``https://sub.example.com/a/b`` → ``com,example,sub)/a/b``.  Native
     expressions only (parse_url + reverse/array_join)."""
-    host = F.lower(F.parse_url(url, F.lit("HOST")))
-    path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+    host = F.lower(F.try_parse_url(url, F.lit("HOST")))
+    path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
     return F.concat(
         F.array_join(F.reverse(F.split(host, "\\.")), ","),
         F.lit(")"), path,

@@ -219,3 +219,83 @@ def test_robots_coverage_counts_and_consistency(spark):
     total = frontier.count()
     blocked_total = sum(r["n_blocked"] for r in out.values())
     assert total - blocked_total == survivors
+
+
+def _wild(spark, rules, urls):
+    from crawler_spark.operators.robots import robots_wildcard_verdicts
+
+    rules_df = spark.createDataFrame(
+        rules, "host string, pattern string, is_allow boolean"
+    )
+    urls_df = spark.createDataFrame(
+        [(f"https://{h}{p}", h) for h, p in urls], "url string, host string"
+    )
+    return {r.url: r for r in
+            robots_wildcard_verdicts(urls_df, rules_df).collect()}
+
+
+def test_wildcard_star_and_anchor(spark):
+    v = _wild(
+        spark,
+        [("h", "/a*z$", False)],
+        [("h", "/a123z"), ("h", "/a123z/more"), ("h", "/az"), ("h", "/b")],
+    )
+    assert v["https://h/a123z"].allowed is False        # * spans, $ anchors
+    assert v["https://h/a123z/more"].allowed is True    # anchor rejects tail
+    assert v["https://h/az"].allowed is False           # * matches empty
+    assert v["https://h/b"].allowed is True             # unmatched -> allow
+
+
+def test_wildcard_mid_dollar_is_literal(spark):
+    v = _wild(
+        spark,
+        [("h", "/p$q", False)],
+        [("h", "/p$q/r"), ("h", "/pXq/r")],
+    )
+    assert v["https://h/p$q/r"].allowed is False
+    assert v["https://h/pXq/r"].allowed is True
+
+
+def test_wildcard_escapes_like_metacharacters(spark):
+    # a literal '_' in the pattern must NOT behave as LIKE single-char
+    v = _wild(
+        spark,
+        [("h", "/a_c", False), ("h", "/x%y", False)],
+        [("h", "/a_c/1"), ("h", "/abc/1"), ("h", "/x%y"), ("h", "/xZy")],
+    )
+    assert v["https://h/a_c/1"].allowed is False
+    assert v["https://h/abc/1"].allowed is True
+    assert v["https://h/x%y"].allowed is False
+    assert v["https://h/xZy"].allowed is True
+
+
+def test_wildcard_precedence_octets_and_allow_tie(spark):
+    # longer raw pattern wins; equal length -> Allow wins
+    v = _wild(
+        spark,
+        [("h", "/d", False), ("h", "/d/deep*", True),
+         ("h", "/t/a", False), ("h", "/t/b", True)],
+        [("h", "/d/deep/1"), ("h", "/d/other")],
+    )
+    assert v["https://h/d/deep/1"].allowed is True
+    assert v["https://h/d/other"].allowed is False
+    v2 = _wild(
+        spark,
+        [("h", "/sameX", False), ("h", "/same*", True)],
+        [("h", "/sameX")],
+    )
+    assert v2["https://h/sameX"].allowed is True        # 6 vs 6 -> allow
+
+
+def test_apply_robots_wildcard_filters_frontier(spark):
+    from crawler_spark.operators.robots import apply_robots_wildcard
+
+    rules = spark.createDataFrame(
+        [("h", "/blocked*", False)], "host string, pattern string, is_allow boolean"
+    )
+    frontier = spark.createDataFrame(
+        [("https://h/blocked/1", "h"), ("https://h/ok/1", "h")],
+        "url string, host string",
+    )
+    out = [r.url for r in apply_robots_wildcard(frontier, rules).collect()]
+    assert out == ["https://h/ok/1"]
