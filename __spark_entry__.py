@@ -2575,6 +2575,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["robots_wildcard_match"] = robots_wildcard_match
 
+    def emb_pq_topk(spark, sf_dir):
+        # product quantization + asymmetric distance (Jégou 2011): per-
+        # subspace codebooks (fixed 2-round Lloyd under squared-L2, means
+        # rounded 12 d.p.), corpus compressed to m=4 codes/vector, queries
+        # scan codes via a broadcast distance table — fixed-order ADC sum
+        # so both engines rank on bit-identical doubles
+        from crawler_spark.operators.similarity import pq_topk
+
+        emb = _emb_double(spark, sf_dir)
+        queries_df = emb.where(F.col("vec_id") < 5)
+        return pq_topk(emb, queries_df, k=5, m=4, ksub=8, iters=2, dim=64)
+
+    q["emb_pq_topk"] = emb_pq_topk
+
     return _driver_gate_order(q)
 
 
@@ -5924,6 +5938,112 @@ def oracle_sql() -> dict[str, str]:
            w.rule_pattern, w.rule_is_allow
     FROM (SELECT DISTINCT url FROM urls) u
     LEFT JOIN winners w USING (url)
+    """
+
+    # ---- product quantization: per-subspace Lloyd rounds unrolled the
+    # same way as _kmeans_cte; ADC adds the m per-subspace terms in fixed
+    # left-to-right order (d0+d1+d2+d3), mirroring the Spark pivot.
+    def _l2_sql(a: str, b: str, dim: int) -> str:
+        return "(" + " + ".join(
+            f"({a}[{i}]-{b}[{i}])*({a}[{i}]-{b}[{i}])"
+            for i in range(1, dim + 1)
+        ) + ")"
+
+    def _pq_cte(m: int, ksub: int, iters: int, subdim: int) -> str:
+        def sl(base: str) -> str:
+            return f"{base}[(s.s*{subdim}+1):(s.s*{subdim}+{subdim})]"
+
+        parts = [f"""pseed AS (
+      SELECT (row_number() OVER (ORDER BY hk, vec_id) - 1)::int
+               AS centroid_id, v
+      FROM (SELECT vec_id, v, {_h32("vec_id::varchar")} AS hk
+            FROM emb ORDER BY hk, vec_id LIMIT {ksub}) t
+    )""", f"""sdim AS (SELECT unnest(range(0, {m}))::int AS s)""",
+            f"""pcb0 AS (
+      SELECT s.s, p.centroid_id, {sl("p.v")} AS cvec
+      FROM pseed p CROSS JOIN sdim s
+    )""", f"""psubs AS (
+      SELECT e.vec_id, s.s, {sl("e.v")} AS subv
+      FROM emb e CROSS JOIN sdim s
+    )"""]
+        for i in range(1, iters + 1):
+            parts.append(f"""pa{i} AS (
+      SELECT vec_id, s, subv, centroid_id FROM (
+        SELECT t.vec_id, t.s, t.subv, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY t.vec_id, t.s
+                 ORDER BY {_l2_sql("t.subv", "c.cvec", subdim)} ASC,
+                          c.centroid_id ASC
+               ) AS rn
+        FROM psubs t JOIN pcb{i - 1} c ON c.s = t.s
+      ) x WHERE rn = 1
+    )""")
+            parts.append(f"""pcb{i} AS (
+      SELECT s, centroid_id, list(mv ORDER BY pos) AS cvec FROM (
+        SELECT s, centroid_id, pos, round(avg(val), 12) AS mv
+        FROM (SELECT s, centroid_id, unnest(subv) AS val,
+                     unnest(range(1, len(subv) + 1)) AS pos
+              FROM pa{i})
+        GROUP BY s, centroid_id, pos
+      ) GROUP BY s, centroid_id
+    )""")
+        code_cols = ",\n             ".join(
+            f"max(CASE WHEN s = {s} THEN centroid_id END)::int AS c{s}"
+            for s in range(m)
+        )
+        parts.append(f"""penc AS (
+      SELECT vec_id, s, centroid_id FROM (
+        SELECT t.vec_id, t.s, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY t.vec_id, t.s
+                 ORDER BY {_l2_sql("t.subv", "c.cvec", subdim)} ASC,
+                          c.centroid_id ASC
+               ) AS rn
+        FROM psubs t JOIN pcb{iters} c ON c.s = t.s
+      ) x WHERE rn = 1
+    )""")
+        parts.append(f"""pcodes AS (
+      SELECT vec_id,
+             {code_cols}
+      FROM penc GROUP BY vec_id
+    )""")
+        parts.append(f"""pqsubs AS (
+      SELECT e.vec_id AS query_id, s.s, {sl("e.v")} AS qsubv
+      FROM emb e CROSS JOIN sdim s WHERE e.vec_id < 5
+    )""")
+        parts.append(f"""pdt AS (
+      SELECT q.query_id, q.s, c.centroid_id,
+             {_l2_sql("q.qsubv", "c.cvec", subdim)} AS dsub
+      FROM pqsubs q JOIN pcb{iters} c ON c.s = q.s
+    )""")
+        dt_joins = "\n      ".join(
+            f"JOIN pdt d{s} ON d{s}.query_id = q.query_id AND d{s}.s = {s}"
+            f" AND d{s}.centroid_id = k.c{s}"
+            for s in range(m)
+        )
+        adc = " + ".join(f"d{s}.dsub" for s in range(m))
+        parts.append(f"""pest AS (
+      SELECT q.query_id, k.vec_id, {adc} AS adc
+      FROM pcodes k
+      CROSS JOIN (SELECT DISTINCT query_id FROM pqsubs) q
+      {dt_joins}
+      WHERE k.vec_id <> q.query_id
+    )""")
+        return ",\n    ".join(parts)
+
+    o["emb_pq_topk"] = f"""
+    WITH {_EMB_CTE},
+    {_pq_cte(4, 8, 2, 16)},
+    pfin AS (
+      SELECT query_id, vec_id, adc,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(adc, 9) ASC, vec_id ASC)
+               AS rank
+      FROM pest
+    )
+    SELECT query_id, vec_id AS neighbor_id, round(adc, 6) AS adc_dist,
+           rank::int AS rank
+    FROM pfin WHERE rank <= 5
     """
 
     return o

@@ -665,3 +665,208 @@ def embedding_outliers(corpus: DataFrame, id_col: str = "vec_id",
         F.round(z, 6).alias("z"),
         (z <= F.lit(-z_threshold)).alias("outlier"),
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — the canonical memory-bounded ANN index
+# --------------------------------------------------------------------------
+
+def l2sq_expr(a: Column, b: Column) -> Column:
+    """Strict left-fold squared L2: sum_i (a[i]-b[i])^2 (no UDF) — the
+    fold order is fixed, so DuckDB's explicit left-associated sum is
+    bit-identical."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _subvectors(df: DataFrame, m: int, subdim: int,
+                vec_col: str, id_col: str, out_id: str) -> DataFrame:
+    """(id, s, subv): split each vector into m contiguous subvectors via
+    posexplode over an array of slices — scan-stage, no shuffle."""
+    slices = F.array(*[
+        F.slice(F.col(vec_col), s * subdim + 1, subdim) for s in range(m)
+    ])
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.posexplode(slices).alias("s", "subv"),
+    )
+
+
+def pq_train(corpus: DataFrame, m: int = 4, ksub: int = 8, iters: int = 2,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             dim: int | None = None) -> DataFrame:
+    """Train PQ codebooks: per subspace, ``ksub`` centroids refined with a
+    FIXED number of Lloyd rounds under squared-L2 (the PQ-native metric —
+    Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    TPAMI 2011, public algorithm).
+
+    Deterministic end to end, same recipe as :func:`kmeans_refine`:
+    the seed is the ``ksub`` vectors with the smallest ``(h32(id), id)``
+    key (TakeOrderedAndProject — no global sort), sliced into their m
+    subvectors so subspace s's codebook starts from the same sample;
+    each round assigns by (l2 asc, centroid_id asc) and recomputes
+    per-(s, centroid, dim) means rounded to 12 d.p. — only
+    ``m × ksub × dim/m = ksub × dim`` doubles ever reach the driver per
+    round, constant at any corpus size.
+
+    Returns (s, centroid_id, cvec) — m×ksub rows, broadcastable.
+    """
+    from pyspark import StorageLevel
+
+    from ..functions.text import h32
+
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    subdim = dim // m
+    spark = corpus.sparkSession
+
+    seed = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("hk", h32(F.col(id_col).cast("string")))
+        .orderBy(F.col("hk").asc(), F.col(id_col).asc())
+        .limit(ksub)
+        .collect()
+    )
+    cb_rows = [
+        (s, j, [float(x) for x in r[vec_col][s * subdim:(s + 1) * subdim]])
+        for j, r in enumerate(seed) for s in range(m)
+    ]
+    cb = spark.createDataFrame(
+        cb_rows, "s int, centroid_id int, cvec array<double>"
+    )
+
+    subs = _subvectors(corpus, m, subdim, vec_col, id_col, "vid").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    for _ in range(iters):
+        assigned = (
+            subs.join(F.broadcast(cb), "s")
+            .withColumn("d", l2sq_expr(F.col("subv"), F.col("cvec")))
+            .groupBy("vid", "s")
+            .agg(F.min_by(
+                F.struct("centroid_id", "subv"),
+                F.struct(F.col("d"), F.col("centroid_id").alias("cid")),
+            ).alias("best"))
+            .select("s", F.col("best.centroid_id").alias("centroid_id"),
+                    F.col("best.subv").alias("subv"))
+        )
+        means = (
+            assigned.select(
+                "s", "centroid_id",
+                F.posexplode(F.col("subv")).alias("pos", "val"),
+            )
+            .groupBy("s", "centroid_id", "pos")
+            .agg(F.round(F.avg("val"), 12).alias("mv"))
+            .groupBy("s", "centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mv")))
+                 .alias("pm"))
+            .select("s", "centroid_id",
+                    F.transform("pm", lambda x: x["mv"]).alias("cvec"))
+            .collect()
+        )
+        cb = spark.createDataFrame(
+            [(r["s"], r["centroid_id"], r["cvec"]) for r in means],
+            "s int, centroid_id int, cvec array<double>",
+        )
+    subs.unpersist(False)
+    return cb
+
+
+def pq_encode(corpus: DataFrame, codebooks: DataFrame, m: int = 4,
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              dim: int | None = None) -> DataFrame:
+    """Encode every vector as m codes — one pivoted row per vector
+    (``id, c0..c{m-1}``), 1 byte/code at ksub<=256: the 64-double
+    embedding becomes m bytes, the whole point of PQ at 100 TB.
+
+    The pivot is a conditional-aggregation groupBy (exactly one non-null
+    per (id, s)) rather than m rows, so downstream ADC adds the m
+    distance terms in a FIXED left-to-right order — deterministic across
+    engines, where a grouped SUM over m rows would be order-nondeterministic
+    in the last ulp.
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    subdim = dim // m
+    assigned = (
+        _subvectors(corpus, m, subdim, vec_col, id_col, id_col)
+        .join(F.broadcast(codebooks), "s")
+        .withColumn("d", l2sq_expr(F.col("subv"), F.col("cvec")))
+        .groupBy(id_col, "s")
+        .agg(F.min_by(
+            "centroid_id",
+            F.struct(F.col("d"), F.col("centroid_id").alias("cid")),
+        ).alias("code"))
+    )
+    return assigned.groupBy(id_col).agg(*[
+        F.min(F.when(F.col("s") == s, F.col("code"))).cast("int")
+        .alias(f"c{s}")
+        for s in range(m)
+    ])
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, m: int = 4,
+            ksub: int = 8, iters: int = 2, vec_col: str = "embedding",
+            id_col: str = "vec_id", query_id: str = "query_id",
+            dim: int | None = None) -> DataFrame:
+    """PQ + asymmetric distance computation (ADC) top-k: codebooks train
+    on the corpus, every corpus vector compresses to m codes, and each
+    query scans CODES, not vectors — per-candidate cost is m table
+    lookups + m-1 additions instead of a dim-length dot product, and the
+    index is dim/m × smaller than the raw embeddings.
+
+    Scale shape: the distance table (queries × m × ksub squared-L2
+    entries) is tiny and broadcast; the corpus-side plan is one
+    broadcast-nested-loop against the query ids plus m broadcast-hash
+    joins keyed (query, code) — the code table is never shuffled and
+    never self-joined; ranking is a per-query window (few queries, each
+    partition corpus-sized but pre-reduced to scalar adc rows).
+
+    Returns (query_id, neighbor_id, adc_dist, rank) — ADC approximates
+    the true L2; recall vs exact search is the ksub/m knob, measured the
+    same way :func:`truncation_recall` does for dimension truncation.
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    subdim = dim // m
+    cb = pq_train(corpus, m, ksub, iters, vec_col, id_col, dim)
+    codes = pq_encode(corpus, cb, m, vec_col, id_col, dim)
+
+    qsubs = _subvectors(queries, m, subdim, vec_col, id_col, query_id)
+    dt = (
+        qsubs.join(F.broadcast(cb), "s")
+        .select(
+            query_id, "s", "centroid_id",
+            l2sq_expr(F.col("subv"), F.col("cvec")).alias("dsub"),
+        )
+    )
+    est = codes.crossJoin(
+        F.broadcast(queries.select(F.col(id_col).alias(query_id)))
+    )
+    for s in range(m):
+        dts = dt.where(F.col("s") == s).select(
+            query_id, F.col("centroid_id").alias(f"c{s}"),
+            F.col("dsub").alias(f"d{s}"),
+        )
+        est = est.join(F.broadcast(dts), [query_id, f"c{s}"])
+    adc = F.col("d0")
+    for s in range(1, m):
+        adc = adc + F.col(f"d{s}")
+    w = Window.partitionBy(query_id).orderBy(
+        F.round(adc, 9).asc(), F.col(id_col).asc()
+    )
+    return (
+        est.where(F.col(id_col) != F.col(query_id))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id, F.col(id_col).alias("neighbor_id"),
+            F.round(adc, 6).alias("adc_dist"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

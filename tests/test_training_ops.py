@@ -644,3 +644,58 @@ def test_embedding_outliers_flags_far_vector(spark):
         embedding_outliers(emb)._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_pq_encode_shape_and_code_range(emb):
+    from crawler_spark.operators.similarity import pq_encode, pq_train
+
+    cb = pq_train(emb, m=4, ksub=8, iters=2, dim=64)
+    cb_rows = cb.collect()
+    assert len(cb_rows) <= 4 * 8
+    assert all(len(r["cvec"]) == 16 for r in cb_rows)
+    codes = pq_encode(emb, cb, m=4, dim=64).collect()
+    assert len(codes) == 42                   # one pivoted row per vector
+    assert set(codes[0].asDict()) == {"vec_id", "c0", "c1", "c2", "c3"}
+    live = {(r["s"], r["centroid_id"]) for r in cb_rows}
+    for r in codes:
+        for s in range(4):
+            assert (s, r[f"c{s}"]) in live    # every code points at a
+                                              # surviving centroid
+
+
+def test_pq_topk_planted_neighbors_survive_compression(emb):
+    from crawler_spark.operators.similarity import pq_topk
+
+    queries = emb.where(F.col("vec_id") < 5)
+    rows = pq_topk(emb, queries, k=5, m=4, ksub=8, iters=2, dim=64).collect()
+    assert len(rows) == 25
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        assert [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])] \
+            == [1, 2, 3, 4, 5]
+        assert all(r["neighbor_id"] != qid for r in rs)
+        assert all(r["adc_dist"] >= 0 for r in rs)
+    # 4 codes x 8 centroids is coarse, but an EXACT duplicate has the same
+    # codes as its twin, so its ADC distance ties the query's own
+    # reconstruction error — it must appear in the top-5 for query 1
+    assert 41 in {r["neighbor_id"] for r in by_q[1]}
+
+
+def test_pq_adc_approximates_true_l2(emb):
+    import numpy as np
+
+    from crawler_spark.operators.similarity import pq_topk
+
+    queries = emb.where(F.col("vec_id") == 0)
+    rows = pq_topk(emb, queries, k=10, m=4, ksub=8, iters=2, dim=64).collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}
+    q = vecs[0]
+    # Spearman-ish sanity: ADC must rank the planted near-dup (true L2
+    # ~0.01) strictly above the median candidate
+    adc = {r["neighbor_id"]: r["adc_dist"] for r in rows}
+    assert 40 in adc
+    true_l2 = {n: float(((vecs[n] - q) ** 2).sum()) for n in adc}
+    assert true_l2[40] == min(true_l2.values())
+    assert adc[40] == min(adc.values())
