@@ -2599,6 +2599,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # (corpus_pack_shards, now fixed), so that across rounds the driver's hard
 # signal covers >=105 distinct queries.  The local 125-query parity gate
 # (tests/test_oracle_parity.py) remains the always-on backstop for the rest.
+# Round-4 additions past position 50 (feed discovery, HHI, edit-distance
+# verify, RFC wildcard, PQ ANN) queue for the round-5 rotation with the
+# other never-sampled entries.
 _DRIVER_GATE_FIRST = [
     "corpus_pack_shards",       # round-3 red (HUGEINT cast) — prove the fix
     # --- embedding tier (driver-checked last in r01/r02 for cosine/IVF/LSH) ---
