@@ -2589,6 +2589,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_pq_topk"] = emb_pq_topk
 
+    def host_dup_rate_report(spark, sf_dir):
+        # crawl-ops: per-host duplicate-content rate (host ≙ doc_id mod
+        # 23) — one two-phase groupBy with exact count_distinct.  The
+        # synthetic corpus has no byte-identical texts, so page content
+        # is synthesized deterministically: every 3rd doc serves the
+        # shared page 'p{doc_id div 46}' (46 = 2*23, so each host sees
+        # its duplicates), the rest serve unique content.
+        from crawler_spark.operators.web import host_dup_rate
+
+        docs = _docs_text_double(spark, sf_dir)
+        hosted = docs.select(
+            F.concat(F.lit("h"), F.pmod(F.col("doc_id"), F.lit(23))
+                     .cast("string")).alias("host"),
+            F.when(
+                F.expr("(doc_id div 46) % 3") == 0,
+                F.concat(F.lit("p"), F.expr("doc_id div 46")),
+            ).otherwise(F.concat(F.lit("u"), F.col("doc_id")))
+            .alias("text"),
+        )
+        return host_dup_rate(hosted)
+
+    q["host_dup_rate"] = host_dup_rate_report
+
+    def host_mirror_detect(spark, sf_dir):
+        # mirror/CDN detection: hosts sharing >=2 byte-identical pages;
+        # hash-bucketed self-join with a max-hosts-per-hash skew guard
+        # applied BEFORE the join.  Content 'p{doc_id div 2}' pairs docs
+        # (2k, 2k+1), whose hosts doc_id mod 7 are consecutive — every
+        # adjacent host pair shares pages at any scale factor.
+        from crawler_spark.operators.web import host_mirror_pairs
+
+        docs = _docs_text_double(spark, sf_dir)
+        hosted = docs.select(
+            F.concat(F.lit("m"), F.pmod(F.col("doc_id"), F.lit(7))
+                     .cast("string")).alias("host"),
+            F.concat(F.lit("p"), F.expr("doc_id div 2")).alias("text"),
+        )
+        return host_mirror_pairs(hosted, min_shared=2,
+                                 max_hosts_per_hash=6)
+
+    q["host_mirror_pairs"] = host_mirror_detect
+
     return _driver_gate_order(q)
 
 
@@ -6047,6 +6089,40 @@ def oracle_sql() -> dict[str, str]:
     SELECT query_id, vec_id AS neighbor_id, round(adc, 6) AS adc_dist,
            rank::int AS rank
     FROM pfin WHERE rank <= 5
+    """
+
+    o["host_dup_rate"] = """
+    WITH hosted AS (
+      SELECT 'h' || (doc_id % 23)::varchar AS host,
+             md5(CASE WHEN (doc_id // 46) % 3 = 0
+                      THEN 'p' || (doc_id // 46)::varchar
+                      ELSE 'u' || doc_id::varchar END) AS h
+      FROM documents
+    )
+    SELECT host,
+           count(*)::bigint AS n_pages,
+           count(DISTINCT h)::bigint AS n_unique,
+           round(1.0 - count(DISTINCT h)::double / count(*)::double, 6)
+             AS dup_rate
+    FROM hosted GROUP BY host
+    """
+
+    o["host_mirror_pairs"] = """
+    WITH hh AS (
+      SELECT DISTINCT 'm' || (doc_id % 7)::varchar AS host,
+             md5('p' || (doc_id // 2)::varchar) AS h
+      FROM documents
+    ),
+    small AS (
+      SELECT h FROM hh GROUP BY h HAVING count(*) <= 6
+    ),
+    hs AS (SELECT hh.host, hh.h FROM hh JOIN small USING (h))
+    SELECT a.host AS host_a, b.host AS host_b,
+           count(*)::bigint AS shared_pages
+    FROM hs a JOIN hs b ON a.h = b.h AND a.host < b.host
+    GROUP BY a.host, b.host
+    HAVING count(*) >= 2
+    ORDER BY host_a, host_b
     """
 
     return o

@@ -972,3 +972,76 @@ def discover_feeds(pages: DataFrame, html_col: str = "html",
             title.alias("feed_title"),
         )
     )
+
+
+def host_dup_rate(docs: DataFrame, text_col: str = "text",
+                  host_col: str = "host") -> DataFrame:
+    """Per-host duplicate-content rate — the crawl-ops signal that a host
+    is serving mirrored/templated/trap content and should lose crawl
+    budget (feeds :func:`..operators.politeness.allocate_crawl_budget`
+    as a negative weight).
+
+    ``dup_rate = 1 - distinct_texts/pages``: one md5 per page at scan
+    stage, then a single two-phase groupBy(host) with an exact
+    count_distinct — partial aggregation happens map-side per (host,
+    hash), so the shuffle carries at most one row per distinct page per
+    host, never the corpus.  No window, no self-join.
+
+    Returns (host, n_pages, n_unique, dup_rate) with dup_rate rounded 6.
+    """
+    hashed = docs.select(F.col(host_col), F.md5(F.col(text_col)).alias("h"))
+    return (
+        hashed.groupBy(host_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pages"),
+            F.count_distinct("h").cast("long").alias("n_unique"),
+        )
+        .select(
+            host_col, "n_pages", "n_unique",
+            F.round(
+                F.lit(1.0) - F.col("n_unique").cast("double")
+                / F.col("n_pages").cast("double"), 6
+            ).alias("dup_rate"),
+        )
+    )
+
+
+def host_mirror_pairs(docs: DataFrame, text_col: str = "text",
+                      host_col: str = "host", min_shared: int = 2,
+                      max_hosts_per_hash: int = 32) -> DataFrame:
+    """Mirror/CDN detection: pairs of hosts serving many byte-identical
+    pages.  A crawler that finds host B mirroring host A stops paying for
+    B's fetches — at web scale whole TLD farms are mirrors.
+
+    Shape: (host, content-hash) distinct pairs, self-joined ON THE HASH —
+    each bucket is the set of hosts serving one page, so join fan-out is
+    quadratic only within a hash bucket, never across the corpus.  The
+    ``max_hosts_per_hash`` guard drops hashes served by more hosts than
+    any plausible mirror set (boilerplate/error pages — the classic hot
+    key) BEFORE the self-join; the drop is observable in the plan as a
+    pre-join semi filter, the exact skew treatment
+    :func:`..operators.dedup.minhash_lsh_candidates` uses for bands.
+
+    Returns (host_a, host_b, shared_pages) with host_a < host_b and
+    shared_pages >= min_shared, ordered for stable output.
+    """
+    hh = docs.select(
+        F.col(host_col).alias("host"), F.md5(F.col(text_col)).alias("h")
+    ).distinct()
+    small = (
+        hh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") <= max_hosts_per_hash)
+        .select("h")
+    )
+    hh = hh.join(small, "h", "left_semi")
+    a = hh.select(F.col("h"), F.col("host").alias("host_a"))
+    b = hh.select(F.col("h"), F.col("host").alias("host_b"))
+    return (
+        a.join(b, "h")
+        .where(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_pages"))
+        .where(F.col("shared_pages") >= min_shared)
+        .orderBy("host_a", "host_b")
+    )

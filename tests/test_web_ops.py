@@ -697,3 +697,49 @@ def test_plan_frontier_shards_consistency_and_load(spark):
     # deterministic: same input -> same assignment
     again = plan_frontier_shards(frontier, n_shards=4).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_host_dup_rate_counts_distinct_texts(spark):
+    from crawler_spark.operators.web import host_dup_rate
+
+    docs = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", "y"), ("b", "z")],
+        "host string, text string",
+    )
+    rows = {r.host: r for r in host_dup_rate(docs).collect()}
+    assert (rows["a"].n_pages, rows["a"].n_unique) == (3, 2)
+    assert rows["a"].dup_rate == round(1 - 2 / 3, 6)
+    assert rows["b"].dup_rate == 0.0
+
+
+def test_host_mirror_pairs_and_skew_guard(spark):
+    from crawler_spark.operators.web import host_mirror_pairs
+
+    rows = []
+    # m1/m2 mirror each other on pages p1,p2,p3; m3 shares only p1
+    for h in ("m1", "m2"):
+        rows += [(h, "p1"), (h, "p2"), (h, "p3")]
+    rows += [("m3", "p1")]
+    # boilerplate page served by EVERY host — must be dropped by the guard
+    for h in ("m1", "m2", "m3", "m4", "m5"):
+        rows.append((h, "404 not found"))
+    docs = spark.createDataFrame(rows, "host string, text string")
+    out = {(r.host_a, r.host_b): r.shared_pages
+           for r in host_mirror_pairs(docs, min_shared=2,
+                                      max_hosts_per_hash=4).collect()}
+    # only the true mirror pair survives: m3 shares 1 real page (< 2) and
+    # the 5-host boilerplate hash is excluded before the self-join
+    assert out == {("m1", "m2"): 3}
+
+
+def test_host_mirror_pairs_duplicate_urls_within_host_collapse(spark):
+    from crawler_spark.operators.web import host_mirror_pairs
+
+    # the same page crawled twice on one host counts once (distinct)
+    docs = spark.createDataFrame(
+        [("a", "p"), ("a", "p"), ("b", "p"), ("a", "q"), ("b", "q")],
+        "host string, text string",
+    )
+    out = {(r.host_a, r.host_b): r.shared_pages
+           for r in host_mirror_pairs(docs, min_shared=2).collect()}
+    assert out == {("a", "b"): 2}
