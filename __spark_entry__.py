@@ -2631,6 +2631,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["host_mirror_pairs"] = host_mirror_detect
 
+    def focused_crawl_priority(spark, sf_dir):
+        # focused crawling (Chakrabarti 1999): unvisited urls ranked by
+        # incoming anchor-text topicality — anchors synthesized from doc
+        # metadata so every 4th link is topic-bearing; one shuffle on the
+        # target url, broadcast topic set, no corpus join
+        from crawler_spark.operators.web import focused_crawl_scores
+
+        docs = _docs_text_double(spark, sf_dir)
+        links = docs.select(
+            "doc_id",
+            F.lit(0).alias("pos"),
+            F.concat(F.lit("https://t.example/"),
+                     (F.col("doc_id") % 40).cast("string")).alias("href"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.lit("pet adoption news from "), F.col("source")),
+            ).otherwise(
+                F.concat(F.lit("click here "), F.col("lang"))
+            ).alias("anchor"),
+        )
+        return focused_crawl_scores(
+            links, ["pet", "adoption", "rescue"],
+            link_id_cols=("doc_id", "pos"),
+        )
+
+    q["focused_crawl_priority"] = focused_crawl_priority
+
     return _driver_gate_order(q)
 
 
@@ -6123,6 +6150,34 @@ def oracle_sql() -> dict[str, str]:
     GROUP BY a.host, b.host
     HAVING count(*) >= 2
     ORDER BY host_a, host_b
+    """
+
+    o["focused_crawl_priority"] = """
+    WITH links AS (
+      SELECT doc_id, 0 AS pos,
+             'https://t.example/' || (doc_id % 40)::varchar AS href,
+             CASE WHEN doc_id % 4 = 0
+                  THEN 'pet adoption news from ' || source
+                  ELSE 'click here ' || lang END AS anchor
+      FROM documents
+    ),
+    toks AS (
+      SELECT href,
+             md5(doc_id::varchar || chr(1) || pos::varchar) AS link_key,
+             unnest(string_split_regex(trim(lower(anchor)), '\\s+')) AS tok
+      FROM links WHERE trim(anchor) <> ''
+    )
+    SELECT href,
+           count(DISTINCT link_key)::bigint AS n_inlinks,
+           sum(CASE WHEN tok IN ('pet', 'adoption', 'rescue')
+                    THEN 1 ELSE 0 END)::bigint AS topic_hits,
+           count(*)::bigint AS anchor_terms,
+           CASE WHEN count(*) = 0 THEN 0.0
+                ELSE round(sum(CASE WHEN tok IN ('pet', 'adoption',
+                                                 'rescue')
+                               THEN 1 ELSE 0 END)::double
+                           / count(*)::double, 6) END AS score
+    FROM toks GROUP BY href
     """
 
     return o

@@ -1045,3 +1045,64 @@ def host_mirror_pairs(docs: DataFrame, text_col: str = "text",
         .where(F.col("shared_pages") >= min_shared)
         .orderBy("host_a", "host_b")
     )
+
+
+def focused_crawl_scores(links: DataFrame, topic_terms: list,
+                         href_col: str = "href",
+                         anchor_col: str = "anchor",
+                         link_id_cols: tuple = ("doc_id", "pos")) -> DataFrame:
+    """Focused-crawl frontier scoring (Chakrabarti et al., "Focused
+    crawling: a new approach to topic-specific Web resource discovery",
+    WWW 1999 — public algorithm): rank UNVISITED urls by how topical
+    their incoming anchor text is, so the crawler spends budget where the
+    topic lives instead of breadth-first.
+
+    ``score = topic_hits / anchor_terms`` aggregated over every in-link:
+    anchors tokenize at scan stage, the broadcast topic set marks hits via
+    ``array_contains``-free ``isin`` (a literal IN list — whole-stage
+    codegen), and one groupBy(href) folds (hits, terms, in-links).  The
+    anchor stream shuffles once on the target url; no window, no join
+    against the corpus.
+
+    ``link_id_cols`` names the columns that identify ONE link edge (the
+    :func:`extract_links` output carries ``(page id, pos)``) so two
+    in-links with identical anchor text still count as two in-links.
+
+    Returns (href, n_inlinks, topic_hits, anchor_terms, score) with score
+    rounded 6 (0.0 for targets whose anchors carry no terms).  Links with
+    an EMPTY anchor contribute nothing — a target referenced only by
+    anchorless links emits no row and keeps the crawler's default
+    priority (no topical evidence either way).
+    """
+    terms = [t.lower() for t in topic_terms]
+    toks = F.split(F.trim(F.lower(F.col(anchor_col))), r"\s+")
+    exploded = links.select(
+        F.col(href_col).alias("href"),
+        F.explode(
+            F.when(F.trim(F.col(anchor_col)) == "", F.array())
+            .otherwise(toks)
+        ).alias("tok"),
+        F.md5(F.concat_ws(
+            "\x01", *[F.col(c).cast("string") for c in link_id_cols]
+        )).alias("__link"),
+    )
+    marked = exploded.withColumn(
+        "hit", F.when(F.col("tok").isin(terms), 1).otherwise(0)
+    )
+    return (
+        marked.groupBy("href")
+        .agg(
+            F.count_distinct("__link").cast("long").alias("n_inlinks"),
+            F.sum("hit").cast("long").alias("topic_hits"),
+            F.count(F.lit(1)).cast("long").alias("anchor_terms"),
+        )
+        .select(
+            "href", "n_inlinks", "topic_hits", "anchor_terms",
+            F.when(
+                F.col("anchor_terms") == 0, F.lit(0.0)
+            ).otherwise(
+                F.round(F.col("topic_hits").cast("double")
+                        / F.col("anchor_terms").cast("double"), 6)
+            ).alias("score"),
+        )
+    )

@@ -743,3 +743,28 @@ def test_host_mirror_pairs_duplicate_urls_within_host_collapse(spark):
     out = {(r.host_a, r.host_b): r.shared_pages
            for r in host_mirror_pairs(docs, min_shared=2).collect()}
     assert out == {("a", "b"): 2}
+
+
+def test_focused_crawl_scores_topicality_and_identity(spark):
+    from crawler_spark.operators.web import focused_crawl_scores
+
+    links = spark.createDataFrame(
+        [
+            (1, 0, "/pets", "pet rescue stories"),   # 2/3 topical
+            (2, 0, "/pets", "click here"),           # same target, 0 hits
+            (3, 0, "/pets", "pet rescue stories"),   # duplicate anchor,
+                                                     # distinct link
+            (1, 1, "/cars", "fast cars"),
+            (4, 0, "/ghost", ""),                    # anchorless -> no row
+        ],
+        "doc_id long, pos long, href string, anchor string",
+    )
+    rows = {r.href: r for r in focused_crawl_scores(
+        links, ["pet", "rescue"], link_id_cols=("doc_id", "pos")
+    ).collect()}
+    assert rows["/pets"].n_inlinks == 3      # duplicate anchors still count
+    assert rows["/pets"].topic_hits == 4
+    assert rows["/pets"].anchor_terms == 8
+    assert rows["/pets"].score == 0.5
+    assert rows["/cars"].score == 0.0
+    assert "/ghost" not in rows              # no anchor evidence, no row
