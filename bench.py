@@ -73,6 +73,12 @@ QUERY_SLICE = (
     # stream aggregates + broadcast model), int64-codegen sequence packing
     "doc_nb_domain",
     "corpus_context_pack",
+    # round-4 late additions: PQ/ADC quantized ANN (per-subspace Lloyd +
+    # broadcast distance table), LIKE-compiled RFC 9309 wildcard matching,
+    # hash-bucketed mirror detection
+    "emb_pq_topk",
+    "robots_wildcard_match",
+    "host_mirror_pairs",
 )
 
 
