@@ -50,6 +50,14 @@ def get_spark(app_name: str = "crawler-spark", cores: int | None = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # zstd beat snappy in an interleaved A/B on the crawl job (4/4
+        # adjacent pairs, ~3% wall — BENCH.md §19.3) and writes markedly
+        # smaller snapshots; at 100 TB the storage/IO saving is the
+        # bigger term.  Override with SPARK_GRAFT_PARQUET_CODEC.
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "zstd"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # local-cluster mode: executors request spark.executor.memory (1g
         # default!) no matter how big the worker is — size the request to
