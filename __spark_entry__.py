@@ -2658,6 +2658,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["focused_crawl_priority"] = focused_crawl_priority
 
+    def emb_pq_recall(spark, sf_dir):
+        # recall@5 of PQ/ADC vs exact squared-L2 — the calibration row
+        # for the (m=4, ksub=8) compression choice, one row per probe
+        from crawler_spark.operators.similarity import pq_recall
+
+        emb = _emb_double(spark, sf_dir)
+        queries_df = emb.where(F.col("vec_id") < 5)
+        return pq_recall(emb, queries_df, k=5, m=4, ksub=8, iters=2,
+                         dim=64)
+
+    q["emb_pq_recall"] = emb_pq_recall
+
     return _driver_gate_order(q)
 
 
@@ -6178,6 +6190,44 @@ def oracle_sql() -> dict[str, str]:
                                THEN 1 ELSE 0 END)::double
                            / count(*)::double, 6) END AS score
     FROM toks GROUP BY href
+    """
+
+    # PQ recall calibration: the pest CTE chain is the shared PQ skeleton;
+    # exact side = brute-force 64-dim squared L2 ranked per query
+    o["emb_pq_recall"] = f"""
+    WITH {_EMB_CTE},
+    {_pq_cte(4, 8, 2, 16)},
+    pq5 AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY round(adc, 9) ASC, vec_id ASC)
+                 AS rank
+        FROM pest
+      ) WHERE rank <= 5
+    ),
+    exact5 AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round({_l2_sql("e.v", "q.v", 64)}, 9) ASC,
+                          e.vec_id ASC
+               ) AS rank
+        FROM emb e CROSS JOIN (SELECT vec_id, v FROM emb WHERE vec_id < 5) q
+        WHERE e.vec_id <> q.vec_id
+      ) WHERE rank <= 5
+    ),
+    hits AS (
+      SELECT p.query_id, count(*)::bigint AS n_hits
+      FROM pq5 p JOIN exact5 x USING (query_id, vec_id)
+      GROUP BY p.query_id
+    )
+    SELECT q.vec_id AS query_id,
+           coalesce(h.n_hits, 0)::bigint AS n_hits,
+           round(coalesce(h.n_hits, 0)::double / 5.0, 6) AS recall
+    FROM (SELECT vec_id FROM emb WHERE vec_id < 5) q
+    LEFT JOIN hits h ON h.query_id = q.vec_id
     """
 
     return o

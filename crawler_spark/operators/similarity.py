@@ -870,3 +870,69 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, m: int = 4,
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def l2_topk_exact(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                  vec_col: str = "embedding", id_col: str = "vec_id",
+                  query_id: str = "query_id") -> DataFrame:
+    """Exact squared-L2 top-k (brute force): the ground truth PQ/SQ8
+    approximate search is calibrated against.  Broadcast the (few)
+    queries against the corpus — the corpus is scanned once, never
+    shuffled or self-joined; ranking is a per-query window."""
+    paired = corpus.crossJoin(
+        F.broadcast(
+            queries.select(
+                F.col(id_col).alias(query_id),
+                F.col(vec_col).alias("__qv"),
+            )
+        )
+    ).where(F.col(id_col) != F.col(query_id))
+    d = l2sq_expr(F.col(vec_col), F.col("__qv"))
+    w = Window.partitionBy(query_id).orderBy(
+        F.round(d, 9).asc(), F.col(id_col).asc()
+    )
+    return (
+        paired.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id, F.col(id_col).alias("neighbor_id"),
+            F.round(d, 6).alias("l2_dist"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def pq_recall(corpus: DataFrame, queries: DataFrame, k: int = 5,
+              m: int = 4, ksub: int = 8, iters: int = 2,
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              dim: int | None = None) -> DataFrame:
+    """Recall@k of PQ/ADC against exact L2 — the pre-flight evidence for
+    the (m, ksub) compression choice, exactly what
+    :func:`truncation_recall` provides for dimension truncation and
+    :func:`..operators.dedup.minhash_calibration` for the dedup
+    threshold: before trusting 4-byte codes on the 100 TB corpus,
+    measure what the compression costs on a sample.
+
+    Both sides are the operators under test (no third implementation);
+    the join is on (query, neighbor) over two k-row-per-query frames —
+    trivially broadcastable.  Returns (query_id, n_hits, recall) with
+    recall = |PQ top-k ∩ exact top-k| / k, one row per probe, rounded 6.
+    """
+    approx = pq_topk(corpus, queries, k, m, ksub, iters, vec_col, id_col,
+                     dim=dim).select("query_id", "neighbor_id")
+    exact = l2_topk_exact(corpus, queries, k, vec_col, id_col).select(
+        "query_id", "neighbor_id"
+    )
+    hits = approx.join(exact, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    return (
+        queries.select(F.col(id_col).alias("query_id"))
+        .join(hits, "query_id", "left")
+        .na.fill({"n_hits": 0})
+        .select(
+            "query_id", "n_hits",
+            F.round(F.col("n_hits").cast("double") / F.lit(float(k)), 6)
+            .alias("recall"),
+        )
+    )

@@ -699,3 +699,35 @@ def test_pq_adc_approximates_true_l2(emb):
     true_l2 = {n: float(((vecs[n] - q) ** 2).sum()) for n in adc}
     assert true_l2[40] == min(true_l2.values())
     assert adc[40] == min(adc.values())
+
+
+def test_pq_recall_bounds_and_planted_dup(emb):
+    from crawler_spark.operators.similarity import pq_recall
+
+    queries = emb.where(F.col("vec_id") < 5)
+    rows = {r["query_id"]: r
+            for r in pq_recall(emb, queries, k=5, dim=64).collect()}
+    assert set(rows) == {0, 1, 2, 3, 4}          # every probe gets a row
+    for r in rows.values():
+        assert 0.0 <= r["recall"] <= 1.0
+        assert r["recall"] == round(r["n_hits"] / 5, 6)
+    # queries 0/1 have planted (near-)exact twins: PQ must find them, so
+    # recall there is strictly positive
+    assert rows[0]["n_hits"] >= 1
+    assert rows[1]["n_hits"] >= 1
+
+
+def test_l2_topk_exact_matches_numpy(emb):
+    import numpy as np
+
+    from crawler_spark.operators.similarity import l2_topk_exact
+
+    out = l2_topk_exact(emb, emb.where(F.col("vec_id") == 0), k=3).collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}
+    q = vecs[0]
+    truth = sorted(
+        ((float(((v - q) ** 2).sum()), i) for i, v in vecs.items() if i != 0)
+    )[:3]
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] \
+        == [i for _, i in truth]
+    assert out[0]["l2_dist"] == round(truth[0][0], 6)
