@@ -937,6 +937,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["event_type_pagerank"] = event_type_pagerank
 
+    def link_opic_importance(spark, sf_dir):
+        # OPIC (Abiteboul 2003) crawl-priority importance over the
+        # event-type transition graph, SPARSIFIED to each source's top-2
+        # outgoing edges by weight (the full 5-type graph is complete, so
+        # uniform cash would be a fixpoint): 4 synchronous cash rounds
+        # with uniform dangling redistribution; importance =
+        # (history + cash) / 5, total mass exactly 1
+        from pyspark.sql import Window
+        from crawler_spark.operators.graph import opic_importance, transition_edges
+
+        _utc(spark)
+        ev = _t(spark, sf_dir, "events")
+        w = Window.partitionBy("src").orderBy(F.desc("w"), "dst")
+        top2 = (
+            transition_edges(ev)
+            .where(F.col("src") != F.col("dst"))
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 2)
+        )
+        return opic_importance(top2, iters=4).select(
+            F.col("node").alias("event_type"), "importance"
+        )
+
+    q["link_opic_importance"] = link_opic_importance
+
     def doc_simhash_groups(spark, sf_dir):
         return simhash_dedup(_docs_text_double(spark, sf_dir))
 
@@ -3581,6 +3606,59 @@ def oracle_sql() -> dict[str, str]:
     r0 AS (SELECT node, 1.0::double / (SELECT count(*) FROM nodes) AS rank
            FROM nodes){_pr_iters}
     SELECT node AS event_type, round(rank, 6) AS rank FROM r5
+    """
+
+    # 4 unrolled OPIC rounds — same synchronous arithmetic as
+    # operators/graph.py opic_importance(): cash_new = inflow + dmass/n,
+    # hist_new = hist + cash_old, dangling mass redistributed uniformly
+    _opic_iters = "".join(
+        f""",
+    s{i + 1} AS (
+      SELECT s.node,
+             coalesce(f.inflow, 0.0::double)
+               + (SELECT coalesce(sum(cash), 0.0::double) FROM s{i}
+                  WHERE node IN (SELECT node FROM dang))
+                 / (SELECT count(*) FROM nodes) AS cash,
+             s.hist + s.cash AS hist
+      FROM s{i} s LEFT JOIN (
+        SELECT ep.dst AS node, sum(s2.cash * ep.p) AS inflow
+        FROM ep JOIN s{i} s2 ON s2.node = ep.src GROUP BY ep.dst
+      ) f USING (node)
+    )"""
+        for i in range(4)
+    )
+    o["link_opic_importance"] = f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    wedges AS (
+      SELECT event_type AS src, next_type AS dst, count(*)::double AS w
+      FROM seq WHERE next_type IS NOT NULL AND event_type <> next_type
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY w DESC, dst) AS rk
+        FROM wedges
+      ) WHERE rk <= 2
+    ),
+    outd AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+    ep AS (SELECT e.src, e.dst, 1.0::double / o.od AS p
+           FROM edges e JOIN outd o USING (src)),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    dang AS (SELECT node FROM nodes
+             WHERE node NOT IN (SELECT src FROM edges)),
+    s0 AS (SELECT node, 1.0::double / (SELECT count(*) FROM nodes) AS cash,
+                  0.0::double AS hist
+           FROM nodes){_opic_iters}
+    SELECT node AS event_type,
+           round((hist + cash) / 5.0, 6) AS importance FROM s4
     """
 
     o["doc_simhash_groups"] = f"""

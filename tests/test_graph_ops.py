@@ -191,3 +191,50 @@ def test_degree_stats_reciprocity(spark):
     assert out["c"]["out_deg"] == 1 and out["c"]["in_deg"] == 1
     assert out["c"]["n_reciprocal"] == 0
     assert "d" not in out                    # no out-edges -> not emitted
+
+
+def test_opic_symmetric_two_cycle(spark):
+    from crawler_spark.operators.graph import opic_importance
+
+    edges = spark.createDataFrame([("a", "b"), ("b", "a")],
+                                  "src string, dst string")
+    out = {r["node"]: r["importance"]
+           for r in opic_importance(edges, iters=4).collect()}
+    assert out == {"a": 0.5, "b": 0.5}        # symmetry is a fixpoint
+
+
+def test_opic_mass_conserved_and_hand_computed(spark):
+    from crawler_spark.operators.graph import opic_importance
+
+    # a -> b -> c, c dangling: c's cash redistributes uniformly.
+    # Hand-run of the synchronous recurrence, cash0 = 1/3 each:
+    #   r1: cash a=1/9, b=1/3+1/9, c=1/3+1/9; hist = cash0
+    #   importance R=1: (hist+cash)/2 -> a=(1/3+1/9)/2, b=c=(1/3+4/9)/2
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")],
+                                  "src string, dst string")
+    out = {r["node"]: r["importance"]
+           for r in opic_importance(edges, iters=1).collect()}
+    assert out["a"] == pytest.approx((1 / 3 + 1 / 9) / 2, abs=1e-6)
+    assert out["b"] == pytest.approx((1 / 3 + 4 / 9) / 2, abs=1e-6)
+    assert out["c"] == pytest.approx(out["b"], abs=1e-6)
+    # total importance is exactly 1 at any round count
+    for it in (1, 3):
+        vals = [r["importance"]
+                for r in opic_importance(edges, iters=it).collect()]
+        assert sum(vals) == pytest.approx(1.0, abs=5e-6)
+
+
+def test_opic_hub_outranks_leaf(spark):
+    from crawler_spark.operators.graph import opic_importance
+
+    # star into h: h accumulates every leaf's cash each round.
+    # Odd iteration count: cash oscillates h<->l1 on this 2-cycle, and at
+    # even R the (hist+cash) totals tie exactly -- the hand-run shows
+    # h pulls ahead only on odd R.
+    edges = spark.createDataFrame(
+        [("l1", "h"), ("l2", "h"), ("l3", "h"), ("h", "l1")],
+        "src string, dst string")
+    out = {r["node"]: r["importance"]
+           for r in opic_importance(edges, iters=5).collect()}
+    assert out["h"] > out["l2"]
+    assert out["h"] > out["l1"]
