@@ -962,6 +962,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["link_opic_importance"] = link_opic_importance
 
+    def link_trustrank(spark, sf_dir):
+        # TrustRank (Gyöngyi 2004): PageRank with teleport concentrated on
+        # a trusted seed set — here the 2 most frequent event types
+        # (count desc, name asc), a deterministic stand-in for hand-vetted
+        # seed hosts; 5 weighted rounds over the transition graph
+        from crawler_spark.operators.graph import transition_edges, trustrank
+
+        _utc(spark)
+        ev = _t(spark, sf_dir, "events")
+        seeds = (
+            ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "event_type")
+            .limit(2)
+            .select("event_type")
+        )
+        return trustrank(
+            transition_edges(ev), seeds, weight="w", iters=5
+        ).select(F.col("node").alias("event_type"), "trust")
+
+    q["link_trustrank"] = link_trustrank
+
     def doc_simhash_groups(spark, sf_dir):
         return simhash_dedup(_docs_text_double(spark, sf_dir))
 
@@ -2480,6 +2502,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_cms_heavy_hitters"] = corpus_cms_heavy_hitters
 
+    def corpus_hll_distinct(spark, sf_dir):
+        # HyperLogLog distinct-token estimate per source, calibrated
+        # against the exact count; harmonic sum kept as a scaled bigint
+        # (one final double division) so parity is bit-exact
+        from crawler_spark.operators.sketches import hll_distinct_estimate
+
+        return hll_distinct_estimate(_docs_text_double(spark, sf_dir), p=10)
+
+    q["corpus_hll_distinct"] = corpus_hll_distinct
+
     def corpus_pmi_bigrams(spark, sf_dir):
         # top adjacent-bigram collocations by PMI with positional marginals
         # and a min-count floor; ordering uses the rounded pmi so both
@@ -3659,6 +3691,58 @@ def oracle_sql() -> dict[str, str]:
            FROM nodes){_opic_iters}
     SELECT node AS event_type,
            round((hist + cash) / 5.0, 6) AS importance FROM s4
+    """
+
+    # 5 unrolled TrustRank rounds — same arithmetic as
+    # operators/graph.py trustrank(): teleport (1-d) concentrated on the
+    # seed set's static t column (both engines use the bit-identical
+    # repr'd double for 1-d)
+    _tr_oneminus = repr(1.0 - 0.85)
+    _tr_iters = "".join(
+        f""",
+    r{i + 1} AS (
+      SELECT tv.node,
+             {_tr_oneminus}::double * tv.t
+               + 0.85::double * coalesce(s.s, 0.0::double) AS rank
+      FROM tv LEFT JOIN (
+        SELECT ep.dst AS node, sum(r.rank * ep.p) AS s
+        FROM ep JOIN r{i} r ON r.node = ep.src GROUP BY ep.dst
+      ) s USING (node)
+    )"""
+        for i in range(5)
+    )
+    o["link_trustrank"] = f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    edges AS (
+      SELECT event_type AS src, next_type AS dst, count(*)::double AS w
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ),
+    outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+    ep AS (SELECT e.src, e.dst, e.w / o.ow AS p
+           FROM edges e JOIN outw o USING (src)),
+    seeds AS (
+      SELECT event_type AS node FROM (
+        SELECT event_type, count(*) AS n FROM events
+        GROUP BY 1 ORDER BY n DESC, event_type LIMIT 2
+      )
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges
+              UNION SELECT node FROM seeds),
+    tv AS (
+      SELECT n.node,
+             CASE WHEN s.node IS NOT NULL
+                  THEN 1.0::double / (SELECT count(*) FROM seeds)
+                  ELSE 0.0::double END AS t
+      FROM nodes n LEFT JOIN seeds s USING (node)
+    ),
+    r0 AS (SELECT node, t AS rank FROM tv){_tr_iters}
+    SELECT node AS event_type, round(rank, 6) AS trust FROM r5
     """
 
     o["doc_simhash_groups"] = f"""
@@ -5909,6 +5993,51 @@ def oracle_sql() -> dict[str, str]:
     FROM cb JOIN sketch s USING (d, bucket)
     GROUP BY cb.token
     ORDER BY true_cnt DESC, token
+    """
+
+    # HyperLogLog: registers from the shared h32 (idx = h % 1024, rho =
+    # 23 - bitlen(h // 1024)); the harmonic sum stays a scaled BIGINT
+    # (empty registers contribute 2^23) and the alpha·m²·2^23 numerator
+    # is pre-folded in Python and embedded via repr, so the single final
+    # division is the only floating op in either engine.
+    from crawler_spark.operators.sketches import bitlen_case_sql as _blsql
+
+    _hll_num = repr(0.7213 / (1.0 + 1.079 / 1024) * (1024 * 1024)
+                    * float(1 << 23))
+    o["corpus_hll_distinct"] = f"""
+    WITH items AS (
+      SELECT source AS g, t
+      FROM (SELECT source, unnest({_TOKS}) AS t FROM documents)
+    ),
+    hashed AS (SELECT g, {_h32('t')} AS h FROM items),
+    reg AS (
+      SELECT g, h % 1024 AS idx,
+             23 - {_blsql('(h // 1024)', 22)} AS rho
+      FROM hashed
+    ),
+    regs AS (SELECT g, idx, max(rho) AS m FROM reg GROUP BY g, idx),
+    per AS (
+      SELECT g, count(*)::bigint AS m_hit,
+             sum(1::bigint << (23 - m))::bigint AS z_hit
+      FROM regs GROUP BY g
+    ),
+    truth AS (
+      SELECT g, count(*)::bigint AS true_distinct
+      FROM (SELECT DISTINCT g, t FROM items) GROUP BY g
+    )
+    SELECT p.g AS source, p.m_hit,
+           (p.z_hit + (1024 - p.m_hit) * (1::bigint << 23))::bigint
+             AS z_scaled,
+           round({_hll_num}::double
+                 / (p.z_hit + (1024 - p.m_hit) * (1::bigint << 23))::double,
+                 4) AS est_hll,
+           t.true_distinct,
+           round(({_hll_num}::double
+                  / (p.z_hit + (1024 - p.m_hit) * (1::bigint << 23))::double
+                  - t.true_distinct) / t.true_distinct::double, 4)
+             AS rel_err
+    FROM per p JOIN truth t USING (g)
+    ORDER BY source
     """
 
     # PMI collocations: positional marginals (w1-as-left, w2-as-right),

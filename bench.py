@@ -79,6 +79,11 @@ QUERY_SLICE = (
     "emb_pq_topk",
     "robots_wildcard_match",
     "host_mirror_pairs",
+    # round-4 closing additions: OPIC importance (one-shuffle cash rounds
+    # + broadcast dangling scalar), HLL register sketch (integer-exact
+    # harmonic sum — the whole token stream folds to 1024 longs/group)
+    "link_opic_importance",
+    "corpus_hll_distinct",
 )
 
 

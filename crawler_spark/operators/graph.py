@@ -313,7 +313,10 @@ def opic_importance(edges: DataFrame, src: str = "src", dst: str = "dst",
     ONE hash shuffle (cash joins the share table on src, map-side
     combined sum groups inflow by dst) plus a 1-row dangling-mass
     aggregate broadcast-crossJoined back (the temperature-weights
-    pattern — no driver round-trip for the scalar), with per-round
+    pattern — no driver round-trip for the scalar).  The dangling set
+    is static, so it is resolved ONCE into a boolean column the state
+    vector carries — the per-round mass scalar is then a filter +
+    aggregate over the checkpointed state, no join.  Per-round
     ``localCheckpoint`` lineage truncation.  At 10^10 frontier URLs:
     pre-partition edges by src and the state vector by node so the
     round join co-locates; state is O(nodes), never collected.
@@ -332,24 +335,23 @@ def opic_importance(edges: DataFrame, src: str = "src", dst: str = "dst",
                 (F.lit(1.0) / F.col("od").cast("double")).alias("p"))
         .persist()
     )
+    srcs = ep.select(F.col("src").alias("node")).distinct()
     nodes = (
         ep.select(F.col("src").alias("node"))
         .unionByName(ep.select(F.col("dst").alias("node")))
         .distinct()
+        .join(srcs.withColumn("has_out", F.lit(True)), "node", "left")
+        .select("node", F.coalesce("has_out", F.lit(False)).alias("has_out"))
         .persist()
     )
     n = nodes.count()
-    # dangling = nodes with no out-edges; static, so resolved once
-    dangling = nodes.join(
-        ep.select(F.col("src").alias("node")).distinct(), "node",
-        "left_anti",
-    ).persist()
     state = nodes.select(
-        "node", F.lit(1.0 / n).alias("cash"), F.lit(0.0).alias("hist")
+        "node", "has_out",
+        F.lit(1.0 / n).alias("cash"), F.lit(0.0).alias("hist"),
     )
     for _ in range(iters):
         dmass = F.broadcast(
-            state.join(dangling, "node", "left_semi").agg(
+            state.where(~F.col("has_out")).agg(
                 F.coalesce(F.sum("cash"), F.lit(0.0)).alias("dmass")
             )
         )
@@ -365,6 +367,7 @@ def opic_importance(edges: DataFrame, src: str = "src", dst: str = "dst",
             .crossJoin(dmass)
             .select(
                 "node",
+                "has_out",
                 (F.coalesce(F.col("inflow"), F.lit(0.0))
                  + F.col("dmass") / F.lit(float(n))).alias("cash"),
                 (F.col("hist") + F.col("cash")).alias("hist"),
@@ -373,9 +376,85 @@ def opic_importance(edges: DataFrame, src: str = "src", dst: str = "dst",
         )
     ep.unpersist()
     nodes.unpersist()
-    dangling.unpersist()
     return state.select(
         "node",
         F.round((F.col("hist") + F.col("cash")) / F.lit(float(iters + 1)),
                 6).alias("importance"),
     )
+
+
+def trustrank(edges: DataFrame, seeds: DataFrame, src: str = "src",
+              dst: str = "dst", weight: str | None = None, iters: int = 5,
+              damping: float = 0.85) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004): PageRank
+    with the teleport vector concentrated uniformly on a *trusted seed
+    set* instead of spread over all nodes, so trust flows outward from
+    vetted hosts and link-spam neighborhoods starve.  This is the
+    standard spam-resistant crawl-prioritization measure: frontier
+    schedulers order hosts by trust, not raw in-degree.
+
+    rank'(v) = (1-d)·t(v) + d·Σ_{u→v} rank(u)·w(u,v)/out_w(u), with
+    t(v) = 1/|S| for v in the seed set S, else 0; initial rank = t.
+    Dangling mass is dropped (same documented variant as
+    :func:`pagerank` — both engines identical).  FIXED iteration count;
+    the DuckDB oracle unrolls the same rounds, so there is no
+    convergence test to diverge on.
+
+    Scale shape is :func:`pagerank`'s: the normalized edge table is
+    built once and persisted, each round is ONE hash shuffle (rank
+    vector joins edges on src, map-side-combined sum by dst); the
+    static teleport column rides the persisted node table, and the seed
+    set — tiny by construction (hand-vetted hosts) — reaches executors
+    as a broadcast semi-join.  Lineage truncated per round.
+
+    Returns (node, trust) rounded to 6 d.p.  Seed nodes absent from the
+    graph still receive their teleport share (they are unioned into the
+    node set), matching the paper's handling of isolated seeds.
+    """
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
+                     w.alias("w"))
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    ep = (
+        e.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("p"))
+        .persist()
+    )
+    s = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    n_seeds = s.count()
+    nodes = (
+        ep.select(F.col("src").alias("node"))
+        .unionByName(ep.select(F.col("dst").alias("node")))
+        .unionByName(s)
+        .distinct()
+        .join(F.broadcast(s.withColumn("is_seed", F.lit(True))),
+              "node", "left")
+        .select(
+            "node",
+            F.when(F.col("is_seed"), F.lit(1.0 / n_seeds))
+            .otherwise(F.lit(0.0)).alias("t"),
+        )
+        .persist()
+    )
+    ranks = nodes.select("node", F.col("t").alias("rank"))
+    for _ in range(iters):
+        contribs = (
+            ep.join(ranks, ep["src"] == ranks["node"])
+            .select(F.col("dst").alias("node"),
+                    (F.col("rank") * F.col("p")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(1.0 - damping) * F.col("t")
+                 + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                 ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    ep.unpersist()
+    nodes.unpersist()
+    return ranks.select("node", F.round("rank", 6).alias("trust"))

@@ -187,3 +187,110 @@ def cms_heavy_hitters(
         "cms_est",
         (F.col("cms_est") - F.col("true_cnt")).cast("long").alias("overcount"),
     ).orderBy(F.desc("true_cnt"), F.asc("token"))
+
+
+def bitlen_case_sql(col: str, max_bits: int) -> str:
+    """Bit-length of a non-negative integer column as a CASE chain.
+
+    Both engines evaluate this IDENTICAL SQL text (Spark via ``F.expr``,
+    DuckDB verbatim), so ``floor(log2)`` semantics cannot drift the way
+    libm-backed ``log2`` could at powers-of-two boundaries.  ``max_bits``
+    bounds the chain (22 terms for the 22-bit HLL remainder — constant
+    folded by both optimizers).
+    """
+    whens = " ".join(
+        f"WHEN {col} >= {1 << (b - 1)} THEN {b}"
+        for b in range(max_bits, 0, -1)
+    )
+    return f"(CASE {whens} ELSE 0 END)"
+
+
+def hll_distinct_estimate(
+    docs: DataFrame,
+    p: int = 10,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group HyperLogLog distinct-token estimate, calibrated against
+    the exact count (Flajolet et al. 2007 — the register/harmonic-mean
+    estimator behind every production cardinality sketch, including
+    Spark's own ``approx_count_distinct``; re-derived here over the
+    portable ``h32`` so the whole register pipeline is oracle-checkable,
+    which the engine-private binary sketch is not).
+
+    Register build: ``idx = h % 2^p`` picks one of ``m = 2^p`` registers;
+    the remaining ``32-p`` hash bits form ``w``; ``rho = (32-p) -
+    bitlen(w) + 1`` is the leading-zero rank (``w = 0`` → max rank);
+    each register keeps ``max(rho)``.  The estimate is
+    ``alpha_m · m² / Σ_j 2^(-M_j)``.
+
+    Exactness discipline — the reason this parities bit-for-bit: the
+    harmonic sum is kept as the SCALED INTEGER ``z_scaled =
+    Σ 2^(B - M_j)`` (B = 33-p; empty registers contribute ``2^B``), a
+    bigint, and the single floating division ``num / z_scaled`` happens
+    once at the end with the numerator ``alpha·m²·2^B`` pre-folded to one
+    repr'd double literal shared by both engines.  No ``pow``, no ``ln``
+    (the low-cardinality linear-counting correction needs ``ln(m/V)``
+    and is deliberately left to the caller — ``m - m_hit`` zero-register
+    count is in the output so the caller can apply it).
+
+    Scale shape: one hash shuffle to fold the token stream into ≤ m rows
+    per group (map-side-combined ``max``), one tiny per-group aggregate —
+    the sketch property: 100 TB of tokens → 2^p longs per group.  The
+    exact-count calibration join is the small-SF harness; at production
+    scale you run the sketch alone.
+
+    Returns (group, m_hit, z_scaled, est_hll, true_distinct, rel_err)
+    sorted by group.
+    """
+    m = 1 << p
+    rem_bits = 32 - p
+    b_scale = rem_bits + 1
+    num = 0.7213 / (1.0 + 1.079 / m) * (m * m) * float(1 << b_scale)
+
+    items = docs.select(
+        F.col(group_col).alias("g"),
+        F.explode(tokens(F.col(text_col))).alias("t"),
+    )
+    hashed = items.select("g", h32(F.col("t")).alias("h"))
+    reg = hashed.select(
+        "g",
+        (F.col("h") % m).alias("idx"),
+        F.expr(f"CAST(h DIV {m} AS BIGINT)").alias("w"),
+    ).select(
+        "g",
+        "idx",
+        (F.lit(b_scale)
+         - F.expr(bitlen_case_sql("w", rem_bits))).alias("rho"),
+    )
+    regs = reg.groupBy("g", "idx").agg(F.max("rho").alias("M"))
+    per = regs.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("m_hit"),
+        F.sum(F.expr(f"CAST(shiftleft(1, {b_scale} - M) AS BIGINT)"))
+        .cast("long").alias("z_hit"),
+    )
+    est = F.lit(num) / (
+        F.col("z_hit")
+        + (F.lit(m) - F.col("m_hit")) * F.lit(1 << b_scale)
+    ).cast("double")
+    truth = items.distinct().groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("true_distinct")
+    )
+    return (
+        per.join(truth, "g")
+        .select(
+            F.col("g").alias(group_col),
+            "m_hit",
+            (F.col("z_hit")
+             + (F.lit(m) - F.col("m_hit")) * F.lit(1 << b_scale))
+            .cast("long").alias("z_scaled"),
+            F.round(est, 4).alias("est_hll"),
+            "true_distinct",
+            F.round(
+                (est - F.col("true_distinct"))
+                / F.col("true_distinct").cast("double"),
+                4,
+            ).alias("rel_err"),
+        )
+        .orderBy(group_col)
+    )

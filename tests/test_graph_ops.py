@@ -238,3 +238,47 @@ def test_opic_hub_outranks_leaf(spark):
            for r in opic_importance(edges, iters=5).collect()}
     assert out["h"] > out["l2"]
     assert out["h"] > out["l1"]
+
+
+def test_trustrank_single_seed_hand_computed(spark):
+    from crawler_spark.operators.graph import trustrank
+
+    # a -> b, seed {a}, one round:
+    #   rank0 = t = (a:1, b:0)
+    #   rank1(a) = 0.15*1 + 0.85*0 = 0.15; rank1(b) = 0.15*0 + 0.85*1
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    out = {r["node"]: r["trust"]
+           for r in trustrank(edges, seeds, iters=1).collect()}
+    assert out["a"] == pytest.approx(1.0 - 0.85, abs=1e-6)
+    assert out["b"] == pytest.approx(0.85, abs=1e-6)
+
+
+def test_trustrank_starves_spam_neighborhood(spark):
+    from crawler_spark.operators.graph import trustrank
+
+    # spam farm l1..l3 -> spam has maximal in-degree but is unreachable
+    # from the seed component (s <-> good): trust must stay exactly 0.
+    edges = spark.createDataFrame(
+        [("l1", "spam"), ("l2", "spam"), ("l3", "spam"),
+         ("s", "good"), ("good", "s")],
+        "src string, dst string")
+    seeds = spark.createDataFrame([("s",)], "node string")
+    out = {r["node"]: r["trust"]
+           for r in trustrank(edges, seeds, iters=5).collect()}
+    assert out["spam"] == 0.0
+    assert out["good"] > 0.0 and out["s"] > 0.0
+    assert out["good"] > out["spam"]
+
+
+def test_trustrank_isolated_seed_still_scored(spark):
+    from crawler_spark.operators.graph import trustrank
+
+    # seed z absent from the edge set: unioned into the node set, keeps
+    # its teleport share; everything else gets nothing.
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    seeds = spark.createDataFrame([("z",)], "node string")
+    out = {r["node"]: r["trust"]
+           for r in trustrank(edges, seeds, iters=3).collect()}
+    assert out["z"] == pytest.approx(0.15, abs=1e-6)
+    assert out["a"] == 0.0 and out["b"] == 0.0

@@ -262,3 +262,50 @@ def test_discover_feeds_filters_and_types(spark):
         (1, "atom", "https://e.x/a", ""),
         (1, "rss", "/f.xml", "T1"),
     ]
+
+
+def test_hll_register_arithmetic_single_token(spark):
+    from crawler_spark.operators.sketches import hll_distinct_estimate
+
+    # one distinct token -> exactly one hit register whose scaled term is
+    # 2^(23-rho); the other 1023 empty registers contribute 2^23 each.
+    docs = spark.createDataFrame([("s", 0, "hello hello hello")],
+                                 "source string, doc_id long, text string")
+    row = hll_distinct_estimate(docs, p=10).collect()[0]
+    assert row["m_hit"] == 1
+    assert row["true_distinct"] == 1
+    rest = row["z_scaled"] - 1023 * (1 << 23)
+    assert rest in {1 << (23 - r) for r in range(1, 24)}
+    assert row["est_hll"] > 0
+
+
+def test_hll_estimate_tracks_exact_cardinality(spark):
+    from crawler_spark.operators.sketches import hll_distinct_estimate
+
+    # ~5000 distinct tokens at p=10 (m=1024): standard error is
+    # ~1.04/sqrt(1024) = 3.25%; assert well inside 5 sigma.
+    rows = [("s", i, " ".join(f"tok{j}" for j in range(i * 10, i * 10 + 10)))
+            for i in range(500)]
+    docs = spark.createDataFrame(rows,
+                                 "source string, doc_id long, text string")
+    row = hll_distinct_estimate(docs, p=10).collect()[0]
+    assert row["true_distinct"] == 5000
+    assert abs(row["rel_err"]) < 0.17
+    assert row["est_hll"] == pytest.approx(
+        5000 * (1 + row["rel_err"]), rel=0.02)
+
+
+def test_hll_per_group_and_duplicates_ignored(spark):
+    from crawler_spark.operators.sketches import hll_distinct_estimate
+
+    # duplicate-heavy group and distinct-heavy group: the sketch sees
+    # multiplicity-free cardinality (max(rho) is idempotent).
+    rows = [("dup", i, "same words every time") for i in range(50)]
+    rows += [("uniq", 100 + i, f"u{i} v{i} w{i}") for i in range(40)]
+    docs = spark.createDataFrame(rows,
+                                 "source string, doc_id long, text string")
+    out = {r["source"]: r for r in hll_distinct_estimate(docs, p=10).collect()}
+    assert out["dup"]["true_distinct"] == 4
+    assert out["uniq"]["true_distinct"] == 120
+    assert out["dup"]["est_hll"] < out["uniq"]["est_hll"]
+    assert out["dup"]["m_hit"] == 4     # 4 tokens -> <=4 registers, no clash
