@@ -1154,6 +1154,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["page_text_extract"] = page_text_extract
 
+    def page_soft404_detect(spark, sf_dir):
+        # soft-404 triage over a mixed synthetic corpus: every 7th doc an
+        # error template (strong title signal), every 7th+1 a thin page
+        # with one weak phrase, the rest real text wrapped in a normal
+        # shell; all signals one codegen projection — no shuffle
+        from crawler_spark.operators.web import soft404_scores
+
+        docs = _docs_text_double(spark, sf_dir)
+        err = F.lit(
+            "<html><head><title>404 Not Found</title></head><body>"
+            "The page you requested does not exist.</body></html>"
+        )
+        thin = F.lit(
+            "<html><head><title>Item</title></head>"
+            "<body>sorry, this item is no longer available</body></html>"
+        )
+        normal = F.concat(
+            F.lit("<html><head><title>Doc</title></head><body><p>"),
+            F.col("text"),
+            F.lit("</p></body></html>"),
+        )
+        html = (
+            F.when(F.col("doc_id") % 7 == 0, err)
+            .when(F.col("doc_id") % 7 == 1, thin)
+            .otherwise(normal)
+        )
+        return soft404_scores(docs.select("doc_id", html.alias("html")))
+
+    q["page_soft404_detect"] = page_soft404_detect
+
     def sitemap_extract(spark, sf_dir):
         # frontier seeding: per-source sitemap XML → ordered <loc> urls
         docs = _docs_text_double(spark, sf_dir)
@@ -1176,6 +1206,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return extract_sitemap_urls(smap, "sitemap_xml", ("source",))
 
     q["sitemap_extract"] = sitemap_extract
+
+    def sitemap_recrawl_due(spark, sf_dir):
+        # publisher-declared freshness: per-source sitemap with lastmod
+        # (doc_id%11 blocks omit it), store fetch times on a different
+        # cadence, join -> due list with never_fetched/modified reasons;
+        # exercises the full XML block-extract path on the Spark side
+        from crawler_spark.operators.web import (
+            recrawl_due_from_sitemap,
+            sitemap_lastmod_entries,
+        )
+
+        _utc(spark)
+        docs = _docs_text_double(spark, sf_dir)
+
+        def block(d):
+            lastmod = F.concat(
+                F.lit("<lastmod>"),
+                F.date_format(
+                    F.date_add(
+                        F.to_date(F.lit("2024-01-01")), (d % 90).cast("int")
+                    ),
+                    "yyyy-MM-dd",
+                ),
+                F.lit("</lastmod>"),
+            )
+            return F.concat(
+                F.lit("<url><loc>https://ex.org/d/"),
+                d.cast("string"),
+                F.lit("</loc>"),
+                F.when(d % 11 == 0, F.lit("")).otherwise(lastmod),
+                F.lit("</url>"),
+            )
+
+        smap = docs.groupBy("source").agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("doc_id")), block), ""
+            ).alias("sitemap_xml")
+        )
+        entries = sitemap_lastmod_entries(smap, "sitemap_xml", ("source",))
+        store = docs.where(F.col("doc_id") % 3 != 0).select(
+            F.concat(
+                F.lit("https://ex.org/d/"), F.col("doc_id").cast("string")
+            ).alias("url"),
+            F.date_format(
+                F.date_add(
+                    F.to_date(F.lit("2024-01-15")),
+                    ((F.col("doc_id") * 7) % 60).cast("int"),
+                ),
+                "yyyy-MM-dd",
+            ).alias("fetched_at"),
+        )
+        return recrawl_due_from_sitemap(entries, store)
+
+    q["sitemap_recrawl_due"] = sitemap_recrawl_due
 
     def host_quality(spark, sf_dir):
         # per-host crawl-priority signal: doc count, mean quality, exact-dup
@@ -2511,6 +2595,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return hll_distinct_estimate(_docs_text_double(spark, sf_dir), p=10)
 
     q["corpus_hll_distinct"] = corpus_hll_distinct
+
+    def corpus_hist_quantiles(spark, sf_dir):
+        # histogram-quantile calibration: 128 fixed-width integer buckets
+        # per source vs the exact interpolated percentile (doc lengths);
+        # the whole value stream folds to <=128 counts per group
+        from crawler_spark.operators.sketches import histogram_quantiles
+
+        return histogram_quantiles(
+            _docs_text_double(spark, sf_dir), value_col="n_chars"
+        )
+
+    q["corpus_hist_quantiles"] = corpus_hist_quantiles
 
     def corpus_pmi_bigrams(spark, sf_dir):
         # top adjacent-bigram collocations by PMI with positional marginals
@@ -4088,6 +4184,66 @@ def oracle_sql() -> dict[str, str]:
     FROM c
     """
 
+    # soft-404: same 3-arm synthetic corpus, same visible-text regexp
+    # chain as page_text_extract, then the identical phrase/title/thin
+    # flag arithmetic (contains on lowercased clean text)
+    _s404_phr = ("page not found", "404", "does not exist",
+                 "no longer available", "error occurred")
+    _s404_hits = " + ".join(
+        f"(CASE WHEN contains(text_lc, '{p}') THEN 1 ELSE 0 END)"
+        for p in _s404_phr
+    )
+    _s404_title = " OR ".join(
+        f"contains(title_lc, '{p}')" for p in _s404_phr
+    )
+    o["page_soft404_detect"] = f"""
+    WITH h AS (
+      SELECT doc_id,
+        CASE
+          WHEN doc_id % 7 = 0 THEN
+            '<html><head><title>404 Not Found</title></head><body>'
+            || 'The page you requested does not exist.</body></html>'
+          WHEN doc_id % 7 = 1 THEN
+            '<html><head><title>Item</title></head>'
+            || '<body>sorry, this item is no longer available</body></html>'
+          ELSE '<html><head><title>Doc</title></head><body><p>'
+            || text || '</p></body></html>'
+        END AS html
+      FROM documents
+    ), s AS (
+      SELECT doc_id, html,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g'),
+              '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+          '<[^>]*>', ' ', 'g') AS t
+      FROM h
+    ), c AS (
+      SELECT doc_id, html,
+        lower(trim(regexp_replace(
+          replace(replace(replace(replace(replace(replace(t,
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+            '&nbsp;', ' '), '&amp;', '&'),
+          '\\s+', ' ', 'g'))) AS text_lc,
+        lower(regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1))
+          AS title_lc
+      FROM s
+    ), f AS (
+      SELECT doc_id,
+        length(trim(text_lc))::bigint AS clean_len,
+        ({_s404_hits})::int AS phrase_hits,
+        ({_s404_title}) AS title_error,
+        (length(trim(text_lc)) < 120) AS thin
+      FROM c
+    )
+    SELECT doc_id, clean_len, phrase_hits, title_error, thin,
+           (title_error OR phrase_hits >= 2
+            OR (phrase_hits >= 1 AND thin)) AS is_soft404
+    FROM f
+    """
+
     o["sitemap_extract"] = """
     WITH smap AS (
       SELECT source,
@@ -4106,6 +4262,34 @@ def oracle_sql() -> dict[str, str]:
       FROM smap
     )
     SELECT source, pos::bigint AS pos, trim(raw_url) AS url FROM ex
+    """
+
+    # recrawl-due: the XML block round-trip is lossless, so the oracle
+    # derives entries/store directly from documents; date + int-days at
+    # UTC midnight -> identical epochs in both engines
+    o["sitemap_recrawl_due"] = """
+    WITH e AS (
+      SELECT 'https://ex.org/d/' || doc_id::varchar AS url,
+             CASE WHEN doc_id % 11 = 0 THEN NULL
+                  ELSE epoch(DATE '2024-01-01' + (doc_id % 90)::int)::bigint
+             END AS lastmod_epoch
+      FROM documents
+    ),
+    st AS (
+      SELECT 'https://ex.org/d/' || doc_id::varchar AS url,
+             epoch(DATE '2024-01-15'
+                   + ((doc_id * 7) % 60)::int)::bigint AS fetched_epoch
+      FROM documents WHERE doc_id % 3 <> 0
+    )
+    SELECT e.url, e.lastmod_epoch, st.fetched_epoch,
+           CASE WHEN st.fetched_epoch IS NULL THEN 'never_fetched'
+                WHEN e.lastmod_epoch IS NOT NULL
+                     AND e.lastmod_epoch > st.fetched_epoch THEN 'modified'
+           END AS reason,
+           (st.fetched_epoch IS NULL
+            OR (e.lastmod_epoch IS NOT NULL
+                AND e.lastmod_epoch > st.fetched_epoch)) AS due
+    FROM e LEFT JOIN st USING (url)
     """
 
     o["host_quality_rollup"] = f"""
@@ -6038,6 +6222,53 @@ def oracle_sql() -> dict[str, str]:
              AS rel_err
     FROM per p JOIN truth t USING (g)
     ORDER BY source
+    """
+
+    # histogram quantiles: integer ceil-div width, integer bucketing,
+    # ceil(q*n) target rank, one interpolation division at the end;
+    # exact side = quantile_cont (≡ Spark percentile, linear interp)
+    o["corpus_hist_quantiles"] = """
+    WITH vals AS (SELECT source AS g, n_chars::bigint AS v FROM documents),
+    stats AS (
+      SELECT g, min(v) AS lo, max(v) AS hi, count(*)::bigint AS n
+      FROM vals GROUP BY g
+    ),
+    qexact AS (
+      SELECT g, quantile_cont(v, [0.5, 0.9, 0.99]) AS ex FROM vals GROUP BY g
+    ),
+    bucketed AS (
+      SELECT v.g, (v.v - s.lo) // ((s.hi - s.lo + 128) // 128) AS b,
+             count(*)::bigint AS cnt
+      FROM vals v JOIN stats s USING (g) GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT g, b, cnt,
+             (sum(cnt) OVER (PARTITION BY g ORDER BY b
+                             ROWS UNBOUNDED PRECEDING))::bigint AS cum
+      FROM bucketed
+    ),
+    targets AS (
+      SELECT s.g, s.lo, s.hi, s.n, qv.q::double AS q, qv.qi,
+             ceil(qv.q::double * s.n)::bigint AS rank
+      FROM stats s CROSS JOIN (VALUES (0.5, 0), (0.9, 1), (0.99, 2))
+        qv(q, qi)
+    ),
+    est AS (
+      SELECT t.g, t.q, t.qi, t.n,
+             ((t.hi - t.lo + 128) // 128)::bigint AS width,
+             t.lo + c.b * ((t.hi - t.lo + 128) // 128)
+               + ((t.hi - t.lo + 128) // 128)
+                 * (t.rank - (c.cum - c.cnt))::double / c.cnt::double
+               AS est
+      FROM targets t JOIN cum c USING (g)
+      WHERE c.cum - c.cnt < t.rank AND c.cum >= t.rank
+    )
+    SELECT e.g AS source, e.q, e.n, e.width,
+           round(e.est, 6) AS est,
+           round(x.ex[e.qi + 1], 6) AS exact,
+           round((e.est - x.ex[e.qi + 1]) / x.ex[e.qi + 1], 4) AS rel_err
+    FROM est e JOIN qexact x USING (g)
+    ORDER BY source, q
     """
 
     # PMI collocations: positional marginals (w1-as-left, w2-as-right),

@@ -294,3 +294,102 @@ def hll_distinct_estimate(
         )
         .orderBy(group_col)
     )
+
+
+def histogram_quantiles(
+    docs: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "source",
+    n_buckets: int = 128,
+    quantiles: tuple = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-group quantile estimates from a fixed-width histogram,
+    calibrated against the exact interpolated percentile — the third
+    sizing instrument next to KMV (distinct) and CMS (frequency): at
+    100 TB an exact percentile needs the full sorted value stream, while
+    the histogram folds it to ``n_buckets`` counts per group in one
+    map-side-combined shuffle (the same two-pass min/max + fixed-bin
+    shape every engine's APPROX_PERCENTILE-style histogram uses).
+
+    Estimator: per group, ``width = ceil((max-min+1)/n_buckets)`` (integer
+    ceil division — so bucketing is EXACT integer arithmetic in both
+    engines); value ``v`` lands in bucket ``(v-min) div width``.  For
+    quantile ``q`` the target rank is ``ceil(q*n)``; the estimate
+    interpolates linearly inside the covering bucket:
+    ``min + bucket*width + width*(rank - cum_before)/bucket_count``.
+    The only floating ops are ``q*n`` (exact doubles for n < 2^53) and
+    the final interpolation division — deterministic cross-engine, like
+    the HLL scaled sum.
+
+    Calibration columns: the exact linear-interpolation percentile
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, verified bit-equal
+    semantics by the length_profile operator) and the relative error —
+    the pre-flight evidence for trusting an ``n_buckets`` choice before
+    pointing it at the full corpus.
+
+    Returns (group, q, n, width, est, exact, rel_err) sorted by
+    (group, q).
+    """
+    vals = docs.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    stats = vals.groupBy("g").agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    qexact = vals.groupBy("g").agg(
+        F.expr(
+            "percentile(v, array("
+            + ", ".join(f"{q}D" for q in quantiles)
+            + "))"
+        ).alias("__ex")
+    )
+    width = F.expr(f"CAST((hi - lo + {n_buckets}) DIV {n_buckets} AS BIGINT)")
+    bucketed = (
+        vals.join(F.broadcast(stats), "g")
+        .select("g", F.expr(
+            f"CAST((v - lo) DIV ((hi - lo + {n_buckets}) DIV {n_buckets})"
+            " AS BIGINT)").alias("b"))
+        .groupBy("g", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    cum = bucketed.select(
+        "g", "b", "cnt",
+        F.sum("cnt").over(
+            Window.partitionBy("g").orderBy("b")
+        ).cast("long").alias("cum"),
+    )
+    qs = docs.sparkSession.createDataFrame(
+        [(float(q), i) for i, q in enumerate(quantiles)], "q double, qi int"
+    )
+    targets = stats.crossJoin(F.broadcast(qs)).select(
+        "g", "lo", "hi", "n", "q", "qi",
+        F.ceil(F.col("q") * F.col("n")).cast("long").alias("rank"),
+    )
+    est = (
+        targets.join(cum, "g")
+        .where((F.col("cum") - F.col("cnt") < F.col("rank"))
+               & (F.col("cum") >= F.col("rank")))
+        .select(
+            "g", "q", "qi", "n", width.alias("width"),
+            (F.col("lo") + F.col("b") * width
+             + width * (F.col("rank") - (F.col("cum") - F.col("cnt")))
+             .cast("double") / F.col("cnt").cast("double")).alias("est"),
+        )
+    )
+    return (
+        est.join(qexact, "g")
+        .select(
+            F.col("g").alias(group_col),
+            "q", "n", "width",
+            F.round("est", 6).alias("est"),
+            F.round(F.element_at("__ex", F.col("qi") + 1), 6).alias("exact"),
+            F.round(
+                (F.col("est") - F.element_at("__ex", F.col("qi") + 1))
+                / F.element_at("__ex", F.col("qi") + 1), 4
+            ).alias("rel_err"),
+        )
+        .orderBy(group_col, "q")
+    )

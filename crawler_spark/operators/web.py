@@ -1106,3 +1106,144 @@ def focused_crawl_scores(links: DataFrame, topic_terms: list,
             ).alias("score"),
         )
     )
+
+
+def soft404_scores(pages: DataFrame, html_col: str = "html",
+                   thin_chars: int = 120) -> DataFrame:
+    """Soft-404 detection: pages served with HTTP 200 whose *content* is
+    an error page — the classic crawl-corpus poison (Bar-Yossef et al.,
+    WWW 2004, "Sic transit gloria telae" named the problem; production
+    crawlers gate every new host on it).  A crawler that can't spot them
+    indexes millions of identical "page not found" bodies and wastes
+    recrawl budget on URLs that effectively don't exist.
+
+    Heuristic signal set, all computed in ONE codegen'd projection over
+    the page scan (no Python, no shuffle, no join):
+
+    - ``phrase_hits``: count of distinct error phrases present in the
+      lowercased visible text ("page not found", "404", "does not
+      exist", "no longer available", "error occurred");
+    - ``title_error``: the <title> itself carries an error phrase — the
+      strongest single signal (server templates title their error pages);
+    - ``thin``: visible text shorter than ``thin_chars`` — error pages
+      are near-empty once boilerplate is stripped.
+
+    Verdict: ``is_soft404 = title_error OR phrase_hits >= 2 OR
+    (phrase_hits >= 1 AND thin)`` — one strong signal, or two weak, or a
+    weak one on a thin page.  Pure flags, deliberately threshold-simple:
+    the intended 100 TB use is as a SCAN-STAGE filter column feeding the
+    clean-corpus anti-join, exactly like ``url_quality_flags``.
+
+    Returns all input key columns except the html plus (clean_len,
+    phrase_hits, title_error, thin, is_soft404).
+    """
+    text_lc = F.lower(html_visible_text(F.col(html_col)))
+    title_lc = F.lower(
+        F.regexp_extract(F.col(html_col), "(?is)<title[^>]*>(.*?)</title>", 1)
+    )
+    phrases = ("page not found", "404", "does not exist",
+               "no longer available", "error occurred")
+    hits = None
+    for ph in phrases:
+        flag = F.when(F.contains(text_lc, F.lit(ph)), 1).otherwise(0)
+        hits = flag if hits is None else hits + flag
+    title_err = F.lit(False)
+    for ph in phrases:
+        title_err = title_err | F.contains(title_lc, F.lit(ph))
+    clean_len = F.length(F.trim(text_lc))
+    thin = clean_len < thin_chars
+    keep = [c for c in pages.columns if c != html_col]
+    hits_c = hits.cast("int")
+    return pages.select(
+        *keep,
+        clean_len.cast("long").alias("clean_len"),
+        hits_c.alias("phrase_hits"),
+        title_err.alias("title_error"),
+        thin.alias("thin"),
+        (title_err | (hits_c >= 2) | ((hits_c >= 1) & thin))
+        .alias("is_soft404"),
+    )
+
+
+def sitemap_lastmod_entries(df: DataFrame, xml_col: str = "sitemap_xml",
+                            key_cols: tuple = ("host",)) -> DataFrame:
+    """Explode sitemap ``<url>`` blocks into (url, lastmod) rows.
+
+    Extends :func:`extract_sitemap_urls` (loc-only) with the
+    ``<lastmod>`` freshness field — the signal the sitemaps protocol
+    exists to carry: a crawler that ignores it either refetches
+    everything (budget burn) or goes stale.  One ``regexp_extract_all``
+    of the ``(?s)<url>…</url>`` blocks → explode → two per-block
+    ``regexp_extract`` projections, all codegen, zero Python, zero
+    shuffle; linear in sitemap bytes.
+
+    Returns key_cols + (pos, url, lastmod) — ``lastmod`` is the raw
+    trimmed string ('' when the block has none; schedulers decide the
+    parse/fallback policy).
+    """
+    blocks = F.regexp_extract_all(
+        F.col(xml_col), F.lit("(?s)<url>(.*?)</url>"), 1
+    )
+    return df.select(
+        *[F.col(c) for c in key_cols],
+        F.posexplode(blocks).alias("pos0", "block"),
+    ).select(
+        *key_cols,
+        (F.col("pos0") + 1).alias("pos"),
+        F.trim(F.regexp_extract("block", "<loc>([^<]*)</loc>", 1))
+        .alias("url"),
+        F.trim(F.regexp_extract("block", "<lastmod>([^<]*)</lastmod>", 1))
+        .alias("lastmod"),
+    )
+
+
+def recrawl_due_from_sitemap(entries: DataFrame, store: DataFrame,
+                             url_col: str = "url",
+                             lastmod_col: str = "lastmod",
+                             fetched_col: str = "fetched_at") -> DataFrame:
+    """Sitemap-freshness recrawl planning: join announced ``lastmod``
+    against the store's last-fetch time and emit the due list with a
+    reason — ``never_fetched`` (no store row) or ``modified``
+    (lastmod strictly newer than the fetch).  This is the
+    cheap-freshness complement to the change-rate-adaptive
+    :func:`crawler_spark.operators.graph.recrawl_schedule`: that one
+    infers an interval from observed history, this one trusts the
+    publisher's declaration when there is one.
+
+    Epoch-integer comparison (``unix_timestamp`` on date strings —
+    caller pins the session to UTC) so the DuckDB twin is bit-exact; an
+    unparseable/empty lastmod yields NULL epoch and the conservative
+    verdict ``due = false`` for fetched pages (a missing declaration is
+    not evidence of change — the adaptive scheduler owns those).
+
+    ONE hash join on url (the sitemap side is per-host-bounded; the
+    store side is the big table — at 10^10 pages pre-bucket the store
+    by url so this join co-locates with every other store join).
+    Returns (url, lastmod_epoch, fetched_epoch, reason, due).
+    """
+    lm = entries.select(
+        F.col(url_col).alias("url"),
+        F.unix_timestamp(
+            F.try_to_timestamp(F.col(lastmod_col), F.lit("yyyy-MM-dd"))
+        ).cast("long").alias("lastmod_epoch"),
+    )
+    st = store.select(
+        F.col(url_col).alias("url"),
+        F.unix_timestamp(
+            F.try_to_timestamp(F.col(fetched_col), F.lit("yyyy-MM-dd"))
+        ).cast("long").alias("fetched_epoch"),
+    )
+    j = lm.join(st, "url", "left")
+    reason = (
+        F.when(F.col("fetched_epoch").isNull(), F.lit("never_fetched"))
+        .when(
+            F.col("lastmod_epoch").isNotNull()
+            & (F.col("lastmod_epoch") > F.col("fetched_epoch")),
+            F.lit("modified"),
+        )
+    )
+    return j.select(
+        "url", "lastmod_epoch", "fetched_epoch",
+        reason.alias("reason"),
+        reason.isNotNull().alias("due"),
+    )

@@ -309,3 +309,46 @@ def test_hll_per_group_and_duplicates_ignored(spark):
     assert out["uniq"]["true_distinct"] == 120
     assert out["dup"]["est_hll"] < out["uniq"]["est_hll"]
     assert out["dup"]["m_hit"] == 4     # 4 tokens -> <=4 registers, no clash
+
+
+def test_hist_quantiles_width1_is_near_exact(spark):
+    from crawler_spark.operators.sketches import histogram_quantiles
+
+    # 1..100 with 128 buckets -> width 1: every value its own bucket, the
+    # estimate can only differ from the interpolated exact by < 1.
+    docs = spark.createDataFrame([("s", v) for v in range(1, 101)],
+                                 "source string, n_chars long")
+    out = {r["q"]: r for r in histogram_quantiles(docs).collect()}
+    assert out[0.5]["width"] == 1
+    for q in (0.5, 0.9, 0.99):
+        assert abs(out[q]["est"] - out[q]["exact"]) < 1.0
+        assert abs(out[q]["rel_err"]) < 0.02
+
+
+def test_hist_quantiles_coarse_buckets_still_bounded(spark):
+    from crawler_spark.operators.sketches import histogram_quantiles
+
+    # skewed long-tail values, only 8 buckets: error bounded by one
+    # bucket width (the histogram guarantee), and visible in rel_err.
+    vals = [v for v in range(1, 201)] + [5000, 6000, 7000, 8000]
+    docs = spark.createDataFrame([("s", v) for v in vals],
+                                 "source string, n_chars long")
+    out = {r["q"]: r for r in
+           histogram_quantiles(docs, n_buckets=8).collect()}
+    w = out[0.5]["width"]
+    assert w >= (8000 - 1 + 1) // 8
+    for q in (0.5, 0.9):
+        assert abs(out[q]["est"] - out[q]["exact"]) <= w
+
+
+def test_hist_quantiles_per_group_independent(spark):
+    from crawler_spark.operators.sketches import histogram_quantiles
+
+    docs = spark.createDataFrame(
+        [("a", v) for v in range(1, 51)]
+        + [("b", 10 * v) for v in range(1, 51)],
+        "source string, n_chars long")
+    rows = histogram_quantiles(docs).collect()
+    med = {(r["source"], r["q"]): r["est"] for r in rows}
+    assert med[("b", 0.5)] > 5 * med[("a", 0.5)]
+    assert len(rows) == 6

@@ -768,3 +768,92 @@ def test_focused_crawl_scores_topicality_and_identity(spark):
     assert rows["/pets"].score == 0.5
     assert rows["/cars"].score == 0.0
     assert "/ghost" not in rows              # no anchor evidence, no row
+
+
+def test_soft404_title_error_is_sufficient(spark):
+    from crawler_spark.operators.web import soft404_scores
+
+    pages = spark.createDataFrame(
+        [(1, "<html><head><title>404 Not Found</title></head>"
+             "<body>" + "real content word " * 50 + "</body></html>"),
+         (2, "<html><head><title>Great article</title></head>"
+             "<body>" + "real content word " * 50 + "</body></html>")],
+        "page_id long, html string")
+    out = {r.page_id: r for r in soft404_scores(pages).collect()}
+    assert out[1]["title_error"] and out[1]["is_soft404"]
+    assert not out[2]["title_error"] and not out[2]["is_soft404"]
+    assert not out[1]["thin"]                 # long body, still flagged
+
+
+def test_soft404_weak_phrase_needs_thin_or_second_phrase(spark):
+    from crawler_spark.operators.web import soft404_scores
+
+    long_body_one_phrase = (
+        "<html><head><title>ok</title></head><body>"
+        "the page you want does not exist here, but "
+        + "lots of genuine prose " * 30 + "</body></html>")
+    thin_one_phrase = (
+        "<html><head><title>ok</title></head>"
+        "<body>sorry, does not exist</body></html>")
+    two_phrases = (
+        "<html><head><title>ok</title></head><body>page not found — it "
+        "does not exist. " + "filler words here " * 30 + "</body></html>")
+    pages = spark.createDataFrame(
+        [(1, long_body_one_phrase), (2, thin_one_phrase), (3, two_phrases)],
+        "page_id long, html string")
+    out = {r.page_id: r for r in soft404_scores(pages).collect()}
+    assert out[1]["phrase_hits"] == 1 and not out[1]["is_soft404"]
+    assert out[2]["phrase_hits"] == 1 and out[2]["thin"] and out[2]["is_soft404"]
+    assert out[3]["phrase_hits"] >= 2 and out[3]["is_soft404"]
+
+
+def test_soft404_phrases_in_script_do_not_count(spark):
+    from crawler_spark.operators.web import soft404_scores
+
+    # phrase text inside <script> is not VISIBLE text -> no hit
+    pages = spark.createDataFrame(
+        [(1, "<html><head><title>fine</title>"
+             "<script>alert('page not found')</script></head>"
+             "<body>" + "healthy text " * 40 + "</body></html>")],
+        "page_id long, html string")
+    row = soft404_scores(pages).collect()[0]
+    assert row["phrase_hits"] == 0 and not row["is_soft404"]
+
+
+def test_sitemap_lastmod_entries_with_and_without(spark):
+    from crawler_spark.operators.web import sitemap_lastmod_entries
+
+    xml = ("<urlset>"
+           "<url><loc> https://e.com/a </loc>"
+           "<lastmod>2024-02-01</lastmod></url>"
+           "<url><loc>https://e.com/b</loc></url>"
+           "</urlset>")
+    df = spark.createDataFrame([("h1", xml)], "host string, sitemap_xml string")
+    out = {r["url"]: r for r in sitemap_lastmod_entries(df).collect()}
+    assert out["https://e.com/a"]["lastmod"] == "2024-02-01"
+    assert out["https://e.com/a"]["pos"] == 1
+    assert out["https://e.com/b"]["lastmod"] == ""
+    assert out["https://e.com/b"]["pos"] == 2
+
+
+def test_recrawl_due_reasons(spark):
+    from crawler_spark.operators.web import recrawl_due_from_sitemap
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    entries = spark.createDataFrame(
+        [("u/new", "2024-03-01"),       # not in store -> never_fetched
+         ("u/hot", "2024-03-01"),       # modified after fetch -> due
+         ("u/cold", "2024-01-01"),      # fetched after lastmod -> not due
+         ("u/bare", "")],               # no lastmod, fetched -> not due
+        "url string, lastmod string")
+    store = spark.createDataFrame(
+        [("u/hot", "2024-02-01"), ("u/cold", "2024-02-01"),
+         ("u/bare", "2024-02-01")],
+        "url string, fetched_at string")
+    out = {r["url"]: r for r in
+           recrawl_due_from_sitemap(entries, store).collect()}
+    assert out["u/new"]["reason"] == "never_fetched" and out["u/new"]["due"]
+    assert out["u/hot"]["reason"] == "modified" and out["u/hot"]["due"]
+    assert out["u/cold"]["reason"] is None and not out["u/cold"]["due"]
+    assert out["u/bare"]["reason"] is None and not out["u/bare"]["due"]
+    assert out["u/bare"]["lastmod_epoch"] is None
