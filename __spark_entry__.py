@@ -2608,6 +2608,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_hist_quantiles"] = corpus_hist_quantiles
 
+    def corpus_span_corruption(spark, sf_dir):
+        # T5 denoising prep: one hash-placed 3-token span per 20-token
+        # window -> sentinel-aligned (input, target) pairs; zero shuffles,
+        # one md5 per window
+        from crawler_spark.operators.corpus import span_corruption
+
+        return span_corruption(_docs_text_double(spark, sf_dir))
+
+    q["corpus_span_corruption"] = corpus_span_corruption
+
     def corpus_pmi_bigrams(spark, sf_dir):
         # top adjacent-bigram collocations by PMI with positional marginals
         # and a min-count floor; ordering uses the rounded pmi so both
@@ -6269,6 +6279,48 @@ def oracle_sql() -> dict[str, str]:
            round((e.est - x.ex[e.qi + 1]) / x.ex[e.qi + 1], 4) AS rel_err
     FROM est e JOIN qexact x USING (g)
     ORDER BY source, q
+    """
+
+    # span corruption: identical window-offset arithmetic (one h32 per
+    # 20-token window, offset % 18), index-ranged list_transform standing
+    # in for Spark's index-aware transform; 1-based inclusive list slices
+    o["corpus_span_corruption"] = f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS} AS t, len({_TOKS})::int AS n FROM documents
+    ),
+    prep AS (
+      SELECT doc_id, t, n, (n // 20)::int AS nb,
+             list_transform(range(0, n // 20),
+               b -> ({_h32("doc_id::varchar || ':' || b::varchar")}
+                     % 18)::int) AS st
+      FROM base
+    ),
+    built AS (
+      SELECT doc_id, n, nb,
+        list_filter(
+          list_transform(range(0, n), i -> CASE
+            WHEN (i // 20) < nb
+                 AND (i % 20) = st[(i // 20) + 1]
+              THEN '<extra_id_' || (i // 20)::varchar || '>'
+            WHEN (i // 20) < nb
+                 AND (i % 20) >= st[(i // 20) + 1]
+                 AND (i % 20) < st[(i // 20) + 1] + 3
+              THEN NULL
+            ELSE t[i + 1] END),
+          x -> x IS NOT NULL) AS input_arr,
+        CASE WHEN nb > 0 THEN
+          flatten(list_transform(range(0, nb),
+            b -> list_concat(
+              ['<extra_id_' || b::varchar || '>'],
+              t[b * 20 + st[b + 1] + 1 : b * 20 + st[b + 1] + 3])))
+        ELSE [] END AS target_arr
+      FROM prep
+    )
+    SELECT doc_id, n::bigint AS n_tokens, nb::bigint AS n_spans,
+           array_to_string(input_arr, ' ') AS input_text,
+           CASE WHEN nb > 0 THEN array_to_string(target_arr, ' ')
+                ELSE '' END AS target_text
+    FROM built
     """
 
     # PMI collocations: positional marginals (w1-as-left, w2-as-right),

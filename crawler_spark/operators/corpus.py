@@ -2356,3 +2356,92 @@ def pmi_bigrams(docs: DataFrame, min_count: int = 3, top_k: int = 50,
     return scored.orderBy(
         F.desc("pmi"), F.asc("w1"), F.asc("w2")
     ).limit(top_k)
+
+
+def span_corruption(docs: DataFrame, block: int = 20, span: int = 3,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """T5-style span-corruption example prep (Raffel et al. 2020): mask
+    contiguous token spans with ``<extra_id_k>`` sentinels and emit the
+    (input, target) denoising pair — the objective-side transform a
+    training-data pipeline runs AFTER cleaning/dedup, at full corpus
+    scale.
+
+    Deterministic variant (no RNG — the whole point is byte-stable
+    shards and an oracle-checkable transform): tokens are cut into
+    consecutive ``block``-sized windows; every FULL window hides exactly
+    one ``span``-length run whose offset is ``h32(doc_id ':' window) %
+    (block - span + 1)``.  Density is exactly ``span/block`` (15% at the
+    3/20 default, the published setting); a trailing partial window is
+    left unmasked (documented — density on a doc is ≤ the target, never
+    above).  Sentinels are numbered per window, so input and target
+    line up exactly as the T5 objective expects:
+    ``input  = … <extra_id_0> … <extra_id_1> …``
+    ``target = <extra_id_0> span0 <extra_id_1> span1 …``
+
+    Scale shape: ZERO shuffles — one codegen projection per document
+    (array higher-order functions: per-window offset array, index-aware
+    transform, filter, flatten).  The per-token work is O(1) with one
+    md5 per WINDOW (not per token).  100 TB of text maps straight
+    through the scan stage; output feeds ``pack_context_windows``.
+
+    Returns (id_col, n_tokens, n_spans, input_text, target_text).
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    nblocks = F.floor(n / block).cast("int")
+    starts = F.transform(
+        F.sequence(F.lit(0), nblocks - 1),
+        lambda b: (
+            h32(F.concat(F.col(id_col).cast("string"), F.lit(":"),
+                         b.cast("string")))
+            % F.lit(block - span + 1)
+        ).cast("int"),
+    )
+    d = docs.select(
+        F.col(id_col),
+        toks.alias("t"),
+        n.alias("n_tokens"),
+        nblocks.alias("nb"),
+        starts.alias("st"),
+    )
+    off = lambda i: i % block                       # noqa: E731
+    blk = lambda i: F.floor(i / block).cast("int")  # noqa: E731
+    in_span = lambda x, i: (
+        (blk(i) < F.col("nb"))
+        & (off(i) >= F.element_at("st", blk(i) + 1))
+        & (off(i) < F.element_at("st", blk(i) + 1) + span)
+    )
+    input_arr = F.filter(
+        F.transform(
+            "t",
+            lambda x, i: F.when(
+                in_span(x, i) & (off(i) == F.element_at("st", blk(i) + 1)),
+                F.concat(F.lit("<extra_id_"), blk(i).cast("string"),
+                         F.lit(">")),
+            ).when(in_span(x, i), F.lit(None)).otherwise(x),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    target_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.col("nb") - 1),
+            lambda b: F.concat(
+                F.array(F.concat(F.lit("<extra_id_"), b.cast("string"),
+                                 F.lit(">"))),
+                F.slice(
+                    "t",
+                    b * block + F.element_at("st", b + 1) + 1,
+                    span,
+                ),
+            ),
+        )
+    )
+    return d.select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("nb").cast("long").alias("n_spans"),
+        F.array_join(input_arr, " ").alias("input_text"),
+        F.when(F.col("nb") > 0, F.array_join(target_arr, " "))
+        .otherwise(F.lit("")).alias("target_text"),
+    )

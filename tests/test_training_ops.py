@@ -731,3 +731,66 @@ def test_l2_topk_exact_matches_numpy(emb):
     assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] \
         == [i for _, i in truth]
     assert out[0]["l2_dist"] == round(truth[0][0], 6)
+
+
+def test_span_corruption_short_doc_untouched(spark):
+    from crawler_spark.operators.corpus import span_corruption
+
+    docs = spark.createDataFrame([(1, "Alpha beta GAMMA delta")],
+                                 "doc_id long, text string")
+    row = span_corruption(docs).collect()[0]
+    assert row["n_spans"] == 0
+    assert row["input_text"] == "alpha beta gamma delta"
+    assert row["target_text"] == ""
+
+
+def test_span_corruption_reconstructs_original(spark):
+    from crawler_spark.operators.corpus import span_corruption
+
+    text = " ".join(f"w{i}" for i in range(47))      # 2 full blocks + tail
+    docs = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    row = span_corruption(docs).collect()[0]
+    assert row["n_tokens"] == 47 and row["n_spans"] == 2
+
+    # parse target into {sentinel: span tokens}
+    tgt = row["target_text"].split(" ")
+    spans, cur = {}, None
+    for tok in tgt:
+        if tok.startswith("<extra_id_"):
+            cur = tok
+            spans[cur] = []
+        else:
+            spans[cur].append(tok)
+    assert set(spans) == {"<extra_id_0>", "<extra_id_1>"}
+    assert all(len(v) == 3 for v in spans.values())
+
+    # splice the spans back in -> the original token stream
+    rebuilt = []
+    for tok in row["input_text"].split(" "):
+        rebuilt.extend(spans.get(tok, [tok]))
+    assert rebuilt == text.split(" ")
+
+    # sentinels appear in order and exactly once in the input
+    idx0 = row["input_text"].index("<extra_id_0>")
+    idx1 = row["input_text"].index("<extra_id_1>")
+    assert idx0 < idx1
+    assert row["input_text"].count("<extra_id_") == 2
+
+
+def test_span_corruption_density_and_determinism(spark):
+    from crawler_spark.operators.corpus import span_corruption
+
+    text = " ".join(f"t{i}" for i in range(200))     # 10 full blocks
+    docs = spark.createDataFrame([(3, text), (4, text)],
+                                 "doc_id long, text string")
+    out = {r["doc_id"]: r for r in span_corruption(docs).collect()}
+    for r in out.values():
+        assert r["n_spans"] == 10
+        assert len(r["target_text"].split(" ")) == 10 * 4   # sentinel + 3
+        assert len(r["input_text"].split(" ")) == 200 - 10 * 3 + 10
+    # different doc_id -> different (hash-chosen) mask positions
+    assert out[3]["input_text"] != out[4]["input_text"]
+    # same doc twice -> identical output
+    again = {r["doc_id"]: r["input_text"]
+             for r in span_corruption(docs).collect()}
+    assert again[3] == out[3]["input_text"]
