@@ -2618,6 +2618,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_span_corruption"] = corpus_span_corruption
 
+    def corpus_trim_repeats(spark, sf_dir):
+        # repeated-phrase salvage: stutter injected on two doc classes
+        # (trailing bigram x3, leading unigram x3), single-pass window
+        # mark-and-drop collapses each to one copy; zero shuffles
+        from crawler_spark.operators.corpus import trim_repeated_ngrams
+
+        docs = _docs_text_double(spark, sf_dir).select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.col("text"),
+                         F.lit(" click here click here click here")),
+            ).when(
+                F.col("doc_id") % 4 == 1,
+                F.concat(F.lit("spam spam spam "), F.col("text")),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        return trim_repeated_ngrams(docs)
+
+    q["corpus_trim_repeats"] = corpus_trim_repeats
+
+    def corpus_domain_cap(spark, sf_dir):
+        # per-domain diversity cap: best 15 docs per source by quality
+        # score, deterministic id tie-break; partitioned window only
+        from crawler_spark.functions.text import quality_score
+        from crawler_spark.operators.corpus import cap_per_domain
+
+        docs = _docs_text_double(spark, sf_dir)
+        return cap_per_domain(
+            docs, cap=15, domain_col="source",
+            quality=quality_score(F.col("text")),
+        )
+
+    q["corpus_domain_cap"] = corpus_domain_cap
+
     def corpus_pmi_bigrams(spark, sf_dir):
         # top adjacent-bigram collocations by PMI with positional marginals
         # and a min-count floor; ordering uses the rounded pmi so both
@@ -6321,6 +6356,59 @@ def oracle_sql() -> dict[str, str]:
            CASE WHEN nb > 0 THEN array_to_string(target_arr, ' ')
                 ELSE '' END AS target_text
     FROM built
+    """
+
+    # repeated-phrase trim: identical covered-window mark logic (token i
+    # dropped iff inside an n-gram window equal to its adjacent
+    # predecessor, n<=3); DuckDB list slices truncate out-of-range so
+    # the e>=2n-1 guard alone keeps semantics
+    _trim_cond = " OR ".join(
+        f"((i + {d}) >= {2 * n - 1} AND (i + {d}) <= n - 1"
+        f" AND t[(i + {d}) - {n - 2}:(i + {d}) + 1]"
+        f" = t[(i + {d}) - {2 * n - 2}:(i + {d}) - {n - 1}])"
+        for n in range(1, 4) for d in range(n)
+    )
+    o["corpus_trim_repeats"] = f"""
+    WITH injected AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 4 = 0
+               THEN text || ' click here click here click here'
+             WHEN doc_id % 4 = 1 THEN 'spam spam spam ' || text
+             ELSE text END AS text
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, {_TOKS} AS t, len({_TOKS})::int AS n FROM injected
+    ),
+    kept AS (
+      SELECT doc_id, n,
+        list_filter(
+          list_transform(range(0, n),
+            i -> CASE WHEN {_trim_cond} THEN NULL ELSE t[i + 1] END),
+          x -> x IS NOT NULL) AS k
+      FROM base
+    )
+    SELECT doc_id, n::bigint AS n_tokens,
+           (n - len(k))::bigint AS n_removed,
+           array_to_string(k, ' ') AS clean_text
+    FROM kept
+    """
+
+    # domain cap: rank on the FULL-precision quality (rounding only in
+    # the output), id tie-break
+    o["corpus_domain_cap"] = f"""
+    WITH scored AS (
+      SELECT source, doc_id, {_QUALITY_SQL} AS q FROM documents
+    ),
+    ranked AS (
+      SELECT source, doc_id, q,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY q DESC, doc_id) AS rk
+      FROM scored
+    )
+    SELECT source, doc_id, round(q, 6) AS quality,
+           rk::bigint AS rank_in_domain
+    FROM ranked WHERE rk <= 15
     """
 
     # PMI collocations: positional marginals (w1-as-left, w2-as-right),

@@ -2445,3 +2445,100 @@ def span_corruption(docs: DataFrame, block: int = 20, span: int = 3,
         F.when(F.col("nb") > 0, F.array_join(target_arr, " "))
         .otherwise(F.lit("")).alias("target_text"),
     )
+
+
+def trim_repeated_ngrams(docs: DataFrame, max_n: int = 3,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Collapse immediately-repeated phrases ("buy now buy now buy now"
+    → "buy now") — the REMOVAL counterpart to the Gopher repetition
+    *signature* (that one scores documents for dropping; this one
+    salvages the text, the standard treatment for boilerplate stutter
+    and scraper-loop artifacts that are local to a span, not the whole
+    doc).
+
+    Single-pass mark-and-drop over the ORIGINAL token stream: token ``i``
+    is redundant iff it lies INSIDE some n-gram window (n ≤ ``max_n``)
+    that equals the immediately preceding adjacent n-gram — i.e. ∃ n,
+    ∃ window end ``e ∈ [i, i+n-1]`` with ``t[e-n+1..e] =
+    t[e-2n+1..e-n]``.  Periodic repeats of period ≤ ``max_n`` collapse
+    to ONE copy in the single pass (every later window matches its
+    predecessor on the original stream — no iteration needed); nested
+    pathological repetition (period > max_n after an inner collapse) is
+    documented as needing re-application, matching the one-pass
+    contract of the line-dedup operator.
+
+    Scale shape: ZERO shuffles — index-aware array transform + filter in
+    one codegen projection; per token O(max_n²) window comparisons
+    against the broadcast-free local array.  Returns (id_col, n_tokens,
+    n_removed, clean_text).
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    d = docs.select(F.col(id_col), toks.alias("t"),
+                    F.size(toks).alias("n_tokens"))
+
+    def redundant(i):
+        cond = F.lit(False)
+        for n in range(1, max_n + 1):
+            for dd in range(n):
+                e = i + dd
+                # clamp slice starts to 1: ANSI slice rejects start<=0 and
+                # `&` is not a short-circuit — the guard keeps semantics
+                cond = cond | (
+                    (e >= 2 * n - 1)
+                    & (e <= F.size("t") - 1)
+                    & (F.slice("t", F.greatest(F.lit(1), e - n + 2), n)
+                       == F.slice("t", F.greatest(F.lit(1), e - 2 * n + 2),
+                                  n))
+                )
+        return cond
+
+    kept = F.filter(
+        F.transform("t", lambda x, i: F.when(redundant(i), F.lit(None))
+                    .otherwise(x)),
+        lambda x: x.isNotNull(),
+    )
+    return d.select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("n_tokens") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )
+
+
+def cap_per_domain(docs: DataFrame, cap: int = 100,
+                   domain_col: str = "source",
+                   quality: "F.Column | None" = None,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-domain document cap, best-first — the C4/RefinedWeb diversity
+    guard: without it, a handful of mega-hosts (forums, wikis, mirrors)
+    dominate the token budget and the model sees one site's voice a
+    million times.  Keep the top ``cap`` docs per domain by the given
+    quality column (ties broken by id for determinism), drop the rest.
+
+    One partitioned window (row_number per domain — bounded by the
+    domain's own doc count, never global) — the same scale contract as
+    every other per-group ranking here.  At 10^10 docs the window's sort
+    is per-domain; pathological mega-domains are exactly the ones the
+    cap truncates, and a pre-filter ``count <= cap`` groupBy can skip
+    the window for the long tail (the optimizer's aggregate pushdown
+    handles the common case).
+
+    Returns the capped rows: (domain, id, quality, rank_in_domain).
+    """
+    from pyspark.sql import Window
+
+    q = quality if quality is not None else F.lit(1.0)
+    w = Window.partitionBy(domain_col).orderBy(
+        F.desc("__q"), F.col(id_col)
+    )
+    return (
+        docs.select(F.col(domain_col), F.col(id_col), q.alias("__q"))
+        .withColumn("rank_in_domain", F.row_number().over(w))
+        .where(F.col("rank_in_domain") <= cap)
+        .select(
+            domain_col, id_col,
+            F.round("__q", 6).alias("quality"),
+            F.col("rank_in_domain").cast("long").alias("rank_in_domain"),
+        )
+    )

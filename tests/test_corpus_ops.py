@@ -1164,3 +1164,53 @@ def test_select_until_token_budget_equals_naive_window(spark):
                 ).collect()
             }
             assert got == naive(budget), (budget, nb)
+
+
+def test_trim_repeated_ngrams_collapses_periodic(spark):
+    from crawler_spark.operators.corpus import trim_repeated_ngrams
+
+    docs = spark.createDataFrame(
+        [(1, "buy now buy now buy now limited offer"),
+         (2, "a a a a b"),
+         (3, "the cat sat on the mat")],          # no adjacent repeats
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in trim_repeated_ngrams(docs).collect()}
+    assert out[1]["clean_text"] == "buy now limited offer"
+    assert out[1]["n_removed"] == 4
+    assert out[2]["clean_text"] == "a b"
+    assert out[3]["clean_text"] == "the cat sat on the mat"
+    assert out[3]["n_removed"] == 0
+
+
+def test_trim_repeated_ngrams_trigram_period(spark):
+    from crawler_spark.operators.corpus import trim_repeated_ngrams
+
+    docs = spark.createDataFrame(
+        [(1, "one two three one two three one two three end")],
+        "doc_id long, text string")
+    row = trim_repeated_ngrams(docs).collect()[0]
+    assert row["clean_text"] == "one two three end"
+    # non-adjacent recurrence survives (it is content, not stutter)
+    docs2 = spark.createDataFrame(
+        [(2, "one two three x one two three")], "doc_id long, text string")
+    assert trim_repeated_ngrams(docs2).collect()[0]["n_removed"] == 0
+
+
+def test_cap_per_domain_keeps_best(spark):
+    from crawler_spark.operators.corpus import cap_per_domain
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [("big", i, float(i % 10)) for i in range(30)]
+        + [("small", 100 + i, 1.0) for i in range(3)],
+        "source string, doc_id long, score double")
+    out = cap_per_domain(docs, cap=5, quality=F.col("score")).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["source"], []).append(r)
+    assert len(by_dom["big"]) == 5 and len(by_dom["small"]) == 3
+    # best-first with deterministic id tie-break: three score-9 docs
+    # (9, 19, 29) then the two lowest-id score-8 docs (8, 18)
+    ranked = sorted(by_dom["big"], key=lambda r: r["rank_in_domain"])
+    assert [r["doc_id"] for r in ranked] == [9, 19, 29, 8, 18]
+    assert [r["quality"] for r in ranked] == [9.0, 9.0, 9.0, 8.0, 8.0]
