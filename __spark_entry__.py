@@ -1261,6 +1261,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sitemap_recrawl_due"] = sitemap_recrawl_due
 
+    def page_pagination_chains(spark, sf_dir):
+        # rel=next stitching: 5-page chains synthesized in the HTML head,
+        # extracted per page, then pointer-doubled (with distance) back
+        # to the chain head; 3 self-join rounds cover 8-hop chains
+        from crawler_spark.operators.web import (
+            extract_rel_next,
+            pagination_chains,
+        )
+
+        docs = _docs_text_double(spark, sf_dir)
+        url = F.concat(F.lit("https://ex.org/p/"),
+                       F.col("doc_id").cast("string"))
+        nxt = F.concat(F.lit("https://ex.org/p/"),
+                       (F.col("doc_id") + 1).cast("string"))
+        html = F.when(
+            F.col("doc_id") % 5 == 4, F.lit("<html><head></head></html>")
+        ).otherwise(
+            F.concat(F.lit('<html><head><link rel="next" href="'), nxt,
+                     F.lit('"></head></html>'))
+        )
+        pages = docs.select(url.alias("url"), html.alias("html"))
+        return pagination_chains(extract_rel_next(pages), max_hops=8)
+
+    q["page_pagination_chains"] = page_pagination_chains
+
+    def page_hreflang_alternates(spark, sf_dir):
+        # multilingual alternate clusters: docs carry 2/1/0 hreflang links
+        # by doc_id%3 after a canonical tag; explode + per-tag extracts
+        from crawler_spark.operators.web import extract_hreflang
+
+        docs = _docs_text_double(spark, sf_dir)
+
+        def alt(lang):
+            return F.concat(
+                F.lit(f'<link rel="alternate" hreflang="{lang}" '
+                      f'href="https://ex.org/{lang}/'),
+                F.col("doc_id").cast("string"), F.lit('">'),
+            )
+
+        html = F.concat(
+            F.lit('<head><link rel="canonical" href="https://ex.org/c">'),
+            F.when(F.col("doc_id") % 3 == 0, F.concat(alt("en"), alt("fr")))
+            .when(F.col("doc_id") % 3 == 1, alt("de"))
+            .otherwise(F.lit("")),
+            F.lit("</head>"),
+        )
+        return extract_hreflang(docs.select("doc_id", html.alias("html")))
+
+    q["page_hreflang_alternates"] = page_hreflang_alternates
+
+    def page_publish_dates(spark, sf_dir):
+        # freshness extraction: meta/iso/textual arms planted by doc_id%4
+        # (month 1+id%12, day 1+id%27), fourth arm undated; first-hit-wins
+        # normalization to yyyy-MM-dd entirely in one codegen projection
+        from crawler_spark.operators.web import _MONTHS, extract_publish_date
+
+        docs = _docs_text_double(spark, sf_dir)
+        mm = F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0")
+        dd = F.lpad((F.col("doc_id") % 27 + 1).cast("string"), 2, "0")
+        mon_name = F.element_at(
+            F.array(*[F.lit(m) for m in _MONTHS]),
+            (F.col("doc_id") % 12 + 1).cast("int"),
+        )
+        html = (
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit('<meta property="article:published_time" '
+                          'content="2023-'),
+                    mm, F.lit("-"), dd, F.lit('T08:30:00Z">'),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 4 == 1,
+                F.concat(F.lit("archived on 2022-"), mm, F.lit("-"), dd,
+                         F.lit(" midweek")),
+            )
+            .when(
+                F.col("doc_id") % 4 == 2,
+                F.concat(F.lit("Posted "), mon_name, F.lit(" "),
+                         (F.col("doc_id") % 27 + 1).cast("string"),
+                         F.lit(", 2021 by staff")),
+            )
+            .otherwise(F.lit("no date in this page"))
+        )
+        return extract_publish_date(docs.select("doc_id", html.alias("html")))
+
+    q["page_publish_dates"] = page_publish_dates
+
     def host_quality(spark, sf_dir):
         # per-host crawl-priority signal: doc count, mean quality, exact-dup
         # ratio (dups injected on doc_id%5 so the path is exercised), and
@@ -4335,6 +4424,62 @@ def oracle_sql() -> dict[str, str]:
             OR (e.lastmod_epoch IS NOT NULL
                 AND e.lastmod_epoch > st.fetched_epoch)) AS due
     FROM e LEFT JOIN st USING (url)
+    """
+
+    # pagination chains: independent derivation — recursive CTE walking
+    # forward from the chain heads (urls that are nobody's next target)
+    o["page_pagination_chains"] = """
+    WITH RECURSIVE rel AS (
+      SELECT 'https://ex.org/p/' || doc_id::varchar AS url,
+             CASE WHEN doc_id % 5 = 4 THEN ''
+                  ELSE 'https://ex.org/p/' || (doc_id + 1)::varchar
+             END AS next_url
+      FROM documents
+    ),
+    heads AS (
+      SELECT url FROM rel
+      WHERE url NOT IN (SELECT next_url FROM rel WHERE next_url <> '')
+    ),
+    walk AS (
+      SELECT url, url AS chain_head, 0::bigint AS position FROM heads
+      UNION ALL
+      SELECT r.next_url, w.chain_head, w.position + 1
+      FROM walk w JOIN rel r ON r.url = w.url AND r.next_url <> ''
+    )
+    SELECT url, chain_head, position FROM walk
+    """
+
+    # hreflang alternates: the synthetic head is canonical-first, so the
+    # alternate tags sit at link-tag positions 2..: derive rows directly
+    # from the same doc_id arithmetic
+    o["page_hreflang_alternates"] = """
+    SELECT doc_id, pos, hreflang,
+           'https://ex.org/' || hreflang || '/' || doc_id::varchar AS href
+    FROM (
+      SELECT doc_id, 2::bigint AS pos, 'en' AS hreflang
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id, 3::bigint, 'fr' FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id, 2::bigint, 'de' FROM documents WHERE doc_id % 3 = 1
+    )
+    """
+
+    # publish dates: all three arms avoid the doc text, so the oracle is
+    # the plain doc_id arithmetic (month 1+id%12, day 1+id%27)
+    o["page_publish_dates"] = """
+    SELECT doc_id,
+      CASE doc_id % 4
+        WHEN 0 THEN '2023-' || lpad((doc_id % 12 + 1)::varchar, 2, '0')
+                 || '-' || lpad((doc_id % 27 + 1)::varchar, 2, '0')
+        WHEN 1 THEN '2022-' || lpad((doc_id % 12 + 1)::varchar, 2, '0')
+                 || '-' || lpad((doc_id % 27 + 1)::varchar, 2, '0')
+        WHEN 2 THEN '2021-' || lpad((doc_id % 12 + 1)::varchar, 2, '0')
+                 || '-' || lpad((doc_id % 27 + 1)::varchar, 2, '0')
+        ELSE '' END AS pub_date,
+      CASE doc_id % 4 WHEN 0 THEN 'meta' WHEN 1 THEN 'iso'
+        WHEN 2 THEN 'textual' ELSE '' END AS date_source
+    FROM documents
     """
 
     o["host_quality_rollup"] = f"""

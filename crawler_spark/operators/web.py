@@ -1247,3 +1247,194 @@ def recrawl_due_from_sitemap(entries: DataFrame, store: DataFrame,
         reason.alias("reason"),
         reason.isNotNull().alias("due"),
     )
+
+
+def extract_rel_next(pages: DataFrame, html_col: str = "html",
+                     url_col: str = "url") -> DataFrame:
+    """Per-page ``<link rel="next">`` href (order-tolerant attribute
+    arms, same RE2-safe shape as the canonical extractor).  Empty string
+    when the page declares none.  Returns (url, next_url)."""
+    h = F.col(html_col)
+    a = F.regexp_extract(
+        h,
+        r'(?is)<link[^>]*\brel\s*=\s*["\']next["\'][^>]*'
+        r'\bhref\s*=\s*["\']([^"\']*)["\']',
+        1,
+    )
+    b = F.regexp_extract(
+        h,
+        r'(?is)<link[^>]*\bhref\s*=\s*["\']([^"\']*)["\'][^>]*'
+        r'\brel\s*=\s*["\']next["\']',
+        1,
+    )
+    nxt = F.when(a != "", a).otherwise(b)
+    return pages.select(F.col(url_col).alias("url"),
+                        F.trim(nxt).alias("next_url"))
+
+
+def pagination_chains(rel_next: DataFrame, url_col: str = "url",
+                      next_col: str = "next_url",
+                      max_hops: int = 64) -> DataFrame:
+    """Stitch ``rel=next`` pagination into (page, chain_head, position)
+    — the crawl-side join that turns "50 paginated fragments" into one
+    logical document before text assembly, and tells the scheduler that
+    fetching page 1 implies 49 more.
+
+    Pointer doubling WITH distance accumulation over the reversed
+    edges (each page walks BACK toward the chain head): per round every
+    mapping (u → ancestor, d hops) substitutes its ancestor's own
+    current mapping and adds the distances, so reachable-prefix length
+    doubles per round — ``ceil(log2(max_hops))`` self-join rounds cover
+    chains to ``max_hops`` at any scale (6 rounds for 64), per-round
+    lineage truncation.  Cycles (a malformed next-loop) exhaust the hop
+    budget and keep a deterministic in-cycle ancestor — the trap
+    detector's department, documented like :func:`resolve_redirects`.
+
+    Pages that appear only as someone's next target still resolve
+    (they're chain members); heads report themselves at position 0.
+    Returns (url, chain_head, position).
+    """
+    e = rel_next.where(
+        (F.col(next_col) != "") & F.col(next_col).isNotNull()
+        & (F.col(next_col) != F.col(url_col))
+    )
+    # reversed: walk from a page back to its predecessor
+    m = e.select(F.col(next_col).alias("u"), F.col(url_col).alias("v"),
+                 F.lit(1).alias("d"))
+    nodes = (
+        rel_next.select(F.col(url_col).alias("u"))
+        .unionByName(e.select(F.col(next_col).alias("u")))
+        .distinct()
+    )
+    rounds = max(1, (max_hops - 1).bit_length())
+    for _ in range(rounds):
+        nxt = m.select(F.col("u").alias("u2"), F.col("v").alias("v2"),
+                       F.col("d").alias("d2"))
+        m = (
+            m.join(nxt, m["v"] == nxt["u2"], "left")
+            .select(
+                "u",
+                F.coalesce(F.col("v2"), F.col("v")).alias("v"),
+                (F.col("d")
+                 + F.coalesce(F.col("d2"), F.lit(0))).alias("d"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        nodes.join(m, "u", "left")
+        .select(
+            F.col("u").alias("url"),
+            F.coalesce(F.col("v"), F.col("u")).alias("chain_head"),
+            F.coalesce(F.col("d"), F.lit(0)).cast("long").alias("position"),
+        )
+    )
+
+
+def extract_hreflang(pages: DataFrame, html_col: str = "html",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Explode ``<link rel="alternate" hreflang=… href=…>`` tags into
+    (id, hreflang, href) rows — the multilingual-cluster signal: a
+    pipeline that ignores it dedups translations against each other or
+    trains a "multilingual" mix that is one site's translation farm.
+
+    One ``regexp_extract_all`` over the ``<link …>`` tags, explode,
+    then per-tag attribute extracts with a rel=alternate guard — all
+    codegen, zero shuffles, linear in page bytes (the feed-discovery
+    shape).  Tag attribute order is tolerated (hreflang/href extracted
+    independently per tag).  Returns (id_col, hreflang, href),
+    lowercased language tags, document order preserved via ``pos``.
+    """
+    tags = F.regexp_extract_all(
+        F.col(html_col), F.lit(r"(?i)(<link[^>]*>)"), 1
+    )
+    ex = pages.select(
+        F.col(id_col), F.posexplode(tags).alias("pos0", "tag")
+    ).where(
+        F.col("tag").rlike(r'(?i)\brel\s*=\s*["\']alternate["\']')
+        & F.col("tag").rlike(r"(?i)\bhreflang\s*=")
+    )
+    return ex.select(
+        id_col,
+        (F.col("pos0") + 1).alias("pos"),
+        F.lower(
+            F.regexp_extract(
+                "tag", r'(?i)\bhreflang\s*=\s*["\']([^"\']*)["\']', 1
+            )
+        ).alias("hreflang"),
+        F.regexp_extract(
+            "tag", r'(?i)\bhref\s*=\s*["\']([^"\']*)["\']', 1
+        ).alias("href"),
+    )
+
+
+_MONTHS = ("january", "february", "march", "april", "may", "june",
+           "july", "august", "september", "october", "november",
+           "december")
+
+_ISO_DATE_RE = r"\b((?:19|20)\d{2})-(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01])\b"
+
+
+def extract_publish_date(pages: DataFrame, html_col: str = "html",
+                         id_col: str = "doc_id") -> DataFrame:
+    """First-published date of a page, normalized to ``yyyy-MM-dd`` — the
+    freshness signal corpus curricula and recrawl schedulers weight by
+    (a 2015 tutorial and a 2015 news flash look identical without it).
+
+    Three extraction arms, first hit wins, each ONE codegen
+    ``regexp_extract`` over the raw bytes (no DOM, no visible-text
+    pass):
+
+    1. ``meta`` — ``<meta property="article:published_time"
+       content="ISO…">`` (both attribute orders), first 10 chars;
+    2. ``iso`` — first calendar-valid ``yyyy-mm-dd`` literal anywhere
+       (month/day ranges enforced IN the pattern, so "2024-19-99" can't
+       poison the corpus date histogram);
+    3. ``textual`` — first "March 5, 2024"-style date, normalized via a
+       month-name array lookup + zero-padded day.
+
+    ``date_source`` records which arm fired ('' = undated).  Returns
+    (id_col, pub_date, date_source).
+    """
+    h = F.col(html_col)
+    meta_a = F.regexp_extract(
+        h,
+        r'(?is)<meta[^>]*\bproperty\s*=\s*["\']article:published_time["\']'
+        r'[^>]*\bcontent\s*=\s*["\']([^"\']*)["\']',
+        1,
+    )
+    meta_b = F.regexp_extract(
+        h,
+        r'(?is)<meta[^>]*\bcontent\s*=\s*["\']([^"\']*)["\'][^>]*'
+        r'\bproperty\s*=\s*["\']article:published_time["\']',
+        1,
+    )
+    meta = F.when(meta_a != "", meta_a).otherwise(meta_b)
+    meta10 = F.substring(meta, 1, 10)
+    iso = F.regexp_extract(h, _ISO_DATE_RE, 0)
+    tpat = (r"(?i)\b(" + "|".join(_MONTHS)
+            + r")\s+(\d{1,2}),\s*((?:19|20)\d{2})\b")
+    t_mon = F.lower(F.regexp_extract(h, tpat, 1))
+    t_day = F.regexp_extract(h, tpat, 2)
+    t_year = F.regexp_extract(h, tpat, 3)
+    mon_num = F.array_position(
+        F.array(*[F.lit(m) for m in _MONTHS]), t_mon
+    )
+    textual = F.concat(
+        t_year, F.lit("-"),
+        F.lpad(mon_num.cast("string"), 2, "0"), F.lit("-"),
+        F.lpad(t_day, 2, "0"),
+    )
+    pub = (
+        F.when(meta10 != "", meta10)
+        .when(iso != "", iso)
+        .when(t_mon != "", textual)
+        .otherwise(F.lit(""))
+    )
+    src = (
+        F.when(meta10 != "", F.lit("meta"))
+        .when(iso != "", F.lit("iso"))
+        .when(t_mon != "", F.lit("textual"))
+        .otherwise(F.lit(""))
+    )
+    return pages.select(F.col(id_col), pub.alias("pub_date"),
+                        src.alias("date_source"))

@@ -857,3 +857,92 @@ def test_recrawl_due_reasons(spark):
     assert out["u/cold"]["reason"] is None and not out["u/cold"]["due"]
     assert out["u/bare"]["reason"] is None and not out["u/bare"]["due"]
     assert out["u/bare"]["lastmod_epoch"] is None
+
+
+def test_rel_next_extraction_both_attr_orders(spark):
+    from crawler_spark.operators.web import extract_rel_next
+
+    pages = spark.createDataFrame(
+        [("p1", '<link rel="next" href="p2">'),
+         ("p2", "<link href='p3' rel='next'>"),
+         ("p3", '<link rel="prev" href="p2">')],
+        "url string, html string")
+    out = {r["url"]: r["next_url"] for r in extract_rel_next(pages).collect()}
+    assert out == {"p1": "p2", "p2": "p3", "p3": ""}
+
+
+def test_pagination_chains_positions_and_heads(spark):
+    from crawler_spark.operators.web import pagination_chains
+
+    rel = spark.createDataFrame(
+        [("a1", "a2"), ("a2", "a3"), ("a3", ""),      # chain a1->a2->a3
+         ("solo", "")],                                # singleton
+        "url string, next_url string")
+    out = {r["url"]: (r["chain_head"], r["position"])
+           for r in pagination_chains(rel).collect()}
+    assert out["a1"] == ("a1", 0)
+    assert out["a2"] == ("a1", 1)
+    assert out["a3"] == ("a1", 2)
+    assert out["solo"] == ("solo", 0)
+
+
+def test_pagination_chains_long_chain_and_tail_only_member(spark):
+    from crawler_spark.operators.web import pagination_chains
+
+    # 40-hop chain exercises the doubling rounds; the final target p40
+    # never appears as a source row but must still resolve as a member
+    rel = spark.createDataFrame(
+        [(f"p{i}", f"p{i+1}") for i in range(40)],
+        "url string, next_url string")
+    out = {r["url"]: (r["chain_head"], r["position"])
+           for r in pagination_chains(rel).collect()}
+    assert out["p0"] == ("p0", 0)
+    assert out["p40"] == ("p0", 40)
+    assert len(out) == 41
+
+
+def test_extract_hreflang_rows(spark):
+    from crawler_spark.operators.web import extract_hreflang
+
+    html = ('<head>'
+            '<link rel="alternate" hreflang="EN" href="https://e.com/en">'
+            '<link hreflang="fr" rel="alternate" href="https://e.com/fr">'
+            '<link rel="alternate" type="application/rss+xml" href="/f">'
+            '<link rel="canonical" href="https://e.com/en"></head>')
+    pages = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    rows = sorted(extract_hreflang(pages).collect(),
+                  key=lambda r: r["pos"])
+    assert [(r["hreflang"], r["href"]) for r in rows] == [
+        ("en", "https://e.com/en"), ("fr", "https://e.com/fr")]
+
+
+def test_publish_date_meta_wins_over_iso(spark):
+    from crawler_spark.operators.web import extract_publish_date
+
+    pages = spark.createDataFrame(
+        [(1, '<meta property="article:published_time" '
+             'content="2023-06-07T10:00:00Z"> body says 2021-01-01 too'),
+         (2, "updated 2021-12-31 and also 2022-01-01"),
+         (3, "Published March 5, 2024 by staff"),
+         (4, "no date here")],
+        "doc_id long, html string")
+    out = {r["doc_id"]: (r["pub_date"], r["date_source"])
+           for r in extract_publish_date(pages).collect()}
+    assert out[1] == ("2023-06-07", "meta")
+    assert out[2] == ("2021-12-31", "iso")      # first match wins
+    assert out[3] == ("2024-03-05", "textual")
+    assert out[4] == ("", "")
+
+
+def test_publish_date_invalid_iso_rejected(spark):
+    from crawler_spark.operators.web import extract_publish_date
+
+    pages = spark.createDataFrame(
+        [(1, "v2024-19-99 is a version, not a date; real: 2020-02-29"),
+         (2, "content-order meta: <meta content='2019-08-01T00:00:00' "
+             "property='article:published_time'>")],
+        "doc_id long, html string")
+    out = {r["doc_id"]: (r["pub_date"], r["date_source"])
+           for r in extract_publish_date(pages).collect()}
+    assert out[1] == ("2020-02-29", "iso")
+    assert out[2] == ("2019-08-01", "meta")
