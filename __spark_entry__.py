@@ -1350,6 +1350,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["page_publish_dates"] = page_publish_dates
 
+    def page_robots_meta(spark, sf_dir):
+        # in-page robots directives: five synthetic arms by doc_id%5
+        # (noindex+nofollow, none-implies-both, clean page with one
+        # nofollow link of three, meta-less, content-first attr order)
+        from crawler_spark.operators.web import robots_meta_directives
+
+        docs = _docs_text_double(spark, sf_dir)
+        arms = [
+            '<meta name="robots" content="noindex, nofollow">'
+            '<a href="/x">l</a>',
+            "<meta name='robots' content='none'>",
+            '<meta name="robots" content="index, follow">'
+            '<a href="/a">1</a><a rel="nofollow" href="/b">2</a>'
+            '<a href="/c" rel="ugc nofollow">3</a>',
+            'plain page <a href="/z">l</a>',
+            "<meta content='noarchive, noindex' name='robots'>",
+        ]
+        html = F.element_at(
+            F.array(*[F.lit(a) for a in arms]),
+            (F.col("doc_id") % 5 + 1).cast("int"),
+        )
+        return robots_meta_directives(docs.select("doc_id",
+                                                  html.alias("html")))
+
+    q["page_robots_meta"] = page_robots_meta
+
+    def corpus_chunk_passages(spark, sf_dir):
+        # RAG passage prep: 16-token windows, stride 8, last chunk
+        # right-aligned; zero shuffles before the explode
+        from crawler_spark.operators.corpus import chunk_passages
+
+        return chunk_passages(_docs_text_double(spark, sf_dir),
+                              window=16, stride=8)
+
+    q["corpus_chunk_passages"] = corpus_chunk_passages
+
     def host_quality(spark, sf_dir):
         # per-host crawl-priority signal: doc count, mean quality, exact-dup
         # ratio (dups injected on doc_id%5 so the path is exercised), and
@@ -4480,6 +4516,49 @@ def oracle_sql() -> dict[str, str]:
       CASE doc_id % 4 WHEN 0 THEN 'meta' WHEN 1 THEN 'iso'
         WHEN 2 THEN 'textual' ELSE '' END AS date_source
     FROM documents
+    """
+
+    # robots meta: the five arms are fixed strings, so the oracle is the
+    # doc_id%5 truth table
+    o["page_robots_meta"] = """
+    SELECT doc_id,
+      CASE doc_id % 5
+        WHEN 0 THEN 'noindex, nofollow' WHEN 1 THEN 'none'
+        WHEN 2 THEN 'index, follow' WHEN 3 THEN ''
+        ELSE 'noarchive, noindex' END AS robots_content,
+      (doc_id % 5 IN (0, 1, 4)) AS noindex,
+      (doc_id % 5 IN (0, 1)) AS nofollow,
+      (CASE doc_id % 5 WHEN 0 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 1
+        ELSE 0 END)::bigint AS n_links,
+      (CASE doc_id % 5 WHEN 2 THEN 2 ELSE 0 END)::bigint
+        AS n_nofollow_links
+    FROM documents
+    """
+
+    # passage chunking: identical start arithmetic (clamped multiples of
+    # the stride), 1-based inclusive list slices
+    o["corpus_chunk_passages"] = f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS} AS t, len({_TOKS})::int AS n FROM documents
+    ),
+    prep AS (
+      SELECT doc_id, t, n,
+             CASE WHEN n <= 16 THEN 1
+                  ELSE ceil((n - 16) / 8.0)::int + 1 END AS nc
+      FROM base
+    ),
+    ex AS (
+      SELECT doc_id, t, n, unnest(range(0, nc)) AS i FROM prep
+    ),
+    ch AS (
+      SELECT doc_id, i AS chunk_id,
+             least(i * 8, greatest(n - 16, 0)) AS s, t, n
+      FROM ex
+    )
+    SELECT doc_id, chunk_id::bigint AS chunk_id, s::bigint AS start_tok,
+           least(16, n - s)::bigint AS n_tok,
+           array_to_string(t[s + 1:s + 16], ' ') AS passage
+    FROM ch
     """
 
     o["host_quality_rollup"] = f"""

@@ -2542,3 +2542,55 @@ def cap_per_domain(docs: DataFrame, cap: int = 100,
             F.col("rank_in_domain").cast("long").alias("rank_in_domain"),
         )
     )
+
+
+def chunk_passages(docs: DataFrame, window: int = 128, stride: int = 64,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Overlapping passage chunking — the retrieval/RAG prep step (and
+    the long-document answer to fixed context windows): token windows of
+    ``window`` with ``stride`` overlap, the LAST chunk right-aligned to
+    the document end so every chunk is exactly ``window`` tokens when
+    the doc is long enough (no ragged tail — rag tails waste retrieval
+    index slots and skew embedding norms).
+
+    Chunk starts: ``min(i*stride, n-window)`` for
+    ``i in 0..ceil((n-window)/stride)``; a doc with ``n <= window``
+    yields itself as its single chunk.  All integer arithmetic; the
+    clamp fires only on the last chunk, so starts never repeat.
+
+    Scale shape: ZERO shuffles — sequence + transform + slice in one
+    codegen projection, then one explode; output rows ≈ n/stride per
+    doc feed ``emb_*`` embedding ops downstream.  Returns (id_col,
+    chunk_id, start_tok, n_tok, passage).
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    n_extra = F.ceil(
+        (n - window).cast("double") / stride
+    ).cast("int")
+    n_chunks = F.when(n <= window, F.lit(1)).otherwise(n_extra + 1)
+    d = docs.select(F.col(id_col), toks.alias("t"), n.alias("n"),
+                    n_chunks.alias("nc"))
+    starts = F.transform(
+        F.sequence(F.lit(0), F.col("nc") - 1),
+        lambda i: F.least(i * stride, F.greatest(F.col("n") - window,
+                                                 F.lit(0))),
+    )
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_id"),
+            s.cast("long").alias("start_tok"),
+            F.least(F.lit(window), F.col("n") - s).cast("long")
+            .alias("n_tok"),
+            F.array_join(F.slice("t", s + 1, window), " ").alias("passage"),
+        ),
+    )
+    return d.select(id_col, F.explode(chunks).alias("c")).select(
+        id_col,
+        F.col("c.chunk_id").cast("long").alias("chunk_id"),
+        F.col("c.start_tok").alias("start_tok"),
+        F.col("c.n_tok").alias("n_tok"),
+        F.col("c.passage").alias("passage"),
+    )

@@ -1438,3 +1438,62 @@ def extract_publish_date(pages: DataFrame, html_col: str = "html",
     )
     return pages.select(F.col(id_col), pub.alias("pub_date"),
                         src.alias("date_source"))
+
+
+def robots_meta_directives(pages: DataFrame, html_col: str = "html",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Page-level robots directives — the in-page half of the politeness
+    contract that robots.txt (site-level, `operators/robots.py`) cannot
+    carry: ``<meta name="robots" content="noindex, nofollow">`` tells a
+    compliant pipeline to keep the page out of the corpus (noindex) and
+    to drop its outlinks from the frontier (nofollow); per-link
+    ``rel="nofollow"`` does the same for single edges.
+
+    One codegen projection: meta content extracted with order-tolerant
+    attribute arms, flags by substring on the lowercased directive list
+    (``none`` implies both, per the de-facto standard); link counts via
+    two ``regexp_extract_all`` sizes (total ``<a href`` tags vs tags
+    carrying nofollow in rel).  No shuffle, no DOM.
+
+    Returns (id_col, robots_content, noindex, nofollow, n_links,
+    n_nofollow_links).
+    """
+    h = F.col(html_col)
+    a = F.regexp_extract(
+        h,
+        r'(?is)<meta[^>]*\bname\s*=\s*["\']robots["\'][^>]*'
+        r'\bcontent\s*=\s*["\']([^"\']*)["\']',
+        1,
+    )
+    b = F.regexp_extract(
+        h,
+        r'(?is)<meta[^>]*\bcontent\s*=\s*["\']([^"\']*)["\'][^>]*'
+        r'\bname\s*=\s*["\']robots["\']',
+        1,
+    )
+    content = F.lower(F.trim(F.when(a != "", a).otherwise(b)))
+    noindex = F.contains(content, F.lit("noindex")) | F.contains(
+        content, F.lit("none")
+    )
+    nofollow = F.contains(content, F.lit("nofollow")) | F.contains(
+        content, F.lit("none")
+    )
+    n_links = F.size(
+        F.regexp_extract_all(h, F.lit(r"(?is)(<a\s[^>]*\bhref\s*=)"), 1)
+    )
+    n_nf = F.size(
+        F.regexp_extract_all(
+            h,
+            F.lit(r'(?is)(<a\s[^>]*\brel\s*=\s*["\'][^"\']*nofollow'
+                  r'[^"\']*["\'][^>]*>)'),
+            1,
+        )
+    )
+    return pages.select(
+        F.col(id_col),
+        content.alias("robots_content"),
+        noindex.alias("noindex"),
+        nofollow.alias("nofollow"),
+        n_links.cast("long").alias("n_links"),
+        n_nf.cast("long").alias("n_nofollow_links"),
+    )

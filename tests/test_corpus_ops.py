@@ -1214,3 +1214,43 @@ def test_cap_per_domain_keeps_best(spark):
     ranked = sorted(by_dom["big"], key=lambda r: r["rank_in_domain"])
     assert [r["doc_id"] for r in ranked] == [9, 19, 29, 8, 18]
     assert [r["quality"] for r in ranked] == [9.0, 9.0, 9.0, 8.0, 8.0]
+
+
+def test_chunk_passages_right_aligned_last(spark):
+    from crawler_spark.operators.corpus import chunk_passages
+
+    text = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(chunk_passages(docs, window=8, stride=4).collect(),
+                  key=lambda r: r["chunk_id"])
+    assert [(r["start_tok"], r["n_tok"]) for r in rows] == [(0, 8), (2, 8)]
+    assert rows[0]["passage"].split(" ") == [f"w{i}" for i in range(8)]
+    assert rows[1]["passage"].split(" ") == [f"w{i}" for i in range(2, 10)]
+
+
+def test_chunk_passages_short_doc_single_chunk(spark):
+    from crawler_spark.operators.corpus import chunk_passages
+
+    docs = spark.createDataFrame([(1, "Just five small words here")],
+                                 "doc_id long, text string")
+    rows = chunk_passages(docs, window=8, stride=4).collect()
+    assert len(rows) == 1
+    assert rows[0]["start_tok"] == 0 and rows[0]["n_tok"] == 5
+    assert rows[0]["passage"] == "just five small words here"
+
+
+def test_chunk_passages_counts_and_coverage(spark):
+    from crawler_spark.operators.corpus import chunk_passages
+
+    text = " ".join(f"t{i}" for i in range(300))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(chunk_passages(docs, window=128, stride=64).collect(),
+                  key=lambda r: r["chunk_id"])
+    # ceil((300-128)/64)+1 = 4 chunks; last right-aligned at 172
+    assert [(r["start_tok"], r["n_tok"]) for r in rows] == [
+        (0, 128), (64, 128), (128, 128), (172, 128)]
+    # every token covered
+    covered = set()
+    for r in rows:
+        covered.update(range(r["start_tok"], r["start_tok"] + r["n_tok"]))
+    assert covered == set(range(300))

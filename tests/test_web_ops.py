@@ -946,3 +946,24 @@ def test_publish_date_invalid_iso_rejected(spark):
            for r in extract_publish_date(pages).collect()}
     assert out[1] == ("2020-02-29", "iso")
     assert out[2] == ("2019-08-01", "meta")
+
+
+def test_robots_meta_flags_and_none(spark):
+    from crawler_spark.operators.web import robots_meta_directives
+
+    pages = spark.createDataFrame(
+        [(1, '<meta name="robots" content="noindex, nofollow">'
+             '<a href="x">l</a>'),
+         (2, "<meta content='NONE' name='robots'>"),
+         (3, '<meta name="robots" content="index, follow">'
+             '<a href="a">1</a><a rel="nofollow" href="b">2</a>'
+             '<a href="c" rel="ugc nofollow">3</a>'),
+         (4, "no meta at all <a href='z'>l</a>")],
+        "doc_id long, html string")
+    out = {r["doc_id"]: r for r in robots_meta_directives(pages).collect()}
+    assert out[1]["noindex"] and out[1]["nofollow"]
+    assert out[2]["noindex"] and out[2]["nofollow"]     # none => both
+    assert not out[3]["noindex"] and not out[3]["nofollow"]
+    assert out[3]["n_links"] == 3 and out[3]["n_nofollow_links"] == 2
+    assert not out[4]["noindex"] and out[4]["robots_content"] == ""
+    assert out[4]["n_links"] == 1 and out[4]["n_nofollow_links"] == 0
