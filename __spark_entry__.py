@@ -1386,6 +1386,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_chunk_passages"] = corpus_chunk_passages
 
+    def corpus_best_snippet(spark, sf_dir):
+        # query-biased snippets: densest 8-token window for a 3-term
+        # query, first-window tie-break; pure array arithmetic
+        from crawler_spark.operators.corpus import best_snippet
+
+        return best_snippet(
+            _docs_text_double(spark, sf_dir),
+            ["merge", "join", "scan"], window=8,
+        )
+
+    q["corpus_best_snippet"] = corpus_best_snippet
+
+    def page_orphan_report(spark, sf_dir):
+        # crawl-ops audit: chain links leave the %5 heads in-link-less,
+        # sitemap carries %3==0 — orphans are uncovered heads
+        from crawler_spark.operators.web import orphan_pages
+
+        docs = _docs_text_double(spark, sf_dir)
+        url = F.concat(F.lit("https://ex.org/p/"),
+                       F.col("doc_id").cast("string"))
+        pages = docs.select(url.alias("url"))
+        links = docs.where(F.col("doc_id") % 5 != 4).select(
+            url.alias("src"),
+            F.concat(F.lit("https://ex.org/p/"),
+                     (F.col("doc_id") + 1).cast("string")).alias("href"),
+        )
+        sitemap = docs.where(F.col("doc_id") % 3 == 0).select(
+            url.alias("url")
+        )
+        return orphan_pages(pages, links, sitemap)
+
+    q["page_orphan_report"] = page_orphan_report
+
     def host_quality(spark, sf_dir):
         # per-host crawl-priority signal: doc count, mean quality, exact-dup
         # ratio (dups injected on doc_id%5 so the path is exercised), and
@@ -4559,6 +4592,43 @@ def oracle_sql() -> dict[str, str]:
            least(16, n - s)::bigint AS n_tok,
            array_to_string(t[s + 1:s + 16], ' ') AS passage
     FROM ch
+    """
+
+    # snippet: identical flag/window-sum/argmax arithmetic; list_position
+    # is 1-based-first-occurrence in both engines (the tie-break)
+    o["corpus_best_snippet"] = f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS} AS t, len({_TOKS})::int AS n FROM documents
+    ),
+    fl AS (
+      SELECT doc_id, t, n,
+             list_transform(t, x -> CASE WHEN x IN ('merge','join','scan')
+                                    THEN 1 ELSE 0 END) AS mm
+      FROM base
+    ),
+    sc AS (
+      SELECT doc_id, t, n,
+             list_transform(range(1, greatest(n - 7, 1) + 1),
+                            i -> list_sum(mm[i:i + 7])::int) AS sc
+      FROM fl
+    )
+    SELECT doc_id,
+           (list_position(sc, list_max(sc)) - 1)::bigint AS best_start,
+           list_max(sc)::bigint AS n_hits,
+           array_to_string(
+             t[list_position(sc, list_max(sc))
+               :list_position(sc, list_max(sc)) + 7], ' ') AS snippet
+    FROM sc
+    """
+
+    # orphan report: chain arithmetic truth table (heads have no in-link)
+    o["page_orphan_report"] = """
+    SELECT 'https://ex.org/p/' || doc_id::varchar AS url,
+           (CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END)::bigint
+             AS n_inlinks,
+           (doc_id % 3 = 0) AS in_sitemap,
+           (doc_id % 5 = 0 AND doc_id % 3 <> 0) AS orphan
+    FROM documents
     """
 
     o["host_quality_rollup"] = f"""

@@ -2594,3 +2594,48 @@ def chunk_passages(docs: DataFrame, window: int = 128, stride: int = 64,
         F.col("c.n_tok").alias("n_tok"),
         F.col("c.passage").alias("passage"),
     )
+
+
+def best_snippet(docs: DataFrame, query_terms: list, window: int = 10,
+                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Query-biased snippet extraction: the ``window``-token span with
+    the most query-term hits, first-span-wins on ties — what a search
+    layer shows under each BM25 hit, and what an LLM-retrieval stack
+    passes as the context chunk when a whole passage is too long.
+
+    Pure array arithmetic, zero shuffles: per-token match flags against
+    the broadcast literal term set, window scores by sliding slice-sum,
+    argmax via ``array_position(scores, array_max(scores))`` (1-based
+    first occurrence in BOTH engines — the tie-break is part of the
+    contract).  The slice-sum is O(n·window) per doc; for book-length
+    docs swap in the prefix-sum formulation (one running-sum array,
+    score = S[i+w]-S[i]) — same outputs, documented here so the 100 TB
+    reader knows the knob exists.
+
+    Docs shorter than ``window`` are their own snippet.  Returns
+    (id_col, best_start, n_hits, snippet) with ``best_start`` 0-based.
+    """
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    d = docs.select(F.col(id_col), toks.alias("t"),
+                    F.size(toks).alias("n"))
+    m = F.transform(
+        "t", lambda x: F.when(F.array_contains(terms, x), 1).otherwise(0)
+    )
+    n_windows = F.greatest(F.col("n") - window + 1, F.lit(1))
+    scores = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.aggregate(
+            F.slice("m", i, window), F.lit(0), lambda acc, x: acc + x
+        ),
+    )
+    d2 = d.select(id_col, "t", "n", m.alias("m")).select(
+        id_col, "t", "n", scores.alias("sc")
+    )
+    best = F.array_position(F.col("sc"), F.array_max("sc")).cast("int")
+    return d2.select(
+        F.col(id_col),
+        (best - 1).cast("long").alias("best_start"),
+        F.array_max("sc").cast("long").alias("n_hits"),
+        F.array_join(F.slice("t", best, window), " ").alias("snippet"),
+    )

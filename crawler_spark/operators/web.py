@@ -1497,3 +1497,43 @@ def robots_meta_directives(pages: DataFrame, html_col: str = "html",
         n_links.cast("long").alias("n_links"),
         n_nf.cast("long").alias("n_nofollow_links"),
     )
+
+
+def orphan_pages(pages: DataFrame, links: DataFrame, sitemap: DataFrame,
+                 url_col: str = "url", target_col: str = "href"
+                 ) -> DataFrame:
+    """Orphan-page report: pages reachable by neither the link graph nor
+    the sitemap — the crawl-ops audit that finds content a BFS crawler
+    silently never refreshes (reachable only via search/redirects) and
+    that a migration left stranded.
+
+    Two broadcast-or-hash anti-join-shaped left joins against the
+    DISTINCT in-link target set and the sitemap URL set (both
+    pre-deduped, so the join keys are unique — no fan-out), one
+    projection: ``orphan = no in-links AND not in sitemap``.  At 10^10
+    pages this is the same shape as the seen-filter anti-join the crawl
+    job already runs per wave.
+
+    Returns (url, n_inlinks, in_sitemap, orphan).
+    """
+    tgt = (
+        links.select(F.col(target_col).alias("url"))
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inlinks"))
+    )
+    sm = sitemap.select(F.col(url_col).alias("url")).distinct().withColumn(
+        "in_sitemap", F.lit(True)
+    )
+    return (
+        pages.select(F.col(url_col).alias("url"))
+        .join(tgt, "url", "left")
+        .join(sm, "url", "left")
+        .select(
+            "url",
+            F.coalesce("n_inlinks", F.lit(0)).cast("long")
+            .alias("n_inlinks"),
+            F.coalesce("in_sitemap", F.lit(False)).alias("in_sitemap"),
+            ((F.coalesce("n_inlinks", F.lit(0)) == 0)
+             & ~F.coalesce("in_sitemap", F.lit(False))).alias("orphan"),
+        )
+    )

@@ -1254,3 +1254,34 @@ def test_chunk_passages_counts_and_coverage(spark):
     for r in rows:
         covered.update(range(r["start_tok"], r["start_tok"] + r["n_tok"]))
     assert covered == set(range(300))
+
+
+def test_best_snippet_picks_densest_window(spark):
+    from crawler_spark.operators.corpus import best_snippet
+
+    text = ("filler " * 8 + "apple banana apple cherry apple "
+            + "filler " * 8).strip()
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = best_snippet(docs, ["apple", "cherry"], window=5).collect()[0]
+    assert row["n_hits"] == 4
+    assert row["best_start"] == 8
+    assert row["snippet"] == "apple banana apple cherry apple"
+
+
+def test_best_snippet_tie_breaks_to_first_and_short_doc(spark):
+    from crawler_spark.operators.corpus import best_snippet
+
+    docs = spark.createDataFrame(
+        [(1, "x apple y z apple w"),      # two windows tie at 1 hit
+         (2, "tiny doc")],                # shorter than the window
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           best_snippet(docs, ["apple"], window=3).collect()}
+    # every length-3 window holds exactly one of the two hits; the
+    # first-occurrence tie-break keeps window 0
+    assert out[1]["n_hits"] == 1
+    assert out[1]["best_start"] == 0
+    assert out[1]["snippet"] == "x apple y"
+    assert out[2]["best_start"] == 0
+    assert out[2]["snippet"] == "tiny doc"
+    assert out[2]["n_hits"] == 0

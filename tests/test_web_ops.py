@@ -967,3 +967,20 @@ def test_robots_meta_flags_and_none(spark):
     assert out[3]["n_links"] == 3 and out[3]["n_nofollow_links"] == 2
     assert not out[4]["noindex"] and out[4]["robots_content"] == ""
     assert out[4]["n_links"] == 1 and out[4]["n_nofollow_links"] == 0
+
+
+def test_orphan_pages_flags(spark):
+    from crawler_spark.operators.web import orphan_pages
+
+    pages = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",)], "url string")
+    links = spark.createDataFrame(
+        [("x", "b"), ("y", "b"), ("z", "c")], "src string, href string")
+    sitemap = spark.createDataFrame([("c",), ("d",)], "url string")
+    out = {r["url"]: r for r in
+           orphan_pages(pages, links, sitemap).collect()}
+    assert out["a"]["orphan"] and out["a"]["n_inlinks"] == 0
+    assert not out["b"]["orphan"] and out["b"]["n_inlinks"] == 2
+    assert not out["c"]["orphan"] and out["c"]["in_sitemap"]
+    assert not out["d"]["orphan"] and out["d"]["in_sitemap"]
+    assert len(out) == 4                    # link-only urls not emitted
