@@ -371,3 +371,84 @@ def test_bpe_strategies_all_match_sequential_reference(
 
     loc = bpe_train(docs, merges=merges, strategy="local").collect()
     assert [tuple(r) for r in loc] == expect
+
+
+_WORD = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps",
+                         "zeta", "eta", "theta"])
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_WORD, min_size=1, max_size=120),
+       st.sampled_from([(8, 4), (16, 8), (10, 10), (5, 2)]))
+def test_chunk_passages_coverage_and_alignment_property(spark, words, wp):
+    from crawler_spark.operators.corpus import chunk_passages
+
+    window, stride = wp
+    n = len(words)
+    docs = spark.createDataFrame([(1, " ".join(words))],
+                                 "doc_id long, text string")
+    rows = sorted(chunk_passages(docs, window=window, stride=stride)
+                  .collect(), key=lambda r: r["chunk_id"])
+    # chunk-count formula
+    import math
+    expect = 1 if n <= window else math.ceil((n - window) / stride) + 1
+    assert len(rows) == expect
+    # full coverage, no over-run, exact windows on long docs
+    covered = set()
+    for r in rows:
+        assert r["start_tok"] + r["n_tok"] <= n
+        if n >= window:
+            assert r["n_tok"] == window
+        assert r["passage"].split(" ") == \
+            words[r["start_tok"]:r["start_tok"] + r["n_tok"]]
+        covered.update(range(r["start_tok"], r["start_tok"] + r["n_tok"]))
+    assert covered == set(range(n))
+    # last chunk right-aligned
+    assert rows[-1]["start_tok"] + rows[-1]["n_tok"] == n
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(min_value=2, max_value=6),
+       st.integers(min_value=1, max_value=3),
+       st.integers(min_value=2, max_value=5))
+def test_trim_repeated_ngrams_periodic_collapse_property(
+        spark, phrase_len_sel, period, reps):
+    from crawler_spark.operators.corpus import trim_repeated_ngrams
+
+    # phrase of `period` distinct words repeated `reps` times collapses
+    # to one copy; a unique-token prefix/suffix survives untouched
+    phrase = [f"p{i}" for i in range(period)]
+    words = ["pre0", "pre1"] + phrase * reps + ["suf0"]
+    docs = spark.createDataFrame([(1, " ".join(words))],
+                                 "doc_id long, text string")
+    row = trim_repeated_ngrams(docs, max_n=3).collect()[0]
+    assert row["clean_text"] == " ".join(["pre0", "pre1"] + phrase + ["suf0"])
+    assert row["n_removed"] == period * (reps - 1)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.integers(min_value=0, max_value=10_000),
+                min_size=25, max_size=90, unique=True),
+       st.integers(min_value=0, max_value=2**31))
+def test_span_corruption_reconstruction_property(spark, nums, doc_id):
+    from crawler_spark.operators.corpus import span_corruption
+
+    words = [f"w{v}" for v in nums]       # unique tokens: exact splice-back
+    docs = spark.createDataFrame([(doc_id, " ".join(words))],
+                                 "doc_id long, text string")
+    row = span_corruption(docs).collect()[0]
+    assert row["n_spans"] == len(words) // 20
+    spans, cur = {}, None
+    for tok in (row["target_text"].split(" ") if row["target_text"] else []):
+        if tok.startswith("<extra_id_"):
+            cur = tok
+            spans[cur] = []
+        else:
+            spans[cur].append(tok)
+    rebuilt = []
+    for tok in row["input_text"].split(" "):
+        rebuilt.extend(spans.get(tok, [tok]))
+    assert rebuilt == words
