@@ -1419,6 +1419,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["page_orphan_report"] = page_orphan_report
 
+    def page_microdata_extract(spark, sf_dir):
+        # microdata harvest: Product (meta sku + text name) on %3==0,
+        # Article headline on %3==1, nothing on %3==2; two zipped
+        # regexp_extract_all passes, zero Python
+        from crawler_spark.operators.web import extract_microdata
+
+        docs = _docs_text_double(spark, sf_dir)
+        did = F.col("doc_id").cast("string")
+        product = F.concat(
+            F.lit('<div itemscope itemtype="https://schema.org/Product">'
+                  '<meta itemprop="sku" content="SKU-'),
+            did,
+            F.lit('"><span itemprop="name">Item '),
+            did,
+            F.lit("</span></div>"),
+        )
+        article = F.concat(
+            F.lit('<div itemscope itemtype="https://schema.org/Article">'
+                  '<h1 itemprop="headline">Title '),
+            did,
+            F.lit("</h1></div>"),
+        )
+        html = (
+            F.when(F.col("doc_id") % 3 == 0, product)
+            .when(F.col("doc_id") % 3 == 1, article)
+            .otherwise(F.lit("<p>plain page</p>"))
+        )
+        return extract_microdata(docs.select("doc_id", html.alias("html")))
+
+    q["page_microdata_extract"] = page_microdata_extract
+
     def host_quality(spark, sf_dir):
         # per-host crawl-priority signal: doc count, mean quality, exact-dup
         # ratio (dups injected on doc_id%5 so the path is exercised), and
@@ -4629,6 +4660,24 @@ def oracle_sql() -> dict[str, str]:
            (doc_id % 3 = 0) AS in_sitemap,
            (doc_id % 5 = 0 AND doc_id % 3 <> 0) AS orphan
     FROM documents
+    """
+
+    # microdata: fixed synthetic structure -> doc_id%3 truth table
+    o["page_microdata_extract"] = """
+    SELECT doc_id, item_type, pos, prop, value FROM (
+      SELECT doc_id, 'https://schema.org/Product' AS item_type,
+             1::bigint AS pos, 'sku' AS prop,
+             'SKU-' || doc_id::varchar AS value
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id, 'https://schema.org/Product', 2::bigint, 'name',
+             'Item ' || doc_id::varchar
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id, 'https://schema.org/Article', 1::bigint, 'headline',
+             'Title ' || doc_id::varchar
+      FROM documents WHERE doc_id % 3 = 1
+    )
     """
 
     o["host_quality_rollup"] = f"""

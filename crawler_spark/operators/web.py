@@ -1537,3 +1537,54 @@ def orphan_pages(pages: DataFrame, links: DataFrame, sitemap: DataFrame,
              & ~F.coalesce("in_sitemap", F.lit(False))).alias("orphan"),
         )
     )
+
+
+def extract_microdata(pages: DataFrame, html_col: str = "html",
+                      id_col: str = "doc_id") -> DataFrame:
+    """HTML-microdata (schema.org ``itemscope``/``itemprop``) harvest —
+    the third structured-data syntax next to JSON-LD
+    (:func:`extract_jsonld`) and meta tags
+    (:func:`extract_page_metadata`); older listing sites publish ONLY
+    this one, so a corpus pipeline without it loses their typed facts.
+
+    Flat extraction contract (deliberately — full microdata nesting
+    needs a DOM walk; the overwhelming real-world use is one item per
+    page with flat props): the page's first ``itemtype`` URL, plus one
+    row per ``itemprop`` with its value from, in priority order, the
+    ``content`` attribute (meta-style) or the tag's inner text (first
+    200 chars, tags stripped).  Two ``regexp_extract_all`` passes
+    zipped positionally (the ``extract_links`` shape) — all codegen,
+    zero Python, zero shuffles, linear in page bytes.
+
+    Returns (id_col, item_type, pos, prop, value).
+    """
+    h = F.col(html_col)
+    item_type = F.regexp_extract(
+        h, r'(?is)\bitemtype\s*=\s*["\']([^"\']*)["\']', 1
+    )
+    # one pattern, two group pulls, zipped: tags carrying itemprop
+    pat = F.lit(
+        r'(?is)<(?:meta|[a-z][a-z0-9]*)\b[^>]*\bitemprop\s*=\s*'
+        r'["\']([^"\']*)["\'][^>]*?(?:\bcontent\s*=\s*'
+        r'["\']([^"\']*)["\'][^>]*)?>([^<]{0,200})'
+    )
+    props = F.regexp_extract_all(h, pat, 1)
+    contents = F.regexp_extract_all(h, pat, 2)
+    texts = F.regexp_extract_all(h, pat, 3)
+    z = F.arrays_zip(props.alias("prop"), contents.alias("content"),
+                     texts.alias("text"))
+    ex = pages.select(
+        F.col(id_col),
+        item_type.alias("item_type"),
+        F.posexplode(z).alias("pos0", "z"),
+    )
+    value = F.when(F.col("z.content") != "", F.col("z.content")).otherwise(
+        F.trim(F.regexp_replace(F.col("z.text"), r"\s+", " "))
+    )
+    return ex.select(
+        id_col,
+        "item_type",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("z.prop").alias("prop"),
+        value.alias("value"),
+    )

@@ -984,3 +984,26 @@ def test_orphan_pages_flags(spark):
     assert not out["c"]["orphan"] and out["c"]["in_sitemap"]
     assert not out["d"]["orphan"] and out["d"]["in_sitemap"]
     assert len(out) == 4                    # link-only urls not emitted
+
+
+def test_extract_microdata_meta_and_text_values(spark):
+    from crawler_spark.operators.web import extract_microdata
+
+    html = ('<div itemscope itemtype="https://schema.org/Product">'
+            '<meta itemprop="sku" content="ABC-123">'
+            '<span itemprop="name">Red  Bike</span>'
+            '<span class="x" itemprop="price">99</span>'
+            '<span>no prop</span></div>')
+    pages = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    rows = sorted(extract_microdata(pages).collect(), key=lambda r: r["pos"])
+    assert all(r["item_type"] == "https://schema.org/Product" for r in rows)
+    assert [(r["prop"], r["value"]) for r in rows] == [
+        ("sku", "ABC-123"), ("name", "Red Bike"), ("price", "99")]
+
+
+def test_extract_microdata_no_items(spark):
+    from crawler_spark.operators.web import extract_microdata
+
+    pages = spark.createDataFrame([(1, "<p>plain page</p>")],
+                                  "doc_id long, html string")
+    assert extract_microdata(pages).count() == 0
