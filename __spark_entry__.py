@@ -984,6 +984,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["link_trustrank"] = link_trustrank
 
+    def link_communities(spark, sf_dir):
+        # label-propagation communities over a bridged-clique graph:
+        # 10-doc cliques chained by single head-to-head bridges — LPA
+        # keeps the cliques separate where connected components would
+        # collapse the whole chain into one blob
+        from crawler_spark.operators.graph import label_propagation
+
+        d = _docs_text_double(spark, sf_dir).select("doc_id")
+        a, b = d.alias("a"), d.alias("b")
+        intra = a.join(
+            b,
+            (F.expr("a.doc_id DIV 10") == F.expr("b.doc_id DIV 10"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(F.col("a.doc_id").alias("src"),
+                 F.col("b.doc_id").alias("dst"))
+        bridge = a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id") + 10)
+            & (F.col("a.doc_id") % 10 == 0),
+        ).select(F.col("a.doc_id").alias("src"),
+                 F.col("b.doc_id").alias("dst"))
+        return label_propagation(intra.unionByName(bridge), iters=3)
+
+    q["link_communities"] = link_communities
+
     def doc_simhash_groups(spark, sf_dir):
         return simhash_dedup(_docs_text_double(spark, sf_dir))
 
@@ -4073,6 +4098,46 @@ def oracle_sql() -> dict[str, str]:
     ),
     r0 AS (SELECT node, t AS rank FROM tv){_tr_iters}
     SELECT node AS event_type, round(rank, 6) AS trust FROM r5
+    """
+
+    # 3 unrolled label-propagation rounds — identical synchronous
+    # max-count/min-label arithmetic over the same bridged-clique graph
+    _lpa_iters = "".join(
+        f""",
+    c{i} AS (
+      SELECT u.a AS node, s.label, count(*) AS c
+      FROM und u JOIN s{i} s ON s.node = u.b GROUP BY u.a, s.label
+    ),
+    m{i} AS (SELECT node, max(c) AS mc FROM c{i} GROUP BY node),
+    s{i + 1} AS (
+      SELECT s.node, coalesce(p.nl, s.label) AS label
+      FROM s{i} s LEFT JOIN (
+        SELECT c.node, min(c.label) AS nl
+        FROM c{i} c JOIN m{i} m ON m.node = c.node AND c.c = m.mc
+        GROUP BY c.node
+      ) p USING (node)
+    )"""
+        for i in range(3)
+    )
+    o["link_communities"] = f"""
+    WITH intra AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM documents a JOIN documents b
+        ON a.doc_id // 10 = b.doc_id // 10 AND a.doc_id < b.doc_id
+    ),
+    bridge AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM documents a JOIN documents b
+        ON b.doc_id = a.doc_id + 10 AND a.doc_id % 10 = 0
+    ),
+    e AS (SELECT a, b FROM intra UNION ALL SELECT a, b FROM bridge),
+    und AS (
+      SELECT DISTINCT a, b FROM (
+        SELECT a, b FROM e UNION ALL SELECT b, a FROM e
+      )
+    ),
+    s0 AS (SELECT DISTINCT a AS node, a AS label FROM und){_lpa_iters}
+    SELECT node, label AS community FROM s3
     """
 
     o["doc_simhash_groups"] = f"""

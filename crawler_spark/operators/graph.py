@@ -458,3 +458,71 @@ def trustrank(edges: DataFrame, seeds: DataFrame, src: str = "src",
     ep.unpersist()
     nodes.unpersist()
     return ranks.select("node", F.round("rank", 6).alias("trust"))
+
+
+def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
+                      iters: int = 3) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007) — NOT connected components: each node adopts the most frequent
+    label among its neighbors, so a thin bridge between two dense
+    communities does NOT merge them (min-label propagation would).  The
+    crawl-corpus use is host/community clustering where mirrors and
+    link farms form dense blocks connected to the real web by a few
+    stray edges.
+
+    Deterministic variant (oracle unrolls the identical rounds): labels
+    start as the node id; per round every node simultaneously takes the
+    label with the highest neighbor count, ties broken to the SMALLEST
+    label (total order, no RNG — the published async/random variant is
+    deliberately traded for reproducibility); isolated behavior: a node
+    keeps its label if it has no neighbors.  Edges are treated as
+    undirected (both directions count).  Caveat inherent to any
+    deterministic tie-break: an ALL-TIE vote (tiny equal-vote
+    communities, e.g. bridged triangles) resolves toward the global
+    minimum label and can merge across a bridge — communities dense
+    enough for a real majority (5-cliques up) are stable, tested.
+
+    Scale shape: per round TWO hash shuffles (neighbor-label count
+    groupBy; per-node max-count argmin-label aggregate) + one join back
+    — all map-side combined, state O(nodes), ``localCheckpoint``
+    truncation, never collected.  Fixed ``iters`` bounds the work;
+    community count is emergent, not a parameter.
+
+    Returns (node, community) — the label fixpoint after ``iters``
+    rounds, ``community`` = a member node id.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    und = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().persist()
+    nodes = und.select(F.col("a").alias("node")).distinct().persist()
+    state = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(iters):
+        counts = (
+            und.join(state.select(F.col("node").alias("b"), "label"), "b")
+            .groupBy(F.col("a").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # per node: max count, then min label among the argmax set —
+        # one aggregate via max_by-free struct ordering: max on
+        # (c, negated-label) needs a total order on label; use two-step
+        best = counts.groupBy("node").agg(F.max("c").alias("mc"))
+        pick = (
+            counts.join(best, "node")
+            .where(F.col("c") == F.col("mc"))
+            .groupBy("node")
+            .agg(F.min("label").alias("new_label"))
+        )
+        state = (
+            state.join(pick, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    und.unpersist()
+    nodes.unpersist()
+    return state.select("node", F.col("label").alias("community"))

@@ -282,3 +282,52 @@ def test_trustrank_isolated_seed_still_scored(spark):
            for r in trustrank(edges, seeds, iters=3).collect()}
     assert out["z"] == pytest.approx(0.15, abs=1e-6)
     assert out["a"] == 0.0 and out["b"] == 0.0
+
+
+def test_label_propagation_bridge_does_not_merge(spark):
+    from crawler_spark.operators.graph import label_propagation
+
+    # two 5-cliques joined by ONE bridge edge: LPA keeps two communities
+    # (connected components would merge them).  Cliques must be dense
+    # enough that the intra-community majority beats the deterministic
+    # min tie-break pulling across the bridge -- all-tie votes on tiny
+    # communities (e.g. triangles) CAN be invaded, by design.
+    def clique(p):
+        return [(f"{p}{i}", f"{p}{j}")
+                for i in range(5) for j in range(i + 1, 5)]
+
+    edges = spark.createDataFrame(
+        clique("a") + clique("b") + [("a0", "b0")],
+        "src string, dst string")
+    out = {r["node"]: r["community"]
+           for r in label_propagation(edges, iters=3).collect()}
+    a = {out[f"a{i}"] for i in range(5)}
+    b = {out[f"b{i}"] for i in range(5)}
+    assert len(a) == 1 and len(b) == 1
+    assert a != b
+
+
+def test_label_propagation_min_tie_break_deterministic(spark):
+    from crawler_spark.operators.graph import label_propagation
+
+    # single edge: each node's only neighbor label is the other's id;
+    # round 1 swaps, round 2 swaps back... with min-tie-break on a
+    # 2-cycle both see one neighbor -> adopt the neighbor's label; after
+    # the even round both hold their own, after odd both hold... just
+    # assert determinism across two runs and a valid member label
+    edges = spark.createDataFrame([("x", "y")], "src string, dst string")
+    r1 = sorted(label_propagation(edges, iters=3).collect())
+    r2 = sorted(label_propagation(edges, iters=3).collect())
+    assert r1 == r2
+    assert all(r["community"] in ("x", "y") for r in r1)
+
+
+def test_label_propagation_clique_converges_to_min(spark):
+    from crawler_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{j}") for i in range(5) for j in range(i + 1, 5)],
+        "src string, dst string")
+    out = {r["node"]: r["community"]
+           for r in label_propagation(edges, iters=3).collect()}
+    assert set(out.values()) == {"n0"}
