@@ -1475,6 +1475,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["page_microdata_extract"] = page_microdata_extract
 
+    def page_lang_mismatch(spark, sf_dir):
+        # declared-vs-detected language QA: even docs declare their own
+        # lang, odd docs a rotated one; mismatch compares the declaration
+        # against the n-gram lang-id prediction over the text
+        from crawler_spark.functions.text import lang_id
+        from crawler_spark.operators.web import declared_language
+
+        docs = _docs_text_double(spark, sf_dir)
+        declared = F.when(
+            F.col("doc_id") % 2 == 0, F.col("lang")
+        ).otherwise(
+            F.when(F.col("lang") == "en", F.lit("de")).otherwise(F.lit("en"))
+        )
+        pages = docs.select(
+            "doc_id",
+            F.concat(F.lit('<html lang="'), declared,
+                     F.lit('"><body>x</body></html>')).alias("html"),
+        )
+        dl = declared_language(pages)
+        pred = docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+        return dl.join(pred, "doc_id").select(
+            "doc_id", "declared_lang", "lang_pred",
+            (F.col("declared_lang") != F.col("lang_pred")).alias("mismatch"),
+        )
+
+    q["page_lang_mismatch"] = page_lang_mismatch
+
+    def page_parked_detect(spark, sf_dir):
+        # parked/ad-farm triage: sale-pitch arm (%6==0), 12-link farm
+        # (%6==1), genuine page otherwise; all signals one projection
+        from crawler_spark.operators.web import parked_page_scores
+
+        docs = _docs_text_double(spark, sf_dir)
+        farm = "".join(f'<a href="/l{i}">x</a>' for i in range(12))
+        html = (
+            F.when(
+                F.col("doc_id") % 6 == 0,
+                F.lit('<html><body>This domain is for sale! '
+                      '<a href="/buy">buy</a></body></html>'),
+            )
+            .when(F.col("doc_id") % 6 == 1,
+                  F.lit(f"<html><body>{farm}</body></html>"))
+            .otherwise(
+                F.lit("<html><body><a href='/a'>link</a> "
+                      + "genuine prose words here " * 12
+                      + "</body></html>")
+            )
+        )
+        return parked_page_scores(docs.select("doc_id", html.alias("html")))
+
+    q["page_parked_detect"] = page_parked_detect
+
     def host_quality(spark, sf_dir):
         # per-host crawl-priority signal: doc count, mean quality, exact-dup
         # ratio (dups injected on doc_id%5 so the path is exercised), and
@@ -2809,6 +2861,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return hll_distinct_estimate(_docs_text_double(spark, sf_dir), p=10)
 
     q["corpus_hll_distinct"] = corpus_hll_distinct
+
+    def corpus_hll_merge(spark, sf_dir):
+        # sketch mergeability — the property that matters at 100 TB:
+        # per-shard register tables (doc_id parity halves) union + fold
+        # with one max groupBy, and the merged estimate must equal the
+        # direct whole-corpus estimate EXACTLY (max is associative,
+        # commutative, idempotent); exact_match is machine-checked here
+        from crawler_spark.operators.sketches import (
+            hll_estimate_from_registers,
+            hll_registers,
+        )
+        from crawler_spark.functions.text import tokens as _tok
+
+        docs = _docs_text_double(spark, sf_dir)
+
+        def items(d):
+            return d.select(
+                F.col("source").alias("g"),
+                F.explode(_tok(F.col("text"))).alias("t"),
+            )
+
+        ra = hll_registers(items(docs.where(F.col("doc_id") % 2 == 0)))
+        rb = hll_registers(items(docs.where(F.col("doc_id") % 2 == 1)))
+        merged = (
+            ra.unionByName(rb).groupBy("g", "idx").agg(F.max("M").alias("M"))
+        )
+        em = hll_estimate_from_registers(merged).select(
+            "g", F.col("est_hll").alias("est_merged")
+        )
+        ed = hll_estimate_from_registers(hll_registers(items(docs))).select(
+            "g", F.col("est_hll").alias("est_direct")
+        )
+        return (
+            em.join(ed, "g")
+            .select(
+                F.col("g").alias("source"),
+                "est_merged",
+                "est_direct",
+                (F.col("est_merged") == F.col("est_direct"))
+                .alias("exact_match"),
+            )
+            .orderBy("source")
+        )
+
+    q["corpus_hll_merge"] = corpus_hll_merge
 
     def corpus_hist_quantiles(spark, sf_dir):
         # histogram-quantile calibration: 128 fixed-width integer buckets
@@ -4743,6 +4840,69 @@ def oracle_sql() -> dict[str, str]:
              'Title ' || doc_id::varchar
       FROM documents WHERE doc_id % 3 = 1
     )
+    """
+
+    # lang mismatch: declared arithmetic + the shared lang-id heuristic
+    o["page_lang_mismatch"] = f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN lang
+                  WHEN lang = 'en' THEN 'de' ELSE 'en' END AS declared_lang,
+             {_LANG_SQL} AS lang_pred
+      FROM documents
+    )
+    SELECT doc_id, declared_lang, lang_pred,
+           (declared_lang <> lang_pred) AS mismatch
+    FROM d
+    """
+
+    # parked-page: same 3-arm fixed corpus; the visible-text chain is
+    # replicated verbatim (the soft404 oracle pattern)
+    _farm = "".join(f'<a href="/l{i}">x</a>' for i in range(12))
+    _real = ("<html><body><a href=''/a''>link</a> "
+             + "genuine prose words here " * 12 + "</body></html>")
+    o["page_parked_detect"] = f"""
+    WITH h AS (
+      SELECT doc_id,
+        CASE
+          WHEN doc_id % 6 = 0 THEN
+            '<html><body>This domain is for sale! '
+            || '<a href="/buy">buy</a></body></html>'
+          WHEN doc_id % 6 = 1 THEN '<html><body>{_farm}</body></html>'
+          ELSE '{_real}'
+        END AS html
+      FROM documents
+    ), c AS (
+      SELECT doc_id, html,
+        lower(trim(regexp_replace(
+          replace(replace(replace(replace(replace(replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g'),
+                  '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+              '<[^>]*>', ' ', 'g'),
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+            '&nbsp;', ' '), '&amp;', '&'),
+          '\\s+', ' ', 'g'))) AS text_lc
+      FROM h
+    ), f AS (
+      SELECT doc_id,
+        length(text_lc)::bigint AS text_chars,
+        len(regexp_extract_all(html, '(?is)(<a\\s[^>]*\\bhref\\s*=)', 1))
+          ::bigint AS n_links,
+        (contains(text_lc, 'domain is for sale')
+         OR contains(text_lc, 'buy this domain')
+         OR contains(text_lc, 'domain parking')
+         OR contains(text_lc, 'related searches')) AS sale_phrase
+      FROM c
+    )
+    SELECT doc_id, text_chars, n_links, sale_phrase,
+           (n_links >= 5 AND n_links * 40 > text_chars) AS link_heavy,
+           (sale_phrase OR ((n_links >= 5 AND n_links * 40 > text_chars)
+                            AND text_chars < 200)) AS is_parked
+    FROM f
     """
 
     o["host_quality_rollup"] = f"""
@@ -6817,6 +6977,46 @@ def oracle_sql() -> dict[str, str]:
     SELECT source, doc_id, round(q, 6) AS quality,
            rk::bigint AS rank_in_domain
     FROM ranked WHERE rk <= 15
+    """
+
+    # HLL merge identity: same register pipeline per parity half,
+    # union + max fold, estimate vs the direct whole-corpus estimate
+    o["corpus_hll_merge"] = f"""
+    WITH items AS (
+      SELECT doc_id, source AS g, t
+      FROM (SELECT doc_id, source, unnest({_TOKS}) AS t FROM documents)
+    ),
+    reg_all AS (
+      SELECT g, h % 1024 AS idx, doc_id,
+             23 - {_blsql('(h // 1024)', 22)} AS rho
+      FROM (SELECT g, doc_id, {_h32('t')} AS h FROM items)
+    ),
+    ra AS (SELECT g, idx, max(rho) AS m FROM reg_all
+           WHERE doc_id % 2 = 0 GROUP BY g, idx),
+    rb AS (SELECT g, idx, max(rho) AS m FROM reg_all
+           WHERE doc_id % 2 = 1 GROUP BY g, idx),
+    merged AS (
+      SELECT g, idx, max(m) AS m
+      FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY g, idx
+    ),
+    direct AS (SELECT g, idx, max(rho) AS m FROM reg_all GROUP BY g, idx),
+    em AS (
+      SELECT g, round({_hll_num}::double
+        / (sum(1::bigint << (23 - m))
+           + (1024 - count(*)) * (1::bigint << 23))::double, 4)
+        AS est_merged
+      FROM merged GROUP BY g
+    ),
+    ed AS (
+      SELECT g, round({_hll_num}::double
+        / (sum(1::bigint << (23 - m))
+           + (1024 - count(*)) * (1::bigint << 23))::double, 4)
+        AS est_direct
+      FROM direct GROUP BY g
+    )
+    SELECT em.g AS source, em.est_merged, ed.est_direct,
+           (em.est_merged = ed.est_direct) AS exact_match
+    FROM em JOIN ed USING (g) ORDER BY source
     """
 
     # PMI collocations: positional marginals (w1-as-left, w2-as-right),

@@ -205,6 +205,53 @@ def bitlen_case_sql(col: str, max_bits: int) -> str:
     return f"(CASE {whens} ELSE 0 END)"
 
 
+def hll_registers(items: DataFrame, p: int = 10) -> DataFrame:
+    """(g, t) item stream → HLL register table (g, idx, M).
+
+    Split out of :func:`hll_distinct_estimate` because registers are the
+    MERGEABLE representation — the property that makes the sketch usable
+    at 100 TB: per-snapshot/per-shard register tables union and fold
+    with ONE ``max`` groupBy, and the merged estimate is IDENTICAL to
+    the estimate over the concatenated raw streams (max is associative,
+    commutative, idempotent).  ``corpus_hll_merge`` machine-checks that
+    identity.
+    """
+    m = 1 << p
+    rem_bits = 32 - p
+    b_scale = rem_bits + 1
+    hashed = items.select("g", h32(F.col("t")).alias("h"))
+    reg = hashed.select(
+        "g",
+        (F.col("h") % m).alias("idx"),
+        F.expr(f"CAST(h DIV {m} AS BIGINT)").alias("w"),
+    ).select(
+        "g",
+        "idx",
+        (F.lit(b_scale)
+         - F.expr(bitlen_case_sql("w", rem_bits))).alias("rho"),
+    )
+    return reg.groupBy("g", "idx").agg(F.max("rho").alias("M"))
+
+
+def hll_estimate_from_registers(regs: DataFrame, p: int = 10) -> DataFrame:
+    """Register table (g, idx, M) → (g, est_hll), same scaled-bigint
+    harmonic-sum discipline as :func:`hll_distinct_estimate` (one final
+    double division, numerator pre-folded)."""
+    m = 1 << p
+    b_scale = 32 - p + 1
+    num = 0.7213 / (1.0 + 1.079 / m) * (m * m) * float(1 << b_scale)
+    per = regs.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("m_hit"),
+        F.sum(F.expr(f"CAST(shiftleft(1, {b_scale} - M) AS BIGINT)"))
+        .cast("long").alias("z_hit"),
+    )
+    est = F.lit(num) / (
+        F.col("z_hit")
+        + (F.lit(m) - F.col("m_hit")) * F.lit(1 << b_scale)
+    ).cast("double")
+    return per.select("g", F.round(est, 4).alias("est_hll"))
+
+
 def hll_distinct_estimate(
     docs: DataFrame,
     p: int = 10,
@@ -252,18 +299,7 @@ def hll_distinct_estimate(
         F.col(group_col).alias("g"),
         F.explode(tokens(F.col(text_col))).alias("t"),
     )
-    hashed = items.select("g", h32(F.col("t")).alias("h"))
-    reg = hashed.select(
-        "g",
-        (F.col("h") % m).alias("idx"),
-        F.expr(f"CAST(h DIV {m} AS BIGINT)").alias("w"),
-    ).select(
-        "g",
-        "idx",
-        (F.lit(b_scale)
-         - F.expr(bitlen_case_sql("w", rem_bits))).alias("rho"),
-    )
-    regs = reg.groupBy("g", "idx").agg(F.max("rho").alias("M"))
+    regs = hll_registers(items, p)
     per = regs.groupBy("g").agg(
         F.count(F.lit(1)).cast("long").alias("m_hit"),
         F.sum(F.expr(f"CAST(shiftleft(1, {b_scale} - M) AS BIGINT)"))

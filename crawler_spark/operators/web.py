@@ -1588,3 +1588,58 @@ def extract_microdata(pages: DataFrame, html_col: str = "html",
         F.col("z.prop").alias("prop"),
         value.alias("value"),
     )
+
+
+def declared_language(pages: DataFrame, html_col: str = "html",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Primary subtag of the ``<html lang=…>`` declaration, lowercased
+    ('' when undeclared) — one ``regexp_extract``.  Returns
+    (id_col, declared_lang)."""
+    lang = F.regexp_extract(
+        F.col(html_col),
+        r'(?is)<html[^>]*\blang\s*=\s*["\']([A-Za-z]{2,3})(?:[-_][^"\']*)?'
+        r'["\']',
+        1,
+    )
+    return pages.select(F.col(id_col), F.lower(lang).alias("declared_lang"))
+
+
+def parked_page_scores(pages: DataFrame, html_col: str = "html",
+                       id_col: str = "doc_id",
+                       thin_chars: int = 200) -> DataFrame:
+    """Parked-domain / ad-farm page detection — the crawl-ops filter for
+    the registrar landing pages and link farms that flood any frontier
+    fed by expired-domain backlinks: near-zero prose, wall-to-wall
+    links, and the telltale sales pitch.
+
+    Signals, one codegen projection (the :func:`soft404_scores` shape):
+    ``sale_phrase`` ("domain is for sale" / "buy this domain" / "domain
+    parking" / "related searches" in the visible text), ``n_links``
+    (anchor-tag count), ``text_chars`` (visible-text length), and
+    ``link_heavy`` = more than one link per 40 visible chars with at
+    least 5 links.  Verdict: ``is_parked = sale_phrase OR (link_heavy
+    AND text_chars < thin_chars)``.
+
+    Returns (id_col, text_chars, n_links, sale_phrase, link_heavy,
+    is_parked).
+    """
+    h = F.col(html_col)
+    text_lc = F.lower(html_visible_text(h))
+    tc = F.length(text_lc)
+    n_links = F.size(
+        F.regexp_extract_all(h, F.lit(r"(?is)(<a\s[^>]*\bhref\s*=)"), 1)
+    )
+    phrases = ("domain is for sale", "buy this domain", "domain parking",
+               "related searches")
+    sale = F.lit(False)
+    for ph in phrases:
+        sale = sale | F.contains(text_lc, F.lit(ph))
+    link_heavy = (n_links >= 5) & (n_links * 40 > tc)
+    return pages.select(
+        F.col(id_col),
+        tc.cast("long").alias("text_chars"),
+        n_links.cast("long").alias("n_links"),
+        sale.alias("sale_phrase"),
+        link_heavy.alias("link_heavy"),
+        (sale | (link_heavy & (tc < thin_chars))).alias("is_parked"),
+    )

@@ -352,3 +352,31 @@ def test_hist_quantiles_per_group_independent(spark):
     med = {(r["source"], r["q"]): r["est"] for r in rows}
     assert med[("b", 0.5)] > 5 * med[("a", 0.5)]
     assert len(rows) == 6
+
+
+def test_hll_registers_merge_identity(spark):
+    from pyspark.sql import functions as F
+    from crawler_spark.operators.sketches import (
+        hll_estimate_from_registers, hll_registers)
+
+    rows = [("s", i, " ".join(f"tok{j}" for j in range(i * 8, i * 8 + 8)))
+            for i in range(120)]
+    docs = spark.createDataFrame(rows,
+                                 "source string, doc_id long, text string")
+
+    def items(d):
+        return d.select(
+            F.col("source").alias("g"),
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("t"))
+
+    ra = hll_registers(items(docs.where(F.col("doc_id") % 2 == 0)))
+    rb = hll_registers(items(docs.where(F.col("doc_id") % 2 == 1)))
+    merged = ra.unionByName(rb).groupBy("g", "idx").agg(
+        F.max("M").alias("M"))
+    direct = hll_registers(items(docs))
+    em = hll_estimate_from_registers(merged).collect()[0]["est_hll"]
+    ed = hll_estimate_from_registers(direct).collect()[0]["est_hll"]
+    assert em == ed            # merge identity is EXACT, not approximate
+    # and the register tables themselves agree row-for-row
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, direct.collect()))

@@ -1007,3 +1007,34 @@ def test_extract_microdata_no_items(spark):
     pages = spark.createDataFrame([(1, "<p>plain page</p>")],
                                   "doc_id long, html string")
     assert extract_microdata(pages).count() == 0
+
+
+def test_declared_language_subtag_and_missing(spark):
+    from crawler_spark.operators.web import declared_language
+
+    pages = spark.createDataFrame(
+        [(1, '<html lang="EN-us"><body>x</body></html>'),
+         (2, "<html lang='de'>y</html>"),
+         (3, "<html><body>none</body></html>")],
+        "doc_id long, html string")
+    out = {r["doc_id"]: r["declared_lang"]
+           for r in declared_language(pages).collect()}
+    assert out == {1: "en", 2: "de", 3: ""}
+
+
+def test_parked_page_detection_arms(spark):
+    from crawler_spark.operators.web import parked_page_scores
+
+    parked = ('<html><body>This domain is for sale! '
+              '<a href="/buy">buy</a></body></html>')
+    linkfarm = ("<html><body>"
+                + "".join(f'<a href="/l{i}">x</a>' for i in range(12))
+                + "</body></html>")
+    real = ("<html><body><a href='/a'>link</a>"
+            + "genuine prose word " * 40 + "</body></html>")
+    pages = spark.createDataFrame(
+        [(1, parked), (2, linkfarm), (3, real)], "doc_id long, html string")
+    out = {r["doc_id"]: r for r in parked_page_scores(pages).collect()}
+    assert out[1]["sale_phrase"] and out[1]["is_parked"]
+    assert out[2]["link_heavy"] and out[2]["is_parked"]
+    assert not out[3]["is_parked"] and not out[3]["link_heavy"]
