@@ -2907,6 +2907,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_hll_merge"] = corpus_hll_merge
 
+    def corpus_vocab_growth(spark, sf_dir):
+        # unseen-species planning: Good-Turing unseen mass + bias-corrected
+        # Chao1 richness from the frequency-of-frequencies; two shuffles,
+        # one row per source
+        from crawler_spark.operators.corpus import vocab_growth_estimate
+
+        return vocab_growth_estimate(_docs_text_double(spark, sf_dir))
+
+    q["corpus_vocab_growth"] = corpus_vocab_growth
+
+    def corpus_zipf_slope(spark, sf_dir):
+        # corpus-health fingerprint: OLS slope of ln(freq) on ln(rank)
+        # over the top-200 token ranks per source
+        from crawler_spark.operators.corpus import zipf_slope
+
+        return zipf_slope(_docs_text_double(spark, sf_dir), top_k=200)
+
+    q["corpus_zipf_slope"] = corpus_zipf_slope
+
     def corpus_hist_quantiles(spark, sf_dir):
         # histogram-quantile calibration: 128 fixed-width integer buckets
         # per source vs the exact interpolated percentile (doc lengths);
@@ -7017,6 +7036,56 @@ def oracle_sql() -> dict[str, str]:
     SELECT em.g AS source, em.est_merged, ed.est_direct,
            (em.est_merged = ed.est_direct) AS exact_match
     FROM em JOIN ed USING (g) ORDER BY source
+    """
+
+    # vocab growth: all-integer frequency-of-frequencies, two final
+    # divisions
+    o["corpus_vocab_growth"] = f"""
+    WITH tc AS (
+      SELECT source AS g, t, count(*) AS c
+      FROM (SELECT source, unnest({_TOKS}) AS t FROM documents)
+      GROUP BY g, t
+    ),
+    a AS (
+      SELECT g, sum(c)::bigint AS n_tokens, count(*)::bigint AS vocab,
+             sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::bigint AS f1,
+             sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::bigint AS f2
+      FROM tc GROUP BY g
+    )
+    SELECT g AS source, n_tokens, vocab, f1, f2,
+           round(f1::double / n_tokens, 6) AS gt_unseen_mass,
+           round(vocab + (f1 * (f1 - 1))::double / (2.0 * (f2 + 1)), 4)
+             AS chao1_richness
+    FROM a ORDER BY source
+    """
+
+    # zipf slope: closed-form OLS over ln(rank)/ln(freq), top-200 ranks,
+    # (c desc, token) tie-break
+    o["corpus_zipf_slope"] = f"""
+    WITH tc AS (
+      SELECT source AS g, t, count(*) AS c
+      FROM (SELECT source, unnest({_TOKS}) AS t FROM documents)
+      GROUP BY g, t
+    ),
+    ranked AS (
+      SELECT g, c,
+             row_number() OVER (PARTITION BY g ORDER BY c DESC, t) AS r
+      FROM tc
+    ),
+    xy AS (
+      SELECT g, ln(r::double) AS x, ln(c::double) AS y
+      FROM ranked WHERE r <= 200
+    ),
+    a AS (
+      SELECT g, count(*)::bigint AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM xy GROUP BY g
+    )
+    SELECT g AS source, n AS n_ranks,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 4) AS intercept
+    FROM a ORDER BY source
     """
 
     # PMI collocations: positional marginals (w1-as-left, w2-as-right),

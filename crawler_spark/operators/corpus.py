@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import h32, shingles
+from ..functions.text import h32, shingles, tokens
 
 
 def boilerplate_shingle_stats(docs: DataFrame, text_col: str = "text",
@@ -2639,3 +2639,113 @@ def best_snippet(docs: DataFrame, query_terms: list, window: int = 10,
         F.array_max("sc").cast("long").alias("n_hits"),
         F.array_join(F.slice("t", best, window), " ").alias("snippet"),
     )
+
+
+def vocab_growth_estimate(docs: DataFrame, group_col: str = "source",
+                          text_col: str = "text") -> DataFrame:
+    """Vocabulary-growth / unseen-species estimation per group — the
+    corpus-planning question ("how much NEW vocabulary will 10× more
+    data surface?") answered from the frequency-of-frequencies, the
+    same machinery smoothed LMs are built on:
+
+    - Good-Turing unseen mass ``p0 = f1 / N`` (probability the next
+      token is a type never seen) [Good 1953];
+    - bias-corrected Chao1 richness ``V + f1(f1-1) / (2(f2+1))`` — a
+      lower bound on the TRUE vocabulary size including unseen types
+      [Chao 1984] (the +1 keeps it defined when no type occurs twice).
+
+    All-integer until the two final divisions (the KMV discipline).
+    Scale shape: token-count groupBy (map-side combined), then a
+    frequency-of-frequencies aggregate over the per-type counts —
+    two hash shuffles total, output one row per group; the raw stream
+    is never held.
+
+    Returns (group, n_tokens, vocab, f1, f2, gt_unseen_mass,
+    chao1_richness) sorted by group.
+    """
+    tc = (
+        docs.select(
+            F.col(group_col).alias("g"),
+            F.explode(tokens(F.col(text_col))).alias("t"),
+        )
+        .groupBy("g", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = tc.groupBy("g").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long").alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("long").alias("f2"),
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n_tokens", "vocab", "f1", "f2",
+        F.round(F.col("f1").cast("double") / F.col("n_tokens"), 6)
+        .alias("gt_unseen_mass"),
+        F.round(
+            F.col("vocab")
+            + (F.col("f1") * (F.col("f1") - 1)).cast("double")
+            / (2.0 * (F.col("f2") + 1)),
+            4,
+        ).alias("chao1_richness"),
+    ).orderBy(group_col)
+
+
+def zipf_slope(docs: DataFrame, top_k: int = 500,
+               group_col: str = "source",
+               text_col: str = "text") -> DataFrame:
+    """Zipf log-log slope per group: OLS fit of ``ln(freq)`` on
+    ``ln(rank)`` over the top-``top_k`` token ranks — the one-number
+    corpus-health fingerprint (natural prose sits near −1; template/
+    boilerplate floods flatten it, spammy keyword-stuffing steepens it).
+    Deviation from a reference slope is a cheap whole-source quality
+    gate before any per-document scoring.
+
+    Closed-form slope/intercept from five aggregate sums (no iteration);
+    ties in frequency rank deterministically (freq desc, token asc).
+    ``ln`` is the one libm call — parity-validated by the char-entropy
+    oracle precedent, outputs rounded to 4 d.p.  Scale: token-count
+    groupBy, per-group rank window bounded by the group's own vocab,
+    top-k filter, one aggregate.
+
+    Returns (group, n_ranks, slope, intercept) sorted by group.
+    """
+    from pyspark.sql import Window
+
+    tc = (
+        docs.select(
+            F.col(group_col).alias("g"),
+            F.explode(tokens(F.col(text_col))).alias("t"),
+        )
+        .groupBy("g", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("g").orderBy(F.desc("c"), "t")
+    ranked = tc.withColumn("r", F.row_number().over(w)).where(
+        F.col("r") <= top_k
+    )
+    xy = ranked.select(
+        "g",
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    agg = xy.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("n").alias("n_ranks"),
+        F.round(slope, 4).alias("slope"),
+        F.round(intercept, 4).alias("intercept"),
+    ).orderBy(group_col)

@@ -1285,3 +1285,42 @@ def test_best_snippet_tie_breaks_to_first_and_short_doc(spark):
     assert out[2]["best_start"] == 0
     assert out[2]["snippet"] == "tiny doc"
     assert out[2]["n_hits"] == 0
+
+
+def test_vocab_growth_hand_computed(spark):
+    from crawler_spark.operators.corpus import vocab_growth_estimate
+
+    # tokens: a x3, b x2, c x1, d x1 -> N=7 V=4 f1=2 f2=1
+    docs = spark.createDataFrame([("s", 1, "a a a b b c d")],
+                                 "source string, doc_id long, text string")
+    row = vocab_growth_estimate(docs).collect()[0]
+    assert (row["n_tokens"], row["vocab"], row["f1"], row["f2"]) == (7, 4, 2, 1)
+    assert row["gt_unseen_mass"] == pytest.approx(2 / 7, abs=1e-6)
+    # chao1 = 4 + 2*1/(2*(1+1)) = 4.5
+    assert row["chao1_richness"] == pytest.approx(4.5, abs=1e-4)
+
+
+def test_vocab_growth_chao1_defined_when_f2_zero(spark):
+    from crawler_spark.operators.corpus import vocab_growth_estimate
+
+    # a x3, b x1, c x1 -> f1=2, f2=0, V=3
+    docs = spark.createDataFrame([("s", 1, "a a a b c")],
+                                 "source string, doc_id long, text string")
+    row = vocab_growth_estimate(docs).collect()[0]
+    assert row["f2"] == 0 and row["f1"] == 2
+    # bias-corrected: V + f1(f1-1)/(2*(0+1)) = 3 + 1 = 4
+    assert row["chao1_richness"] == pytest.approx(4.0, abs=1e-4)
+
+
+def test_zipf_slope_recovers_planted_exponent(spark):
+    from crawler_spark.operators.corpus import zipf_slope
+
+    # plant freq(r) = round(1000 * r^-1): slope should come out near -1
+    words = []
+    for r in range(1, 40):
+        words += [f"w{r:03d}"] * max(1, round(1000 / r))
+    docs = spark.createDataFrame([("s", 1, " ".join(words))],
+                                 "source string, doc_id long, text string")
+    row = zipf_slope(docs, top_k=40).collect()[0]
+    assert row["n_ranks"] == 39
+    assert -1.05 < row["slope"] < -0.95
