@@ -1775,6 +1775,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["warc_cdx"] = warc_cdx
 
+    def warc_cdx_audit(spark, sf_dir):
+        # archive completeness audit: per file, every byte accounted for —
+        # record count matches the source shard, offsets contiguous from
+        # 0, sum(length) == end offset; the ops check that catches a
+        # truncated/duplicated archive before it poisons a re-ingest
+        from pyspark.sql import Window
+
+        from crawler_spark.sources.warc import cdx_index
+
+        src = _warc_src(spark, sf_dir)
+        cdx = cdx_index(src, shard=F.col("doc_id") % 4)
+        w = Window.partitionBy("warc_file").orderBy("warc_offset")
+        g = cdx.withColumn(
+            "prev_end",
+            F.lag(F.col("warc_offset") + F.col("warc_length")).over(w),
+        )
+        per = g.groupBy("warc_file").agg(
+            F.count(F.lit(1)).cast("long").alias("n_records"),
+            F.sum("warc_length").cast("long").alias("bytes_indexed"),
+            F.sum(
+                F.when(
+                    F.col("prev_end").isNotNull()
+                    & (F.col("prev_end") != F.col("warc_offset")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_gaps"),
+            F.min("warc_offset").cast("long").alias("first_offset"),
+            F.max(F.col("warc_offset") + F.col("warc_length"))
+            .cast("long").alias("end_offset"),
+        )
+        srcn = src.groupBy(
+            (F.col("doc_id") % 4).cast("int").alias("shard")
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_source")).select(
+            F.concat(
+                F.lit("part-"),
+                F.lpad(F.col("shard").cast("string"), 5, "0"),
+                F.lit(".warc"),
+            ).alias("warc_file"),
+            "n_source",
+        )
+        return per.join(srcn, "warc_file").select(
+            "warc_file", "n_records", "n_source", "bytes_indexed", "n_gaps",
+            (
+                (F.col("n_records") == F.col("n_source"))
+                & (F.col("n_gaps") == 0)
+                & (F.col("first_offset") == 0)
+                & (F.col("end_offset") == F.col("bytes_indexed"))
+            ).alias("complete"),
+        ).orderBy("warc_file")
+
+    q["warc_cdx_audit"] = warc_cdx_audit
+
     def robots_longest_match(spark, sf_dir):
         # RFC 9309 Allow/Disallow longest-match evaluation
         # (operators/politeness.apply_robots_rfc + robots.parse_robots_rfc):
@@ -5186,6 +5238,40 @@ def oracle_sql() -> dict[str, str]:
            warc_length,
            printf('part-%05d.warc', shard::int) AS warc_file
     FROM sized
+    """
+
+    # audit over the warc_cdx oracle's own byte accounting (nested WITH
+    # in a derived table) + an independent per-shard source count
+    o["warc_cdx_audit"] = f"""
+    WITH cdx AS ({o["warc_cdx"]}),
+    seq AS (
+      SELECT warc_file, warc_offset, warc_length,
+             lag(warc_offset + warc_length) OVER (
+               PARTITION BY warc_file ORDER BY warc_offset) AS prev_end
+      FROM cdx
+    ),
+    per AS (
+      SELECT warc_file, count(*)::bigint AS n_records,
+             sum(warc_length)::bigint AS bytes_indexed,
+             sum(CASE WHEN prev_end IS NOT NULL
+                       AND prev_end <> warc_offset THEN 1 ELSE 0 END)
+               ::bigint AS n_gaps,
+             min(warc_offset)::bigint AS first_offset,
+             max(warc_offset + warc_length)::bigint AS end_offset
+      FROM seq GROUP BY warc_file
+    ),
+    srcn AS (
+      SELECT 'part-' || lpad(((doc_id % 4)::int)::varchar, 5, '0')
+               || '.warc' AS warc_file,
+             count(*)::bigint AS n_source
+      FROM documents GROUP BY 1
+    )
+    SELECT p.warc_file, p.n_records, s.n_source, p.bytes_indexed, p.n_gaps,
+           (p.n_records = s.n_source AND p.n_gaps = 0
+            AND p.first_offset = 0
+            AND p.end_offset = p.bytes_indexed) AS complete
+    FROM per p JOIN srcn s USING (warc_file)
+    ORDER BY warc_file
     """
 
     o["warc_revisit_dedup"] = """
