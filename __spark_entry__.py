@@ -1009,6 +1009,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["link_communities"] = link_communities
 
+    def event_funnel_counts(spark, sf_dir):
+        # telemetry funnel view>click>purchase with strict ordering:
+        # per-step conditional mins chained by user-key joins, no windows
+        from crawler_spark.operators.events import event_funnel
+
+        _utc(spark)
+        return event_funnel(
+            _t(spark, sf_dir, "events"), ("view", "click", "purchase")
+        )
+
+    q["event_funnel_counts"] = event_funnel_counts
+
+    def event_cohort_retention(spark, sf_dir):
+        # weekly cohort matrix in pure epoch-week integers
+        from crawler_spark.operators.events import cohort_retention
+
+        _utc(spark)
+        return cohort_retention(_t(spark, sf_dir, "events"))
+
+    q["event_cohort_retention"] = event_cohort_retention
+
+    def event_top_paths(spark, sf_dir):
+        # dominant length-3 event paths, deterministic (n desc, path) cut
+        from crawler_spark.operators.events import top_event_paths
+
+        _utc(spark)
+        return top_event_paths(_t(spark, sf_dir, "events"),
+                               path_len=3, top_k=20)
+
+    q["event_top_paths"] = event_top_paths
+
     def doc_simhash_groups(spark, sf_dir):
         return simhash_dedup(_docs_text_double(spark, sf_dir))
 
@@ -4306,6 +4337,62 @@ def oracle_sql() -> dict[str, str]:
     ),
     s0 AS (SELECT DISTINCT a AS node, a AS label FROM und){_lpa_iters}
     SELECT node, label AS community FROM s3
+    """
+
+    # funnel: identical conditional-min chain, strict > at every step,
+    # conv via the same step_idx-1 self-join
+    o["event_funnel_counts"] = """
+    WITH ev AS (
+      SELECT user_id AS u, event_type AS et, epoch(ts)::bigint AS ts
+      FROM events
+    ),
+    s1 AS (SELECT u, min(ts) AS t FROM ev WHERE et = 'view' GROUP BY u),
+    s2 AS (
+      SELECT e.u, min(e.ts) AS t
+      FROM ev e JOIN s1 ON s1.u = e.u AND e.ts > s1.t
+      WHERE e.et = 'click' GROUP BY e.u
+    ),
+    s3 AS (
+      SELECT e.u, min(e.ts) AS t
+      FROM ev e JOIN s2 ON s2.u = e.u AND e.ts > s2.t
+      WHERE e.et = 'purchase' GROUP BY e.u
+    ),
+    c AS (
+      SELECT 1 AS step_idx, 'view' AS step,
+             (SELECT count(*) FROM s1)::bigint AS n
+      UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)::bigint
+      UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)::bigint
+    )
+    SELECT c.step_idx, c.step, c.n AS n_users,
+           CASE WHEN c.step_idx = 1 THEN 1.0
+                ELSE round(c.n::double / nullif(p.n, 0)::double, 4)
+           END AS conv_from_prev
+    FROM c LEFT JOIN c p ON p.step_idx = c.step_idx - 1
+    ORDER BY c.step_idx
+    """
+
+    o["event_cohort_retention"] = """
+    WITH ev AS (
+      SELECT user_id AS u, epoch(ts)::bigint // 604800 AS wk FROM events
+    ),
+    first AS (SELECT u, min(wk) AS cw FROM ev GROUP BY u)
+    SELECT f.cw AS cohort_week, (e.wk - f.cw)::bigint AS week_offset,
+           count(DISTINCT e.u)::bigint AS n_users
+    FROM ev e JOIN first f USING (u)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+    o["event_top_paths"] = """
+    WITH seq AS (
+      SELECT event_type AS a,
+             lead(event_type, 1) OVER w AS b,
+             lead(event_type, 2) OVER w AS c
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT a || '>' || b || '>' || c AS path, count(*)::bigint AS n
+    FROM seq WHERE c IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 20
     """
 
     o["doc_simhash_groups"] = f"""
