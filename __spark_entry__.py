@@ -1040,6 +1040,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["event_top_paths"] = event_top_paths
 
+    def event_rate_anomaly(spark, sf_dir):
+        # per-type hourly z-scores from explicit integer sums (no
+        # engine-native stddev — Welford vs two-pass differ numerically)
+        from crawler_spark.operators.events import rate_anomaly
+
+        _utc(spark)
+        return rate_anomaly(_t(spark, sf_dir, "events"))
+
+    q["event_rate_anomaly"] = event_rate_anomaly
+
+    def event_activity_heatmap(spark, sf_dir):
+        # hour-of-day x day-of-week capacity heatmap, pure epoch integers
+        from crawler_spark.operators.events import activity_heatmap
+
+        _utc(spark)
+        return activity_heatmap(_t(spark, sf_dir, "events"))
+
+    q["event_activity_heatmap"] = event_activity_heatmap
+
     def doc_simhash_groups(spark, sf_dir):
         return simhash_dedup(_docs_text_double(spark, sf_dir))
 
@@ -4343,7 +4362,7 @@ def oracle_sql() -> dict[str, str]:
     # conv via the same step_idx-1 self-join
     o["event_funnel_counts"] = """
     WITH ev AS (
-      SELECT user_id AS u, event_type AS et, epoch(ts)::bigint AS ts
+      SELECT user_id AS u, event_type AS et, floor(epoch(ts))::bigint AS ts
       FROM events
     ),
     s1 AS (SELECT u, min(ts) AS t FROM ev WHERE et = 'view' GROUP BY u),
@@ -4373,7 +4392,7 @@ def oracle_sql() -> dict[str, str]:
 
     o["event_cohort_retention"] = """
     WITH ev AS (
-      SELECT user_id AS u, epoch(ts)::bigint // 604800 AS wk FROM events
+      SELECT user_id AS u, floor(epoch(ts))::bigint // 604800 AS wk FROM events
     ),
     first AS (SELECT u, min(wk) AS cw FROM ev GROUP BY u)
     SELECT f.cw AS cohort_week, (e.wk - f.cw)::bigint AS week_offset,
@@ -4393,6 +4412,40 @@ def oracle_sql() -> dict[str, str]:
     SELECT a || '>' || b || '>' || c AS path, count(*)::bigint AS n
     FROM seq WHERE c IS NOT NULL
     GROUP BY 1 ORDER BY n DESC, path LIMIT 20
+    """
+
+    o["event_rate_anomaly"] = """
+    WITH cells AS (
+      SELECT event_type AS key, floor(epoch(ts))::bigint // 3600 AS bucket,
+             count(*)::bigint AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT key, count(*)::bigint AS nb, sum(cnt)::bigint AS s1,
+             sum(cnt * cnt)::bigint AS s2
+      FROM cells GROUP BY key
+    ),
+    sc AS (
+      SELECT c.key, c.bucket, c.cnt,
+             s1::double / nb AS mean,
+             sqrt(greatest(s2::double / nb
+                           - (s1::double / nb) * (s1::double / nb),
+                           0.0)) AS std
+      FROM cells c JOIN st USING (key)
+    )
+    SELECT key, bucket, cnt, round(mean, 4) AS mean_cnt,
+           round(CASE WHEN std > 0 THEN (cnt - mean) / std
+                 ELSE 0.0 END, 4) AS z,
+           (abs(CASE WHEN std > 0 THEN (cnt - mean) / std ELSE 0.0 END)
+            >= 3.0) AS is_anomaly
+    FROM sc ORDER BY key, bucket
+    """
+
+    o["event_activity_heatmap"] = """
+    SELECT (floor(epoch(ts))::bigint // 86400 + 3) % 7 AS dow,
+           (floor(epoch(ts))::bigint % 86400) // 3600 AS hour,
+           count(*)::bigint AS n_events
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
     """
 
     o["doc_simhash_groups"] = f"""

@@ -134,3 +134,69 @@ def top_event_paths(events: DataFrame, path_len: int = 3, top_k: int = 20,
         .orderBy(F.desc("n"), "path")
         .limit(top_k)
     )
+
+
+def rate_anomaly(events: DataFrame, key_col: str = "event_type",
+                 ts_col: str = "ts", bucket_s: int = 3600,
+                 z_thresh: float = 3.0) -> DataFrame:
+    """Per-key rate-anomaly scoring: bucket the stream (epoch integer
+    division), then z-score every (key, bucket) count against that
+    key's OWN mean/std across its observed buckets — the crawl-ops
+    alarm for a host suddenly erroring or a fetch loop going hot.
+
+    Numeric discipline: mean/variance from explicit integer sums
+    (``sum``, ``sum(c²)``, ``n`` — exact, order-free) rather than the
+    engines' streaming ``stddev`` implementations, which differ
+    numerically (Welford vs two-pass); the one ``sqrt`` is
+    IEEE-deterministic.  Buckets with zero events are not materialized
+    (documented — the baseline is over OBSERVED buckets; a dense
+    calendar spine is a caller-side cross join when needed).
+
+    Two map-side-combined aggregates + one broadcast-size join back.
+    Returns (key, bucket, cnt, mean_cnt, z, is_anomaly) — all cells
+    scored, flag at ``|z| >= z_thresh`` (std = 0 → z = 0, never null).
+    """
+    ep = F.unix_timestamp(F.col(ts_col)).cast("long")
+    cells = (
+        events.select(F.col(key_col).alias("key"),
+                      F.floor(ep / bucket_s).cast("long").alias("bucket"))
+        .groupBy("key", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    stats = cells.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum("cnt").cast("long").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("nb")
+    var = F.col("s2").cast("double") / F.col("nb") - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = F.when(std > 0, (F.col("cnt") - mean) / std).otherwise(F.lit(0.0))
+    return (
+        cells.join(stats, "key")
+        .select(
+            "key", "bucket", "cnt",
+            F.round(mean, 4).alias("mean_cnt"),
+            F.round(z, 4).alias("z"),
+            (F.abs(z) >= z_thresh).alias("is_anomaly"),
+        )
+        .orderBy("key", "bucket")
+    )
+
+
+def activity_heatmap(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Hour-of-day × day-of-week activity heatmap in pure epoch-integer
+    arithmetic (``dow``: 0 = Monday, via the 1970-01-01-was-Thursday
+    offset; no calendar library, no timezone surface) — the capacity
+    view that sizes politeness budgets and maintenance windows.
+    One map-side-combined groupBy.  Returns (dow, hour, n_events).
+    """
+    ep = F.unix_timestamp(F.col(ts_col)).cast("long")
+    dow = (F.floor(ep / 86400).cast("long") + 3) % 7
+    hour = F.floor((ep % 86400) / 3600).cast("long")
+    return (
+        events.select(dow.alias("dow"), hour.alias("hour"))
+        .groupBy("dow", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .orderBy("dow", "hour")
+    )

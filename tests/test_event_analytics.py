@@ -74,3 +74,46 @@ def test_top_event_paths_counts_and_cut(spark):
     out = top_event_paths(_ev(spark, rows), path_len=3, top_k=5).collect()
     assert out[0]["path"] == "view>click>buy" and out[0]["n"] == 3
     assert all("None" not in r["path"] for r in out)
+
+
+def test_rate_anomaly_flags_planted_spike(spark):
+    from crawler_spark.operators.events import rate_anomaly
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rows, eid = [], 0
+    # 20 steady hours of 5 events, then one hour with 100
+    for h in range(20):
+        for i in range(5):
+            eid += 1
+            rows.append((1, "fetch", f"2024-01-01 {h:02d}:00:{i:02d}", eid))
+    for i in range(100):
+        eid += 1
+        rows.append((1, "fetch", f"2024-01-01 23:{i % 60:02d}:{i // 60:02d}", eid))
+    out = rate_anomaly(_ev(spark, rows), z_thresh=3.0).collect()
+    spikes = [r for r in out if r["is_anomaly"]]
+    assert len(spikes) == 1 and spikes[0]["cnt"] == 100
+    assert all(not r["is_anomaly"] for r in out if r["cnt"] == 5)
+
+
+def test_rate_anomaly_constant_rate_z_zero(spark):
+    from crawler_spark.operators.events import rate_anomaly
+
+    rows = [(1, "x", f"2024-01-01 {h:02d}:00:00", h) for h in range(6)]
+    out = rate_anomaly(_ev(spark, rows)).collect()
+    assert all(r["z"] == 0.0 and not r["is_anomaly"] for r in out)
+
+
+def test_activity_heatmap_known_cells(spark):
+    from crawler_spark.operators.events import activity_heatmap
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # 2024-01-01 is a Monday (dow 0); 2024-01-06 a Saturday (dow 5)
+    rows = [
+        (1, "x", "2024-01-01 00:30:00", 1),
+        (2, "x", "2024-01-01 00:45:00", 2),
+        (3, "x", "2024-01-06 23:10:00", 3),
+    ]
+    out = {(r["dow"], r["hour"]): r["n_events"]
+           for r in activity_heatmap(_ev(spark, rows)).collect()}
+    assert out[(0, 0)] == 2
+    assert out[(5, 23)] == 1
