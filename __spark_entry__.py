@@ -890,6 +890,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_decontaminate"] = doc_decontaminate
 
+    def doc_contamination_overlap(spark, sf_dir):
+        # span-level contamination fractions (threshold-tuning companion
+        # to the binary decontaminate flag), same deterministic eval slice
+        from crawler_spark.operators.corpus import contamination_overlap
+
+        docs = _docs_text_double(spark, sf_dir)
+        return contamination_overlap(
+            docs.where(F.col("doc_id") % 37 != 0),
+            docs.where(F.col("doc_id") % 37 == 0),
+            n=8,
+        )
+
+    q["doc_contamination_overlap"] = doc_contamination_overlap
+
     def doc_tfidf_top3(spark, sf_dir):
         # per-document top-3 terms by tf-idf (keyword extraction)
         from crawler_spark.operators.corpus import tfidf_top_terms
@@ -4104,6 +4118,31 @@ def oracle_sql() -> dict[str, str]:
     SELECT t.doc_id, len(t.gs)::bigint AS n_grams,
            (h.doc_id IS NOT NULL) AS contaminated
     FROM trg t LEFT JOIN hit h USING (doc_id)
+    """
+
+    # span-level contamination: distinct-gram fractions over the same
+    # eval slice (zero-overlap docs kept as 0.0 via the left join)
+    o["doc_contamination_overlap"] = f"""
+    WITH trg AS (
+      SELECT DISTINCT doc_id, unnest({_G8}) AS gram
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents
+            WHERE doc_id % 37 <> 0)
+    ),
+    evg AS (
+      SELECT DISTINCT unnest({_G8}) AS gram
+      FROM (SELECT {_TOKS} AS toks FROM documents WHERE doc_id % 37 = 0)
+    ),
+    per AS (SELECT doc_id, count(*)::bigint AS n_grams FROM trg
+            GROUP BY doc_id),
+    hit AS (
+      SELECT doc_id, count(*)::bigint AS n_matched
+      FROM trg SEMI JOIN evg USING (gram) GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_grams,
+           coalesce(h.n_matched, 0)::bigint AS n_matched,
+           round(coalesce(h.n_matched, 0)::double / p.n_grams, 6)
+             AS overlap_frac
+    FROM per p LEFT JOIN hit h USING (doc_id)
     """
 
     # per-document top-3 tf-idf terms; rank on 9-d.p. rounding (ln noise

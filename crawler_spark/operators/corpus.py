@@ -2749,3 +2749,54 @@ def zipf_slope(docs: DataFrame, top_k: int = 500,
         F.round(slope, 4).alias("slope"),
         F.round(intercept, 4).alias("intercept"),
     ).orderBy(group_col)
+
+
+def contamination_overlap(docs: DataFrame, eval_docs: DataFrame,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          n: int = 8) -> DataFrame:
+    """Span-level contamination REPORT — the threshold-tuning companion
+    to the binary :func:`decontaminate` flag: per training document, the
+    FRACTION of its distinct word ``n``-grams that appear anywhere in
+    the eval set.  The binary flag answers "touched at all?"; this
+    answers "how much?", which is what you need to pick the drop
+    threshold (a quote is not a leaked test set) and to report
+    contamination rates honestly alongside benchmark numbers.
+
+    Shape: both sides explode to DISTINCT n-grams; one hash join on the
+    gram key counts per-doc matches; a left join back keeps
+    zero-overlap docs as 0.0 rows.  At 100 TB the eval side is tiny —
+    the gram join broadcasts; never all-pairs.
+
+    Returns (id_col, n_grams, n_matched, overlap_frac) — docs with
+    fewer than ``n`` tokens have one whole-text shingle (the shingles
+    contract), so every doc reports.
+    """
+    d_grams = docs.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), n)).alias("g"),
+    ).distinct()
+    e_grams = eval_docs.select(
+        F.explode(shingles(F.col(text_col), n)).alias("g")
+    ).distinct()
+    per = d_grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    hit = (
+        d_grams.join(e_grams, "g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+    )
+    return (
+        per.join(hit, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_matched", F.lit(0)).cast("long")
+            .alias("n_matched"),
+            F.round(
+                F.coalesce("n_matched", F.lit(0)).cast("double")
+                / F.col("n_grams"),
+                6,
+            ).alias("overlap_frac"),
+        )
+    )

@@ -199,3 +199,112 @@ def run_politeness_gate(spark, source_dir: str, out_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------- rate anomaly
+
+ANOM_OUTPUT_SCHEMA = ("key string, bucket long, cnt long, n_hist long, "
+                      "z double, is_anomaly boolean")
+ANOM_STATE_SCHEMA = ("nb long, s1 long, s2 long, open_bucket long, "
+                     "open_cnt long, dropped long")
+
+
+def _anomaly_fold(bucket_ms: int, z_thresh: float):
+    def fold(key: tuple, pdfs: Iterator[pd.DataFrame],
+             state: GroupState) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        if state.exists:
+            nb, s1, s2, ob, oc, dropped = (int(x) for x in state.get)
+        else:
+            nb, s1, s2, ob, oc, dropped = 0, 0, 0, -1, 0, 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if not len(rows):
+            state.update((nb, s1, s2, ob, oc, dropped))
+            return
+        rows = rows.sort_values(["ts_ms", "event_id"], kind="mergesort")
+        out = []
+        for ts in rows["ts_ms"].astype("int64"):
+            b = int(ts) // bucket_ms
+            if ob < 0:
+                ob, oc = b, 1
+            elif b == ob:
+                oc += 1
+            elif b > ob:
+                # close the open bucket: score vs PRIOR history, then
+                # fold.  Poisson floor on the std (count data can't have
+                # variance below its mean's square root in expectation):
+                # a flat history (std 0) still flags a genuine spike.
+                z = 0.0
+                if nb >= 1:
+                    mean = s1 / nb
+                    std = max(s2 / nb - mean * mean, 0.0) ** 0.5
+                    z = (oc - mean) / max(std, mean ** 0.5)
+                out.append((k, ob, oc, nb, round(z, 4),
+                            abs(z) >= z_thresh))
+                nb, s1, s2 = nb + 1, s1 + oc, s2 + oc * oc
+                ob, oc = b, 1
+            else:
+                dropped += 1        # late past a closed bucket: watermark's
+        state.update((nb, s1, s2, ob, oc, dropped))
+        if out:
+            yield pd.DataFrame(out, columns=[
+                "key", "bucket", "cnt", "n_hist", "z", "is_anomaly",
+            ])
+
+    return fold
+
+
+def rate_anomaly_stream(events: DataFrame, bucket_ms: int = 3_600_000,
+                        z_thresh: float = 3.0) -> DataFrame:
+    """Streaming (prequential) twin of
+    :func:`crawler_spark.operators.events.rate_anomaly`: per key, each
+    CLOSED event-time bucket is z-scored against the running mean/std
+    of that key's previously closed buckets, then folded in — the
+    one-pass online form of the batch detector (history grows as the
+    stream runs; the batch op scores against the full history at once).
+    The std carries a Poisson floor (``max(std, sqrt(mean))``) so a
+    perfectly flat history still flags a genuine spike instead of
+    dividing by zero variance.
+
+    Cross-micro-batch exactness: a bucket whose events split over two
+    triggers counts ONCE with the summed count (the open bucket rides
+    the state); buckets close when a later bucket's first event
+    arrives; events older than the open bucket are counted in a
+    ``dropped`` state counter, not scored (a real deployment puts a
+    watermark in front).  State is six integers per key.
+    """
+    return (
+        events.groupBy("key")
+        .applyInPandasWithState(
+            _anomaly_fold(bucket_ms, z_thresh),
+            outputStructType=ANOM_OUTPUT_SCHEMA,
+            stateStructType=ANOM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_rate_anomaly_stream(spark, source_dir: str, out_dir: str,
+                            checkpoint_dir: str,
+                            bucket_ms: int = 3_600_000,
+                            z_thresh: float = 3.0,
+                            max_files_per_trigger: int | None = 1):
+    """Stream (key, event_id, ts_ms) parquet events through the anomaly
+    fold to a parquet sink (availableNow; one file per trigger so tests
+    exercise genuine cross-batch state)."""
+    reader = spark.readStream.schema(
+        "key string, event_id long, ts_ms long"
+    ).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    ev = reader.load(source_dir)
+    return (
+        rate_anomaly_stream(ev, bucket_ms=bucket_ms, z_thresh=z_thresh)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1324,3 +1324,25 @@ def test_zipf_slope_recovers_planted_exponent(spark):
     row = zipf_slope(docs, top_k=40).collect()[0]
     assert row["n_ranks"] == 39
     assert -1.05 < row["slope"] < -0.95
+
+
+def test_contamination_overlap_fractions(spark):
+    from crawler_spark.operators.corpus import contamination_overlap
+
+    evald = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight ok"),
+         (2, "completely different words in every position here now"),
+         (3, "short doc")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in contamination_overlap(docs, evald, n=8).collect()}
+    # doc 1: 4 distinct 8-grams, 3 of them inside the eval text
+    assert out[1]["n_grams"] == 4
+    assert out[1]["n_matched"] == 3
+    assert out[1]["overlap_frac"] == 0.75
+    assert out[2]["n_matched"] == 0 and out[2]["overlap_frac"] == 0.0
+    assert out[3]["n_grams"] == 1       # whole-text fallback shingle
+    assert out[3]["n_matched"] == 0

@@ -263,3 +263,73 @@ def test_politeness_gate_stream_equals_single_batch(spark, tmp_path):
                 for r in spark.read.parquet(out).collect()}
 
     assert run(1, "one") == run(4, "four")
+
+
+def test_rate_anomaly_stream_spike_and_bucket_continuity(spark, tmp_path):
+    """A bucket split across two triggers counts once; a 10x spike after
+    steady history is flagged; the still-open last bucket is not emitted."""
+    from crawler_spark.streaming.stateful import run_rate_anomaly_stream
+
+    src = str(tmp_path / "ev"); out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    B = 1000                       # 1s buckets for the test
+    rows1, rows2, eid = [], [], 0
+    for b in range(6):             # steady: 4 events per bucket 0..5
+        for i in range(4):
+            eid += 1
+            (rows1 if not (b == 3 and i >= 2) else rows1).append(
+                ("k", eid, b * B + i))
+    # split bucket 6 across the two files: 2 events + 2 events
+    for i in range(2):
+        eid += 1; rows1.append(("k", eid, 6 * B + i))
+    for i in range(2):
+        eid += 1; rows2.append(("k", eid, 6 * B + 100 + i))
+    # spike: 40 events in bucket 7
+    for i in range(40):
+        eid += 1; rows2.append(("k", eid, 7 * B + i))
+    # closer: one event in bucket 8 closes the spike bucket
+    eid += 1; rows2.append(("k", eid, 8 * B))
+
+    for part in (rows1, rows2):
+        spark.createDataFrame(part, "key string, event_id long, ts_ms long") \
+            .coalesce(1).write.mode("append").parquet(src)
+    q = run_rate_anomaly_stream(spark, src, out, ckpt, bucket_ms=B,
+                                z_thresh=3.0)
+    q.awaitTermination(180)
+
+    rows = {r["bucket"]: r for r in spark.read.parquet(out).collect()}
+    assert 8 not in rows                    # still open, never emitted
+    assert rows[6]["cnt"] == 4              # 2 + 2 across the trigger split
+    assert rows[7]["cnt"] == 40 and rows[7]["is_anomaly"]
+    assert all(not rows[b]["is_anomaly"] for b in range(7))
+    assert rows[7]["n_hist"] == 7           # scored against 7 closed buckets
+
+
+def test_rate_anomaly_stream_split_invariance(spark, tmp_path):
+    """N-trigger stream ≡ 1-trigger stream: identical emitted rows."""
+    from crawler_spark.streaming.stateful import run_rate_anomaly_stream
+
+    B = 1000
+    rows, eid = [], 0
+    import random
+    rnd = random.Random(7)
+    for b in range(12):
+        for i in range(rnd.randint(2, 9)):
+            eid += 1
+            rows.append(("k", eid, b * B + i))
+
+    def run(nfiles, tag):
+        src = str(tmp_path / f"e{tag}"); out = str(tmp_path / f"o{tag}")
+        ckpt = str(tmp_path / f"c{tag}")
+        chunk = (len(rows) + nfiles - 1) // nfiles
+        for j in range(nfiles):
+            part = rows[j * chunk:(j + 1) * chunk]
+            if part:
+                spark.createDataFrame(
+                    part, "key string, event_id long, ts_ms long"
+                ).coalesce(1).write.mode("append").parquet(src)
+        q = run_rate_anomaly_stream(spark, src, out, ckpt, bucket_ms=B)
+        q.awaitTermination(180)
+        return sorted(tuple(r) for r in spark.read.parquet(out).collect())
+
+    assert run(1, "a") == run(4, "b")
