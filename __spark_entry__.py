@@ -3314,6 +3314,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_pq_recall"] = emb_pq_recall
 
+    def web_bitext_pairs(spark, sf_dir):
+        # bitext candidate mining: every even doc declares one hreflang
+        # alternate pointing at doc_id+1's URL; the operator resolves the
+        # href against the docs table (hash join on url), keeps the
+        # cross-lingual edges, canonicalizes the unordered pair, and
+        # scores it with embedding cosine (vec_id == doc_id).  Exercises
+        # the REAL extract_hreflang regex path on the synthesized pages.
+        from crawler_spark.operators.web import (extract_hreflang,
+                                                 mine_bitext_pairs)
+
+        docs0 = _docs_text_double(spark, sf_dir)
+        url = F.concat(F.lit("https://ex.org/"), F.col("lang"), F.lit("/"),
+                       F.col("doc_id").cast("string"))
+        docs = docs0.select("doc_id", url.alias("url"), "lang")
+        nxt = docs.select((F.col("doc_id") - 1).alias("doc_id"),
+                          F.col("lang").alias("p_lang"),
+                          F.col("url").alias("p_url"))
+        pages = (
+            docs.join(nxt, "doc_id")
+            .where(F.col("doc_id") % 2 == 0)
+            .select(
+                "doc_id",
+                F.concat(
+                    F.lit('<html><head><link rel="alternate" hreflang="'),
+                    F.col("p_lang"), F.lit('" href="'), F.col("p_url"),
+                    F.lit('"></head><body>x</body></html>'),
+                ).alias("html"),
+            )
+        )
+        alts = extract_hreflang(pages)
+        emb = _emb_double(spark, sf_dir).select(
+            F.col("vec_id").alias("doc_id"), "embedding"
+        )
+        return mine_bitext_pairs(docs, alts, emb, min_cosine=0.0)
+
+    q["web_bitext_pairs"] = web_bitext_pairs
+
+    def corpus_sentence_align(spark, sf_dir):
+        # Gale-Church-style length alignment over bitext pairs (doc d,
+        # d+1) for even d: sentence boundaries injected like
+        # doc_sentence_split, midpoint-fraction interval matching on
+        # exact integer cross-products (no float windows anywhere)
+        from crawler_spark.operators.corpus import (
+            align_sentences_by_length, split_sentences)
+
+        docs = _docs_text_double(spark, sf_dir).select(
+            "doc_id",
+            F.regexp_replace(
+                F.col("text"), r" (table|spark|line) ", ". $1 "
+            ).alias("text"),
+        )
+        sents = split_sentences(docs)
+        ids = docs.select("doc_id")
+        pairs = (
+            ids.where(F.col("doc_id") % 2 == 0)
+            .join(ids.select((F.col("doc_id") - 1).alias("doc_id")), "doc_id")
+            .select(F.col("doc_id").alias("pair_id"),
+                    F.col("doc_id").alias("doc_a"),
+                    (F.col("doc_id") + 1).alias("doc_b"))
+        )
+        return align_sentences_by_length(pairs, sents)
+
+    q["corpus_sentence_align"] = corpus_sentence_align
+
     return _driver_gate_order(q)
 
 
@@ -3325,8 +3389,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # signal covers >=105 distinct queries.  The local 125-query parity gate
 # (tests/test_oracle_parity.py) remains the always-on backstop for the rest.
 # Round-4 additions past position 50 (feed discovery, HHI, edit-distance
-# verify, RFC wildcard, PQ ANN) queue for the round-5 rotation with the
-# other never-sampled entries.
+# verify, RFC wildcard, PQ ANN, bitext mining, sentence alignment) queue
+# for the round-5 rotation with the other never-sampled entries.
 _DRIVER_GATE_FIRST = [
     "corpus_pack_shards",       # round-3 red (HUGEINT cast) — prove the fix
     # --- embedding tier (driver-checked last in r01/r02 for cosine/IVF/LSH) ---
@@ -7748,6 +7812,91 @@ def oracle_sql() -> dict[str, str]:
            round(coalesce(h.n_hits, 0)::double / 5.0, 6) AS recall
     FROM (SELECT vec_id FROM emb WHERE vec_id < 5) q
     LEFT JOIN hits h ON h.query_id = q.vec_id
+    """
+
+    # bitext mining from the generative rule: even doc d pairs with d+1
+    # when their langs differ; cosine over the embedding vectors (vec_id
+    # == doc_id), rounded to 6 d.p. exactly like the Spark side
+    o["web_bitext_pairs"] = f"""
+    WITH {_EMB_CTE},
+    d AS (SELECT doc_id, lang FROM documents),
+    pr AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.lang AS lang_a, b.lang AS lang_b
+      FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 2 = 0 AND a.lang <> b.lang
+    )
+    SELECT p.doc_a, p.doc_b, p.lang_a, p.lang_b,
+           round({_cos_sql("ea.v", "eb.v")}, 6) AS cosine,
+           (round({_cos_sql("ea.v", "eb.v")}, 6) >= 0.0) AS accepted
+    FROM pr p
+    JOIN emb ea ON ea.vec_id = p.doc_a
+    JOIN emb eb ON eb.vec_id = p.doc_b
+    """
+
+    # length-based sentence alignment: same segmentation as
+    # doc_sentence_split, then exact-integer midpoint/interval geometry
+    # (cumulative char sums stay bigint; every comparison is a bigint
+    # cross-product — the round-3 HUGEINT lesson: every window sum output
+    # is cast before use)
+    o["corpus_sentence_align"] = """
+    WITH punct AS (
+      SELECT doc_id,
+             regexp_replace(text, ' (table|spark|line) ', '. \\1 ', 'g')
+               AS text
+      FROM documents
+    ),
+    segd AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(
+                 regexp_extract_all(text, '[^.!?\\n]+[.!?]*'),
+                 x -> trim(x)),
+               x -> len(x) >= 2) AS s
+      FROM punct
+    ),
+    sents AS (
+      SELECT doc_id AS doc,
+             unnest(range(0, len(s))) AS sent_idx,
+             unnest(s) AS sentence
+      FROM segd
+    ),
+    chars AS (
+      SELECT doc, sent_idx, length(sentence)::bigint AS n FROM sents
+    ),
+    frac AS (
+      SELECT doc, sent_idx, n,
+             (2 * sum(n) OVER w - n)::bigint AS mid_num,
+             (sum(n) OVER w - n)::bigint AS lo_num,
+             (sum(n) OVER w)::bigint AS cum,
+             (sum(n) OVER (PARTITION BY doc))::bigint AS den
+      FROM chars
+      WINDOW w AS (PARTITION BY doc ORDER BY sent_idx
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS pair_id, a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 2 = 0
+    ),
+    sa AS (
+      SELECT p.pair_id, f.sent_idx AS a_idx, f.mid_num AS a_mid_num,
+             f.den AS a_den, f.n AS a_n
+      FROM pairs p JOIN frac f ON f.doc = p.doc_a
+    ),
+    sb AS (
+      SELECT p.pair_id, f.sent_idx AS b_idx, f.lo_num AS b_lo_num,
+             f.cum AS b_cum, f.mid_num AS b_mid_num,
+             f.den AS b_den, f.n AS b_n
+      FROM pairs p JOIN frac f ON f.doc = p.doc_b
+    )
+    SELECT sa.pair_id, a_idx, b_idx,
+           round(a_mid_num::double / (a_den * 2), 6) AS a_frac,
+           round(b_mid_num::double / (b_den * 2), 6) AS b_frac,
+           round(a_n::double / b_n, 6) AS len_ratio
+    FROM sa JOIN sb ON sa.pair_id = sb.pair_id
+    WHERE a_mid_num * b_den >= b_lo_num * 2 * a_den
+      AND (a_mid_num * b_den < b_cum * 2 * a_den OR b_cum = b_den)
     """
 
     return o

@@ -2800,3 +2800,101 @@ def contamination_overlap(docs: DataFrame, eval_docs: DataFrame,
             ).alias("overlap_frac"),
         )
     )
+
+
+def align_sentences_by_length(pairs: DataFrame, sents: DataFrame,
+                              id_col: str = "doc_id") -> DataFrame:
+    """Length-based sentence alignment inside bitext document pairs —
+    the Gale-Church (1993) signal re-expressed relationally: translated
+    sentences occupy the same *cumulative-length fraction* of their
+    documents, so sentence i of side A aligns to the side-B sentence
+    whose character-fraction interval contains A's midpoint fraction.
+    (The classic DP refines this with a local distance model; the
+    midpoint-interval rule is its monotone backbone and needs no
+    per-pair sequential pass.)
+
+    Inputs: ``pairs`` (pair_id, doc_a, doc_b) — e.g. accepted rows from
+    ``mine_bitext_pairs`` — and ``sents`` (id, sent_idx, sentence) from
+    :func:`split_sentences` covering both sides.
+
+    Plan shape: per-side sentence lengths get cumulative sums with a
+    window partitioned by doc (never global); each side joins to its
+    pairs on the doc id (hash); the A-to-B match is an equi-join on
+    pair_id whose interval predicate (``b_lo <= a_mid < b_hi``) is a
+    post-join filter — the fan-out inside one join key is
+    sentences(A) x sentences(B) of ONE document pair, bounded by
+    document length, never by corpus size, so the plan scales linearly
+    in the number of pairs.  Zero Python anywhere.
+
+    Determinism: every fraction comparison is done on CROSS-MULTIPLIED
+    exact integers (char counts and their cumulative sums stay bigint
+    end to end), never on floating-point cumulative sums — windowed
+    double summation is association-order-dependent and engines (or
+    partitionings) may disagree in the last ulp, which a boundary
+    midpoint would amplify into a different alignment.  ``a_mid >=
+    b_lo`` is evaluated as ``a_mid_num * b_den >= b_lo_num * a_den``
+    (magnitudes: chars x chars, < 2^63 for any pair of documents under
+    ~2 GB of text each).  Doubles appear only in the rounded OUTPUT
+    fractions.
+
+    Returns (pair_id, a_idx, b_idx, a_frac, b_frac, len_ratio):
+    ``a_frac``/``b_frac`` the midpoint fractions (6 d.p.),
+    ``len_ratio`` = a-sentence chars / b-sentence chars (6 d.p.) — the
+    per-link confidence feature a downstream filter thresholds (Gale-
+    Church's length-ratio prior).
+    """
+    from pyspark.sql import Window
+
+    chars = sents.select(
+        F.col(id_col).alias("doc"), "sent_idx",
+        F.length("sentence").cast("long").alias("n"),
+    )
+    w = (
+        Window.partitionBy("doc").orderBy("sent_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("doc")
+    # exact integer geometry per sentence: midpoint numerator over den =
+    # 2*total, interval [cum-n, cum) over den = total
+    frac = chars.select(
+        "doc", "sent_idx", "n",
+        (F.sum("n").over(w) * 2 - F.col("n")).alias("mid_num"),
+        (F.sum("n").over(w) - F.col("n")).alias("lo_num"),
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(tot).alias("den"),
+    )
+    a = (
+        pairs.select("pair_id", F.col("doc_a").alias("doc"))
+        .join(frac, "doc")
+        .select("pair_id", F.col("sent_idx").alias("a_idx"),
+                F.col("mid_num").alias("a_mid_num"),
+                F.col("den").alias("a_den"), F.col("n").alias("a_n"))
+    )
+    b = (
+        pairs.select("pair_id", F.col("doc_b").alias("doc"))
+        .join(frac, "doc")
+        .select("pair_id", F.col("sent_idx").alias("b_idx"),
+                F.col("lo_num").alias("b_lo_num"),
+                F.col("cum").alias("b_cum"),
+                F.col("mid_num").alias("b_mid_num"),
+                F.col("den").alias("b_den"), F.col("n").alias("b_n"))
+    )
+    # a_mid in [b_lo, b_hi): (2*cum_a - n_a)/(2*tot_a) vs (cum_b - n_b)/tot_b
+    # cross-multiplied; the LAST b-sentence (cum == den) closes its
+    # interval so the final a-midpoint always matches exactly one b row
+    ge_lo = (F.col("a_mid_num") * F.col("b_den")
+             >= F.col("b_lo_num") * F.lit(2) * F.col("a_den"))
+    lt_hi = (F.col("a_mid_num") * F.col("b_den")
+             < F.col("b_cum") * F.lit(2) * F.col("a_den"))
+    return (
+        a.join(b, "pair_id")
+        .where(ge_lo & (lt_hi | (F.col("b_cum") == F.col("b_den"))))
+        .select(
+            "pair_id", "a_idx", "b_idx",
+            F.round(F.col("a_mid_num") / (F.col("a_den") * 2), 6)
+            .alias("a_frac"),
+            F.round(F.col("b_mid_num") / (F.col("b_den") * 2), 6)
+            .alias("b_frac"),
+            F.round(F.col("a_n") / F.col("b_n"), 6).alias("len_ratio"),
+        )
+    )

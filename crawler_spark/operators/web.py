@@ -1643,3 +1643,76 @@ def parked_page_scores(pages: DataFrame, html_col: str = "html",
         link_heavy.alias("link_heavy"),
         (sale | (link_heavy & (tc < thin_chars))).alias("is_parked"),
     )
+
+
+def mine_bitext_pairs(docs: DataFrame, alternates: DataFrame,
+                      embeddings: DataFrame, min_cosine: float = 0.0,
+                      id_col: str = "doc_id", url_col: str = "url",
+                      lang_col: str = "lang",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Bitext candidate mining: turn declared translation links into
+    scored cross-lingual document pairs — the CCMatrix/ParaCrawl-style
+    step that harvests parallel training data from a web crawl (the
+    reference crawler is monolingual; a Common-Crawl-scale corpus is
+    not).
+
+    Inputs: ``docs`` (id, url, lang), ``alternates`` (id, hreflang,
+    href) as produced by :func:`extract_hreflang`, and ``embeddings``
+    (id, vec) from any sentence-embedding pass (LASER/LaBSE at
+    production scale; any deterministic vector here).
+
+    Plan shape, all codegen / hash joins, no UDF and no cross join:
+
+    1. resolve each alternate's ``href`` against ``docs.url`` (hash
+       join on the URL — both sides partition by the join key, nothing
+       broadcast-sized is assumed at 100 TB);
+    2. keep genuinely cross-lingual edges (``src.lang != dst.lang``),
+       canonicalize the unordered pair as (min_id, max_id) and
+       ``DISTINCT`` so A→B and B→A declarations collapse to one
+       candidate;
+    3. score each candidate with embedding cosine (two hash joins on
+       the id + one ``zip_with``/``aggregate`` dot product, JVM-side);
+       ``accepted = cosine >= min_cosine`` carries the margin decision
+       without dropping rows the caller may want to audit.
+
+    Returns (doc_a, doc_b, lang_a, lang_b, cosine, accepted) — doc_a <
+    doc_b, cosine rounded to 6 d.p. for cross-engine determinism.
+    """
+    from crawler_spark.operators.similarity import cosine_expr
+
+    src = docs.select(F.col(id_col).alias("src_id"),
+                      F.col(lang_col).alias("src_lang"))
+    dst = docs.select(F.col(id_col).alias("dst_id"),
+                      F.col(url_col).alias("dst_url"),
+                      F.col(lang_col).alias("dst_lang"))
+    edges = (
+        alternates.select(F.col(id_col).alias("src_id"),
+                          F.col("href").alias("dst_url"))
+        .join(src, "src_id")
+        .join(dst, "dst_url")
+        .where(F.col("src_lang") != F.col("dst_lang"))
+    )
+    pairs = edges.select(
+        F.least("src_id", "dst_id").alias("doc_a"),
+        F.greatest("src_id", "dst_id").alias("doc_b"),
+    ).distinct()
+    ea = embeddings.select(F.col(id_col).alias("doc_a"),
+                           F.col(vec_col).alias("va"))
+    eb = embeddings.select(F.col(id_col).alias("doc_b"),
+                           F.col(vec_col).alias("vb"))
+    la = docs.select(F.col(id_col).alias("doc_a"),
+                     F.col(lang_col).alias("lang_a"))
+    lb = docs.select(F.col(id_col).alias("doc_b"),
+                     F.col(lang_col).alias("lang_b"))
+    scored = (
+        pairs.join(la, "doc_a").join(lb, "doc_b")
+        .join(ea, "doc_a").join(eb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "lang_a", "lang_b",
+            F.round(cosine_expr(F.col("va"), F.col("vb")), 6)
+            .alias("cosine"),
+        )
+    )
+    return scored.withColumn(
+        "accepted", F.col("cosine") >= F.lit(float(min_cosine))
+    )

@@ -1346,3 +1346,48 @@ def test_contamination_overlap_fractions(spark):
     assert out[2]["n_matched"] == 0 and out[2]["overlap_frac"] == 0.0
     assert out[3]["n_grams"] == 1       # whole-text fallback shingle
     assert out[3]["n_matched"] == 0
+
+
+def test_sentence_align_proportional_lengths(spark):
+    # doc A: lengths 10,10 -> midpoints 0.25, 0.75; doc B: lengths
+    # 5,5,10 -> intervals [0,.25) [.25,.5) [.5,1]; expected links
+    # a0->b0 (0.25 is in b1? no: 0.25 >= b1.lo=0.25 -> b1)  a1->b2
+    from crawler_spark.operators.corpus import align_sentences_by_length
+
+    sents = spark.createDataFrame(
+        [(1, 0, "a" * 10), (1, 1, "b" * 10),
+         (2, 0, "c" * 5), (2, 1, "d" * 5), (2, 2, "e" * 10)],
+        "doc_id long, sent_idx int, sentence string")
+    pairs = spark.createDataFrame(
+        [(7, 1, 2)], "pair_id long, doc_a long, doc_b long")
+    out = {r["a_idx"]: r for r in
+           align_sentences_by_length(pairs, sents).collect()}
+    assert len(out) == 2
+    # a0 mid = 0.25: half-open intervals make it land in b1 [0.25, 0.5)
+    assert out[0]["b_idx"] == 1
+    assert out[0]["a_frac"] == 0.25 and out[0]["len_ratio"] == 2.0
+    # a1 mid = 0.75: b2 [0.5, 1.0]
+    assert out[1]["b_idx"] == 2
+    assert out[1]["a_frac"] == 0.75 and out[1]["len_ratio"] == 1.0
+
+
+def test_sentence_align_every_a_sentence_matches_exactly_once(spark):
+    # totality: any length profile maps each a-sentence to exactly one
+    # b-sentence (half-open intervals + closed last interval)
+    from crawler_spark.operators.corpus import align_sentences_by_length
+
+    rows = []
+    for doc, lens in ((1, [3, 7, 2, 8]), (2, [4, 4]), (3, [1, 9, 5]),
+                      (4, [6])):
+        for i, ln in enumerate(lens):
+            rows.append((doc, i, "x" * ln))
+    sents = spark.createDataFrame(
+        rows, "doc_id long, sent_idx int, sentence string")
+    pairs = spark.createDataFrame(
+        [(1, 1, 2), (2, 3, 4)], "pair_id long, doc_a long, doc_b long")
+    out = align_sentences_by_length(pairs, sents).collect()
+    from collections import Counter
+
+    links = Counter((r["pair_id"], r["a_idx"]) for r in out)
+    assert links == Counter({(1, 0): 1, (1, 1): 1, (1, 2): 1, (1, 3): 1,
+                             (2, 0): 1, (2, 1): 1, (2, 2): 1})

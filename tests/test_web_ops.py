@@ -1038,3 +1038,46 @@ def test_parked_page_detection_arms(spark):
     assert out[1]["sale_phrase"] and out[1]["is_parked"]
     assert out[2]["link_heavy"] and out[2]["is_parked"]
     assert not out[3]["is_parked"] and not out[3]["link_heavy"]
+
+
+def test_bitext_pairs_symmetric_collapse_and_lang_gate(spark):
+    # A->B and B->A declarations collapse to ONE pair; same-lang edges
+    # dropped; cosine computed from the vectors exactly
+    from crawler_spark.operators.web import mine_bitext_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "https://ex.org/en/1", "en"),
+         (2, "https://ex.org/de/2", "de"),
+         (3, "https://ex.org/en/3", "en"),
+         (4, "https://ex.org/en/4", "en")],
+        "doc_id long, url string, lang string")
+    alts = spark.createDataFrame(
+        [(1, "https://ex.org/de/2"),   # 1 -> 2 (cross-lingual)
+         (2, "https://ex.org/en/1"),   # 2 -> 1 (same pair, reversed)
+         (3, "https://ex.org/en/4"),   # 3 -> 4 (same lang: dropped)
+         (1, "https://ex.org/zz/9")],  # dangling href: dropped
+        "doc_id long, href string")
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 1.0]), (3, [0.0, 1.0]), (4, [1.0, 0.0])],
+        "doc_id long, embedding array<double>")
+    rows = mine_bitext_pairs(docs, alts, emb, min_cosine=0.8).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert (r["lang_a"], r["lang_b"]) == ("en", "de")
+    assert r["cosine"] == round(1 / 2 ** 0.5, 6)
+    assert not r["accepted"]  # 0.7071 < 0.8
+
+
+def test_bitext_pairs_threshold_accepts(spark):
+    from crawler_spark.operators.web import mine_bitext_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "u1", "en"), (2, "u2", "fr")],
+        "doc_id long, url string, lang string")
+    alts = spark.createDataFrame([(1, "u2")], "doc_id long, href string")
+    emb = spark.createDataFrame(
+        [(1, [2.0, 0.0]), (2, [1.0, 0.0])],
+        "doc_id long, embedding array<double>")
+    r = mine_bitext_pairs(docs, alts, emb, min_cosine=0.99).collect()[0]
+    assert r["cosine"] == 1.0 and r["accepted"]
