@@ -3378,6 +3378,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_sentence_align"] = corpus_sentence_align
 
+    def corpus_split_no_leakage(spark, sf_dir):
+        # duplicate-cluster-atomic train/val/test splits: docs on
+        # doc_id%5==0 collapse into 7 dup pools; exact clusters = min
+        # doc_id per md5(text); the split hashes the CLUSTER key so no
+        # pool straddles a split boundary
+        from crawler_spark.operators.corpus import leakage_safe_splits
+
+        docs = _docs_text_double(spark, sf_dir).select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit("dup-pool-"),
+                         (F.col("doc_id") % 7).cast("string")),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        from pyspark.sql import Window
+
+        clusters = docs.select(
+            "doc_id",
+            F.min("doc_id").over(
+                Window.partitionBy(F.md5("text"))
+            ).alias("cluster_id"),
+        )
+        return leakage_safe_splits(docs, clusters)
+
+    q["corpus_split_no_leakage"] = corpus_split_no_leakage
+
+    def crawl_makespan_report(spark, sf_dir):
+        # politeness-constrained wave makespan: 13 synthetic hosts, 9
+        # with declared delays (binary-exact 0.5/0.75/1.0 so the double
+        # arithmetic is identical in both engines), 4 on the 1.0s
+        # default; 32 fetch slots
+        from crawler_spark.operators.politeness import crawl_makespan_bound
+
+        docs = _docs_text_double(spark, sf_dir)
+        frontier = docs.select(
+            F.concat(F.lit("h"), (F.col("doc_id") % 13).cast("string"))
+            .alias("host")
+        )
+        delays = (
+            docs.select((F.col("doc_id") % 13).alias("hn"))
+            .where(F.col("hn") < 9).distinct()
+            .select(
+                F.concat(F.lit("h"), F.col("hn").cast("string"))
+                .alias("host"),
+                (F.lit(0.5) + (F.col("hn") % 3) * F.lit(0.25))
+                .alias("delay_s"),
+            )
+        )
+        return crawl_makespan_bound(frontier, delays, n_slots=32)
+
+    q["crawl_makespan_report"] = crawl_makespan_report
+
     return _driver_gate_order(q)
 
 
@@ -3389,8 +3442,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # signal covers >=105 distinct queries.  The local 125-query parity gate
 # (tests/test_oracle_parity.py) remains the always-on backstop for the rest.
 # Round-4 additions past position 50 (feed discovery, HHI, edit-distance
-# verify, RFC wildcard, PQ ANN, bitext mining, sentence alignment) queue
-# for the round-5 rotation with the other never-sampled entries.
+# verify, RFC wildcard, PQ ANN, bitext mining, sentence alignment,
+# leakage-safe splits, makespan bound) queue for the round-5 rotation with
+# the other never-sampled entries.
 _DRIVER_GATE_FIRST = [
     "corpus_pack_shards",       # round-3 red (HUGEINT cast) — prove the fix
     # --- embedding tier (driver-checked last in r01/r02 for cosine/IVF/LSH) ---
@@ -7897,6 +7951,64 @@ def oracle_sql() -> dict[str, str]:
     FROM sa JOIN sb ON sa.pair_id = sb.pair_id
     WHERE a_mid_num * b_den >= b_lo_num * 2 * a_den
       AND (a_mid_num * b_den < b_cum * 2 * a_den OR b_cum = b_den)
+    """
+
+    # cluster-atomic splits: the split hashes the duplicate-cluster key
+    # (min doc_id per md5 of the dup-pooled text), bucket = h32 % 100
+    o["corpus_split_no_leakage"] = f"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN 'dup-pool-' || (doc_id % 7)::varchar
+                  ELSE text END AS text
+      FROM documents
+    ),
+    cl AS (
+      SELECT doc_id,
+             (min(doc_id) OVER (PARTITION BY md5(text)))::bigint
+               AS cluster_key
+      FROM t
+    )
+    SELECT doc_id, cluster_key,
+           ({_h32("cluster_key::varchar")} % 100)::int AS bucket,
+           CASE WHEN {_h32("cluster_key::varchar")} % 100 < 80 THEN 'train'
+                WHEN {_h32("cluster_key::varchar")} % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM cl
+    """
+
+    # politeness makespan: per-host chains (binary-exact delays), slot
+    # bound = sum(chain)/32, chain bound = max chain — Graham's two
+    # lower bounds; every row carries the wave verdict
+    o["crawl_makespan_report"] = """
+    WITH f AS (
+      SELECT 'h' || (doc_id % 13)::varchar AS host FROM documents
+    ),
+    d AS (
+      SELECT DISTINCT 'h' || (doc_id % 13)::varchar AS host,
+             0.5 + ((doc_id % 13) % 3) * 0.25 AS delay_s
+      FROM documents WHERE doc_id % 13 < 9
+    ),
+    per AS (
+      SELECT f.host, count(*)::bigint AS n_urls,
+             coalesce(min(d.delay_s), 1.0)::double AS delay_s
+      FROM f LEFT JOIN d ON d.host = f.host
+      GROUP BY f.host
+    ),
+    ch AS (SELECT host, n_urls, delay_s,
+                  n_urls * delay_s AS chain_s FROM per),
+    tot AS (
+      SELECT sum(chain_s) / 32 AS slot_bound_s,
+             max(chain_s) AS max_chain_s
+      FROM ch
+    )
+    SELECT host, n_urls, round(delay_s, 6) AS delay_s,
+           round(chain_s, 6) AS chain_s,
+           round(greatest(slot_bound_s, max_chain_s), 6) AS bound_s,
+           CASE WHEN max_chain_s > slot_bound_s THEN 'chain'
+                ELSE 'slots' END AS binding,
+           (chain_s >= max_chain_s) AS is_critical
+    FROM ch CROSS JOIN tot
     """
 
     return o

@@ -2898,3 +2898,50 @@ def align_sentences_by_length(pairs: DataFrame, sents: DataFrame,
             F.round(F.col("a_n") / F.col("b_n"), 6).alias("len_ratio"),
         )
     )
+
+
+def leakage_safe_splits(docs: DataFrame, clusters: DataFrame,
+                        train_pct: int = 80, val_pct: int = 10,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Deterministic train/val/test assignment that cannot leak across
+    duplicate clusters — the evaluation-hygiene step naive hash splits
+    get wrong: if two near-identical documents hash to different splits,
+    the eval set "tests" memorized training text and every benchmark
+    number inflates.  The fix: hash the CLUSTER, not the document, so an
+    entire duplicate cluster lands in one split atomically.
+
+    Inputs: ``docs`` (any columns incl. the id) and ``clusters``
+    (id, cluster_id) from any dedup pass — exact md5 groups,
+    MinHash-LSH connected components (``resolve_dup_clusters``) — any
+    assignment where "same cluster" means "must not straddle splits".
+    Documents absent from ``clusters`` are singletons: their own id is
+    the cluster key (left join + coalesce, no second shuffle).
+
+    Split rule: ``pmod(h32(cluster_key), 100)`` < train_pct → train,
+    < train_pct+val_pct → val, else test.  The portable ``h32``
+    (md5-prefix) keeps the boundary identical in every engine and
+    every run — resharding, re-partitioning or re-running never moves
+    a document between splits (the property a training pipeline relies
+    on when it resumes ingestion mid-corpus).
+
+    Plan: one hash join docs→clusters on the id + a projection; the
+    split decision is a pure column expression.  At 100 TB this is
+    scan-stage work over the dedup output that already exists.
+
+    Returns (id_col, cluster_key, bucket, split).
+    """
+    cl = clusters.select(F.col(id_col), F.col("cluster_id"))
+    keyed = docs.select(F.col(id_col)).join(cl, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_key"),
+    )
+    bucket = F.pmod(h32(F.col("cluster_key").cast("string")), F.lit(100))
+    return keyed.select(
+        id_col,
+        "cluster_key",
+        bucket.cast("int").alias("bucket"),
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

@@ -400,3 +400,62 @@ def host_fetch_concentration(fetch_log: DataFrame, host_col: str = "host",
         F.round(F.col("topn_cnt").cast("double")
                 / F.col("n_fetches").cast("double"), 6).alias("topn_share"),
     )
+
+
+def crawl_makespan_bound(frontier: DataFrame, delays: DataFrame,
+                         n_slots: int, default_delay_s: float = 1.0,
+                         host_col: str = "host") -> DataFrame:
+    """Politeness-constrained makespan lower bound for a fetch wave —
+    the capacity-planning number a crawl operator needs BEFORE running:
+    with per-host minimum delays, a wave cannot finish faster than
+    either bound of the classic scheduling argument (Graham):
+
+    * slot bound — total fetch-slot seconds / ``n_slots``;
+    * chain bound — the longest single-host chain (a host's fetches
+      are serialized by politeness: ``n_urls * delay_s``), no matter
+      how many executors exist.
+
+    ``bound_s = max(slot, chain)``; if the chain binds, adding
+    executors is useless and the skew fix is per-host (longer crawl
+    horizon, or host sharding if the host allows it).  This is the same
+    diagnosis the salted politeness scheduler automates — surfaced as
+    a report so the operator sees WHICH hosts pin the wave.
+
+    Plan: one map-side-combined ``groupBy(host)``, two scalar
+    aggregates broadcast back (the temperature_mixture_weights shape).
+    Returns one row per host: (host, n_urls, delay_s, chain_s,
+    bound_s, binding, is_critical) — ``binding`` ∈ {'chain','slots'}
+    for the wave, ``is_critical`` marks hosts whose chain is the
+    bound.  chain_s/bound_s rounded to 6.
+    """
+    d = delays.select(F.col(host_col).alias("host"),
+                      F.col("delay_s").cast("double").alias("delay_s"))
+    per = (
+        frontier.groupBy(F.col(host_col).alias("host"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_urls"))
+        .join(d, "host", "left")
+        .select(
+            "host", "n_urls",
+            F.coalesce("delay_s", F.lit(float(default_delay_s)))
+            .alias("delay_s"),
+        )
+        .withColumn("chain_s", F.col("n_urls") * F.col("delay_s"))
+    )
+    tot = per.agg(
+        (F.sum("chain_s") / F.lit(int(n_slots))).alias("slot_bound_s"),
+        F.max("chain_s").alias("max_chain_s"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "host", "n_urls",
+            F.round("delay_s", 6).alias("delay_s"),
+            F.round("chain_s", 6).alias("chain_s"),
+            F.round(F.greatest("slot_bound_s", "max_chain_s"), 6)
+            .alias("bound_s"),
+            F.when(F.col("max_chain_s") > F.col("slot_bound_s"),
+                   F.lit("chain")).otherwise(F.lit("slots"))
+            .alias("binding"),
+            (F.col("chain_s") >= F.col("max_chain_s")).alias("is_critical"),
+        )
+    )

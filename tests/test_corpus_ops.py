@@ -1391,3 +1391,47 @@ def test_sentence_align_every_a_sentence_matches_exactly_once(spark):
     links = Counter((r["pair_id"], r["a_idx"]) for r in out)
     assert links == Counter({(1, 0): 1, (1, 1): 1, (1, 2): 1, (1, 3): 1,
                              (2, 0): 1, (2, 1): 1, (2, 2): 1})
+
+
+def test_leakage_safe_splits_cluster_atomic(spark):
+    # every member of a duplicate cluster gets the SAME split; singleton
+    # docs (absent from clusters) key on their own id
+    from crawler_spark.operators.corpus import leakage_safe_splits
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(40)], "doc_id long")
+    clusters = spark.createDataFrame(
+        [(i, i % 3) for i in range(0, 40, 2)],  # evens: 3 clusters
+        "doc_id long, cluster_id long")
+    out = leakage_safe_splits(docs, clusters, train_pct=50, val_pct=25)
+    rows = out.collect()
+    assert len(rows) == 40
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["cluster_key"], set()).add(r["split"])
+    # cluster-atomicity: one split per cluster key
+    assert all(len(s) == 1 for s in by_key.values())
+    # evens collapsed onto 3 keys; odds are singleton keys
+    evens = {r["cluster_key"] for r in rows if r["doc_id"] % 2 == 0}
+    assert evens == {0, 1, 2}
+    odd = [r for r in rows if r["doc_id"] % 2 == 1][0]
+    assert odd["cluster_key"] == odd["doc_id"]
+    # splits honor the percentage boundaries on the hash bucket
+    for r in rows:
+        want = ("train" if r["bucket"] < 50
+                else "val" if r["bucket"] < 75 else "test")
+        assert r["split"] == want
+
+
+def test_leakage_safe_splits_stable_under_repartition(spark):
+    from crawler_spark.operators.corpus import leakage_safe_splits
+
+    docs = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    clusters = spark.createDataFrame(
+        [(i, i // 10) for i in range(100)], "doc_id long, cluster_id long")
+    a = {r["doc_id"]: r["split"]
+         for r in leakage_safe_splits(docs, clusters).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in leakage_safe_splits(
+             docs.repartition(7), clusters.repartition(3)).collect()}
+    assert a == b

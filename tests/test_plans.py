@@ -254,3 +254,26 @@ def test_circuit_breaker_enforcement_broadcasts_no_python(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     # the health rollup combines map-side
     assert "partial_count" in plan
+
+
+def test_makespan_bound_chain_vs_slot_binding(spark):
+    # 3 hosts: one 100-url slow host (chain 100s) vs 2 small ones; with
+    # 32 slots the slot bound is (100+2+3)/32 ≈ 3.28s so the chain
+    # binds; with 1 slot the slot bound (105s) binds instead
+    from crawler_spark.operators.politeness import crawl_makespan_bound
+
+    rows = ([("big",)] * 100) + ([("s1",)] * 4) + ([("s2",)] * 6)
+    frontier = spark.createDataFrame(rows, "host string")
+    delays = spark.createDataFrame(
+        [("big", 1.0), ("s1", 0.5)], "host string, delay_s double")
+    out = {r["host"]: r for r in
+           crawl_makespan_bound(frontier, delays, n_slots=32).collect()}
+    assert out["big"]["chain_s"] == 100.0 and out["big"]["is_critical"]
+    assert out["s1"]["chain_s"] == 2.0      # declared 0.5s delay
+    assert out["s2"]["chain_s"] == 6.0      # default 1.0s delay
+    assert all(r["binding"] == "chain" and r["bound_s"] == 100.0
+               for r in out.values())
+    assert not out["s1"]["is_critical"] and not out["s2"]["is_critical"]
+
+    one = crawl_makespan_bound(frontier, delays, n_slots=1).collect()[0]
+    assert one["binding"] == "slots" and one["bound_s"] == 108.0
