@@ -3431,6 +3431,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_makespan_report"] = crawl_makespan_report
 
+    def crawl_change_rates(spark, sf_dir):
+        # Cho & Garcia-Molina Poisson change-rate estimation: events
+        # become a revisit log (50 synthetic urls, hour-bucket digests so
+        # some revisits change and some don't); (key, ts) deduped so the
+        # lag-window order is total
+        from crawler_spark.operators.graph import estimate_change_rates
+
+        _utc(spark)
+        ev = _t(spark, sf_dir, "events")
+        # dedupe on SECOND-truncated epochs (events carry microseconds;
+        # both engines must group on the same integer key)
+        visits = (
+            ev.select(
+                F.concat(F.lit("u"), (F.col("user_id") % 50).cast("string"))
+                .alias("url"),
+                F.unix_timestamp("ts").alias("sec"),
+                (F.floor(F.unix_timestamp("ts") / 3600).cast("long") % 4)
+                .cast("string").alias("digest"),
+            )
+            .groupBy("url", "sec")
+            .agg(F.min("digest").alias("digest"))
+            .select("url", F.timestamp_seconds("sec").alias("ts"), "digest")
+        )
+        return estimate_change_rates(visits)
+
+    q["crawl_change_rates"] = crawl_change_rates
+
+    def corpus_snapshot_drift(spark, sf_dir):
+        # snapshot-over-snapshot vocabulary drift: JSD between the token
+        # distributions of the even-doc and odd-doc "snapshots"
+        from crawler_spark.operators.corpus import token_js_divergence
+
+        docs = _docs_text_double(spark, sf_dir)
+        return token_js_divergence(
+            docs.where(F.col("doc_id") % 2 == 0),
+            docs.where(F.col("doc_id") % 2 == 1),
+        )
+
+    q["corpus_snapshot_drift"] = corpus_snapshot_drift
+
     return _driver_gate_order(q)
 
 
@@ -3443,8 +3483,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # (tests/test_oracle_parity.py) remains the always-on backstop for the rest.
 # Round-4 additions past position 50 (feed discovery, HHI, edit-distance
 # verify, RFC wildcard, PQ ANN, bitext mining, sentence alignment,
-# leakage-safe splits, makespan bound) queue for the round-5 rotation with
-# the other never-sampled entries.
+# leakage-safe splits, makespan bound, change-rate estimation, snapshot
+# drift) queue for the round-5 rotation with the other never-sampled
+# entries.
 _DRIVER_GATE_FIRST = [
     "corpus_pack_shards",       # round-3 red (HUGEINT cast) — prove the fix
     # --- embedding tier (driver-checked last in r01/r02 for cosine/IVF/LSH) ---
@@ -8009,6 +8050,76 @@ def oracle_sql() -> dict[str, str]:
                 ELSE 'slots' END AS binding,
            (chain_s >= max_chain_s) AS is_critical
     FROM ch CROSS JOIN tot
+    """
+
+    # Poisson change-rate estimation: exact-integer change counts via a
+    # per-key lag window, bias-corrected rate -ln((n-c+.5)/(n+.5))/dbar;
+    # every ln input is a ratio of exact integers, outputs rounded 6/3
+    o["crawl_change_rates"] = """
+    WITH v AS (
+      SELECT 'u' || (user_id % 50)::varchar AS key,
+             floor(epoch(ts))::bigint AS t,
+             min(((floor(epoch(ts))::bigint // 3600) % 4)::varchar) AS dg
+      FROM events GROUP BY 1, 2
+    ),
+    ch AS (
+      SELECT key, t,
+             (dg <> lag(dg) OVER (PARTITION BY key ORDER BY t))::int
+               AS changed
+      FROM v
+    ),
+    per AS (
+      SELECT key, count(*)::bigint AS n_visits,
+             (count(*) - 1)::bigint AS n,
+             coalesce(sum(changed), 0)::bigint AS c,
+             (max(t) - min(t))::bigint AS span
+      FROM ch GROUP BY key
+    )
+    SELECT key, n_visits, n AS n_intervals, c AS n_changes,
+           CASE WHEN n > 0 AND span > 0 THEN
+             round(-ln((n - c + 0.5) / (n + 0.5))
+                   / (span::double / n) * 86400 + 0.0, 6)
+           END AS rate_per_day,
+           CASE WHEN n > 0 AND span > 0 AND c > 0 THEN
+             round(least(greatest(
+               1.0 / (-ln((n - c + 0.5) / (n + 0.5)) / (span::double / n)),
+               3600.0), 2592000.0), 3)
+           ELSE 2592000.0 END AS interval_s
+    FROM per
+    """
+
+    # corpus drift: JSD between two snapshot token distributions — full
+    # outer join on the term, per-term contribution in nats, one /ln 2
+    # at the end (char-entropy precedent), rounded 6
+    o["corpus_snapshot_drift"] = f"""
+    WITH wa AS (
+      SELECT unnest(toks) AS w
+      FROM (SELECT {_TOKS} AS toks FROM documents WHERE doc_id % 2 = 0)
+    ),
+    wb AS (
+      SELECT unnest(toks) AS w
+      FROM (SELECT {_TOKS} AS toks FROM documents WHERE doc_id % 2 = 1)
+    ),
+    ca AS (SELECT w, count(*)::bigint AS na FROM wa GROUP BY w),
+    cb AS (SELECT w, count(*)::bigint AS nb FROM wb GROUP BY w),
+    j AS (
+      SELECT coalesce(ca.na, 0) AS na, coalesce(cb.nb, 0) AS nb
+      FROM ca FULL OUTER JOIN cb USING (w)
+    ),
+    tot AS (SELECT (SELECT sum(na) FROM j)::double AS ta,
+                   (SELECT sum(nb) FROM j)::double AS tb)
+    SELECT sum((na > 0)::bigint)::bigint AS n_terms_a,
+           sum((nb > 0)::bigint)::bigint AS n_terms_b,
+           sum((na > 0 AND nb > 0)::bigint)::bigint AS n_shared,
+           round(sum(
+             (CASE WHEN na > 0 THEN
+                0.5 * (na / ta) * ln((na / ta) / ((na / ta + nb / tb) / 2))
+              ELSE 0.0 END)
+             + (CASE WHEN nb > 0 THEN
+                0.5 * (nb / tb) * ln((nb / tb) / ((na / ta + nb / tb) / 2))
+              ELSE 0.0 END)
+           ) / ln(2), 6) AS jsd_bits
+    FROM j CROSS JOIN tot
     """
 
     return o

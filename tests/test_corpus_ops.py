@@ -1435,3 +1435,32 @@ def test_leakage_safe_splits_stable_under_repartition(spark):
          for r in leakage_safe_splits(
              docs.repartition(7), clusters.repartition(3)).collect()}
     assert a == b
+
+
+def test_js_divergence_identical_and_disjoint(spark):
+    # identical corpora -> JSD 0; fully disjoint vocabularies -> 1 bit
+    from crawler_spark.operators.corpus import token_js_divergence
+
+    a = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, "gamma alpha")], "doc_id long, text string")
+    same = token_js_divergence(a, a).collect()[0]
+    assert same["jsd_bits"] == 0.0
+    assert same["n_shared"] == same["n_terms_a"] == same["n_terms_b"] == 3
+    b = spark.createDataFrame([(1, "delta epsilon")], "doc_id long, text string")
+    dis = token_js_divergence(a, b).collect()[0]
+    assert dis["jsd_bits"] == 1.0 and dis["n_shared"] == 0
+
+
+def test_js_divergence_hand_computed_half_overlap(spark):
+    import math
+
+    from crawler_spark.operators.corpus import token_js_divergence
+
+    a = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    b = spark.createDataFrame([(1, "x z")], "doc_id long, text string")
+    out = token_js_divergence(a, b).collect()[0]
+    # p = q = {x:.5, shared}; y,z each .5 on one side only
+    # JSD = .5*.5*ln(1) *2(shared terms cancel) + 2 * .5*.5*ln(2) nats
+    want = (2 * 0.5 * 0.5 * math.log(2)) / math.log(2)
+    assert out["jsd_bits"] == round(want, 6) == 0.5
+    assert out["n_shared"] == 1

@@ -331,3 +331,36 @@ def test_label_propagation_clique_converges_to_min(spark):
     out = {r["node"]: r["community"]
            for r in label_propagation(edges, iters=3).collect()}
     assert set(out.values()) == {"n0"}
+
+
+def test_change_rate_estimator_hand_computed(spark):
+    # url A: 5 visits 100s apart, digests change on every revisit ->
+    # c=n=4, lambda = -ln(0.5/4.5)/100; url B: never changes -> c=0,
+    # lambda = -ln(4.5/4.5)=0 -> interval clamps to max; url C: one
+    # visit -> NULL rate, max interval
+    import math
+
+    from crawler_spark.operators.graph import estimate_change_rates
+
+    rows = []
+    for i in range(5):
+        rows.append(("A", f"2024-01-01 00:{i:02d}:40", str(i)))
+        rows.append(("B", f"2024-01-01 00:{i:02d}:40", "same"))
+    rows.append(("C", "2024-01-01 00:00:00", "x"))
+    visits = spark.createDataFrame(
+        rows, "url string, ts string, digest string"
+    ).select("url", F.to_timestamp("ts").alias("ts"), "digest")
+    out = {r["key"]: r for r in estimate_change_rates(
+        visits, min_interval_s=60, max_interval_s=86400).collect()}
+    lam_a = -math.log(0.5 / 4.5) / 60.0  # 60s mean interval
+    assert out["A"]["n_changes"] == 4 and out["A"]["n_intervals"] == 4
+    assert out["A"]["rate_per_day"] == round(lam_a * 86400, 6)
+    assert out["A"]["interval_s"] == round(
+        max(min(1 / lam_a, 86400.0), 60.0), 3)
+    assert out["B"]["n_changes"] == 0
+    # -ln((4-0+.5)/4.5) = 0 exactly -> 1/0 = inf -> clamps to max
+    assert out["B"]["rate_per_day"] == 0.0
+    assert out["B"]["interval_s"] == 86400.0
+    assert out["C"]["n_visits"] == 1
+    assert out["C"]["rate_per_day"] is None
+    assert out["C"]["interval_s"] == 86400.0
