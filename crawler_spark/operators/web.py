@@ -1667,9 +1667,10 @@ def mine_bitext_pairs(docs: DataFrame, alternates: DataFrame,
        join on the URL — both sides partition by the join key, nothing
        broadcast-sized is assumed at 100 TB);
     2. keep genuinely cross-lingual edges (``src.lang != dst.lang``),
-       canonicalize the unordered pair as (min_id, max_id) and
-       ``DISTINCT`` so A→B and B→A declarations collapse to one
-       candidate;
+       canonicalize the unordered pair as (min_id, max_id) — the langs
+       swap with the ids, so they ride along and the pair needs NO
+       re-join against docs — and ``DISTINCT`` so A→B and B→A
+       declarations collapse to one candidate;
     3. score each candidate with embedding cosine (two hash joins on
        the id + one ``zip_with``/``aggregate`` dot product, JVM-side);
        ``accepted = cosine >= min_cosine`` carries the margin decision
@@ -1692,21 +1693,21 @@ def mine_bitext_pairs(docs: DataFrame, alternates: DataFrame,
         .join(dst, "dst_url")
         .where(F.col("src_lang") != F.col("dst_lang"))
     )
+    fwd = F.col("src_id") <= F.col("dst_id")
     pairs = edges.select(
         F.least("src_id", "dst_id").alias("doc_a"),
         F.greatest("src_id", "dst_id").alias("doc_b"),
+        F.when(fwd, F.col("src_lang")).otherwise(F.col("dst_lang"))
+        .alias("lang_a"),
+        F.when(fwd, F.col("dst_lang")).otherwise(F.col("src_lang"))
+        .alias("lang_b"),
     ).distinct()
     ea = embeddings.select(F.col(id_col).alias("doc_a"),
                            F.col(vec_col).alias("va"))
     eb = embeddings.select(F.col(id_col).alias("doc_b"),
                            F.col(vec_col).alias("vb"))
-    la = docs.select(F.col(id_col).alias("doc_a"),
-                     F.col(lang_col).alias("lang_a"))
-    lb = docs.select(F.col(id_col).alias("doc_b"),
-                     F.col(lang_col).alias("lang_b"))
     scored = (
-        pairs.join(la, "doc_a").join(lb, "doc_b")
-        .join(ea, "doc_a").join(eb, "doc_b")
+        pairs.join(ea, "doc_a").join(eb, "doc_b")
         .select(
             "doc_a", "doc_b", "lang_a", "lang_b",
             F.round(cosine_expr(F.col("va"), F.col("vb")), 6)
