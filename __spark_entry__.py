@@ -3471,6 +3471,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_snapshot_drift"] = corpus_snapshot_drift
 
+    def link_hyperball_harmonic(spark, sf_dir):
+        # HyperBall harmonic centrality (Boldi-Vigna) over an 11-host
+        # synthetic link graph (two affine generators, out-degree <= 2):
+        # 3 register-propagation rounds on the integer-exact HLL (p=6),
+        # small-range-corrected ball estimates, per-round delta/r sum
+        from crawler_spark.operators.graph import hyperball_harmonic
+
+        docs = _docs_text_double(spark, sf_dir)
+        dst_mod = F.when(
+            F.col("doc_id") % 2 == 0, (F.col("doc_id") * 7 + 3) % 11
+        ).otherwise((F.col("doc_id") * 3 + 5) % 11)
+        edges = (
+            docs.select(
+                F.concat(F.lit("h"),
+                         (F.col("doc_id") % 11).cast("string")).alias("src"),
+                F.concat(F.lit("h"), dst_mod.cast("string")).alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        return hyperball_harmonic(edges, rounds=3, p=6)
+
+    q["link_hyperball_harmonic"] = link_hyperball_harmonic
+
     return _driver_gate_order(q)
 
 
@@ -3484,8 +3508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Round-4 additions past position 50 (feed discovery, HHI, edit-distance
 # verify, RFC wildcard, PQ ANN, bitext mining, sentence alignment,
 # leakage-safe splits, makespan bound, change-rate estimation, snapshot
-# drift) queue for the round-5 rotation with the other never-sampled
-# entries.
+# drift, HyperBall harmonic) queue for the round-5 rotation with the
+# other never-sampled entries.
 _DRIVER_GATE_FIRST = [
     "corpus_pack_shards",       # round-3 red (HUGEINT cast) — prove the fix
     # --- embedding tier (driver-checked last in r01/r02 for cosine/IVF/LSH) ---
@@ -8120,6 +8144,63 @@ def oracle_sql() -> dict[str, str]:
               ELSE 0.0 END)
            ) / ln(2), 6) AS jsd_bits
     FROM j CROSS JOIN tot
+    """
+
+    # HyperBall harmonic centrality: 3 unrolled register-propagation
+    # rounds (union + max groupBy — integer-exact), small-range-corrected
+    # ball estimates (linear counting below 2.5m), delta/r harmonic sum
+    # over the ROUNDED ball columns exactly like the Spark side
+    _hb_num = repr(0.7213 / (1.0 + 1.079 / 64) * (64 * 64)
+                   * float(1 << 27))
+
+    def _hb_est(reg: str, name: str) -> str:
+        raw = (f"({_hb_num}::double"
+               f" / (z_hit + (64 - m_hit) * (1::bigint << 27))::double)")
+        return f"""{name} AS (
+      SELECT g, round(CASE WHEN {raw} < 160.0 AND m_hit < 64
+                   THEN 64.0 * ln(64.0 / (64 - m_hit)::double)
+                   ELSE {raw} END, 4) AS est
+      FROM (SELECT g, count(*)::bigint AS m_hit,
+                   sum(1::bigint << (27 - M))::bigint AS z_hit
+            FROM {reg} GROUP BY g))"""
+
+    _hb_rounds = "".join(
+        f""",
+    pull{r} AS (
+      SELECT e.src AS g, x.idx, x.M
+      FROM e JOIN reg{r - 1} x ON x.g = e.dst
+    ),
+    reg{r} AS (
+      SELECT g, idx, max(M) AS M FROM (
+        SELECT * FROM reg{r - 1} UNION ALL SELECT * FROM pull{r}
+      ) GROUP BY 1, 2
+    ),
+    {_hb_est(f"reg{r}", f"est{r}")}"""
+        for r in (1, 2, 3)
+    )
+    o["link_hyperball_harmonic"] = f"""
+    WITH raw_e AS (
+      SELECT 'h' || (doc_id % 11)::varchar AS src,
+             'h' || (CASE WHEN doc_id % 2 = 0 THEN (doc_id * 7 + 3) % 11
+                          ELSE (doc_id * 3 + 5) % 11 END)::varchar AS dst
+      FROM documents
+    ),
+    e AS (SELECT DISTINCT src, dst FROM raw_e WHERE src <> dst),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+    h0 AS (SELECT node AS g, {_h32("node")} AS h FROM nodes),
+    reg0 AS (
+      SELECT g, h % 64 AS idx,
+             max(27 - {_blsql("(h // 64)", 26)}) AS M
+      FROM h0 GROUP BY 1, 2
+    ),
+    {_hb_est("reg0", "est0")}{_hb_rounds}
+    SELECT est0.g AS node,
+           est0.est AS ball0, est1.est AS ball1,
+           est2.est AS ball2, est3.est AS ball3,
+           round((est1.est - est0.est) / 1.0
+                 + (est2.est - est1.est) / 2.0
+                 + (est3.est - est2.est) / 3.0, 4) AS harmonic
+    FROM est0 JOIN est1 USING (g) JOIN est2 USING (g) JOIN est3 USING (g)
     """
 
     return o

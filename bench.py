@@ -84,6 +84,11 @@ QUERY_SLICE = (
     # harmonic sum — the whole token stream folds to 1024 longs/group)
     "link_opic_importance",
     "corpus_hll_distinct",
+    # extended-session additions: bitext mining (hreflang resolve +
+    # pair canonicalization + cosine scoring, 4 hash joins), snapshot
+    # drift (two token aggregates + full-outer term join + scalar fold)
+    "web_bitext_pairs",
+    "corpus_snapshot_drift",
 )
 
 

@@ -611,3 +611,78 @@ def estimate_change_rates(visits: DataFrame, key_col: str = "url",
         F.coalesce(F.when(has, F.round(iv, 3)),
                    F.lit(float(max_interval_s))).alias("interval_s"),
     )
+
+
+def hyperball_harmonic(edges: DataFrame, src: str = "src",
+                       dst: str = "dst", rounds: int = 3,
+                       p: int = 6) -> DataFrame:
+    """HyperBall harmonic-centrality estimation (Boldi & Vigna, "In-core
+    computation of geometric centralities with HyperBall", 2013) — the
+    algorithm behind the published Common-Crawl host-rank centralities:
+    exact harmonic centrality needs all-pairs BFS (hopeless at 10^10
+    nodes), but each node's r-hop reachability ball can be tracked as a
+    MERGEABLE HyperLogLog sketch, and
+    ``H(v) ≈ Σ_r (|ball_r(v)| - |ball_{r-1}(v)|) / r`` needs only the
+    ball-size sequence.
+
+    Implementation on the engine's integer-exact register
+    representation (``sketches.hll_registers``): ball_0(v) = {v}; per
+    round, every edge v→w pulls w's register rows to v and one
+    ``groupBy(node, idx).max`` folds them — max is associative /
+    commutative / idempotent, so the round is ONE shuffle of
+    E·(≤m) register rows, the exact external-memory shape the paper
+    runs at web scale (m = 2^p trades accuracy for that row budget).
+    Ball sizes come from the small-range-corrected estimator
+    (``hll_estimate_corrected``) because balls START at cardinality 1,
+    where the raw harmonic estimator is off by ~0.7m.  All register
+    state is integer-exact; the estimates are fixed formulas over
+    integers rounded at 4, so the unrolled-CTE oracle reproduces every
+    round bit-for-bit.
+
+    Forward balls (nodes reachable FROM v) are computed; run with
+    ``src``/``dst`` swapped for classic incoming-distance harmonic
+    centrality.  ``rounds`` is fixed — both engines do identical
+    arithmetic; negative per-round deltas (estimator noise) are kept
+    as-is per the paper.
+
+    Returns (node, ball0..ball{rounds}, harmonic), estimates rounded 4.
+    """
+    from .sketches import hll_estimate_corrected, hll_registers
+
+    e = edges.select(F.col(src).alias("es"), F.col(dst).alias("ed"))
+    nodes = (
+        e.select(F.col("es").alias("node"))
+        .union(e.select(F.col("ed").alias("node")))
+        .distinct()
+    )
+    regs = hll_registers(
+        nodes.select(F.col("node").alias("g"),
+                     F.col("node").cast("string").alias("t")),
+        p=p,
+    )
+    wide = hll_estimate_corrected(regs, p=p).select(
+        "g", F.col("est").alias("ball0")
+    )
+    for r in range(1, rounds + 1):
+        pulled = (
+            e.join(regs.withColumnRenamed("g", "ed"), "ed")
+            .select(F.col("es").alias("g"), "idx", "M")
+        )
+        regs = (
+            regs.select("g", "idx", "M").unionByName(pulled)
+            .groupBy("g", "idx").agg(F.max("M").alias("M"))
+        )
+        er = hll_estimate_corrected(regs, p=p).select(
+            "g", F.col("est").alias(f"ball{r}")
+        )
+        wide = wide.join(er, "g")
+    harmonic = sum(
+        ((F.col(f"ball{r}") - F.col(f"ball{r - 1}")) / F.lit(float(r))
+         for r in range(1, rounds + 1)),
+        start=F.lit(0.0),
+    )
+    return wide.select(
+        F.col("g").alias("node"),
+        *[f"ball{r}" for r in range(rounds + 1)],
+        F.round(harmonic, 4).alias("harmonic"),
+    )

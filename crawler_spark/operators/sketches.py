@@ -429,3 +429,34 @@ def histogram_quantiles(
         )
         .orderBy(group_col, "q")
     )
+
+
+def hll_estimate_corrected(regs: DataFrame, p: int = 10) -> DataFrame:
+    """Register table (g, idx, M) → (g, est) WITH Flajolet's small-range
+    correction: when the raw harmonic estimate is below ``2.5m`` and
+    empty registers remain, switch to linear counting ``m·ln(m/V)``
+    (V = empty registers) — without it, one item "estimates" to ~0.7m.
+    :func:`hll_estimate_from_registers` serves the big-cardinality
+    corpus queries where the raw branch always wins; this variant is
+    for sketches of SMALL sets (HyperBall's per-node reachability balls
+    start at size 1).  Integer register state in, one ln of an exact
+    integer ratio + one division out, rounded 4 — cross-engine
+    deterministic.
+    """
+    m = 1 << p
+    b_scale = 32 - p + 1
+    num = 0.7213 / (1.0 + 1.079 / m) * (m * m) * float(1 << b_scale)
+    per = regs.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("m_hit"),
+        F.sum(F.expr(f"CAST(shiftleft(1, {b_scale} - M) AS BIGINT)"))
+        .cast("long").alias("z_hit"),
+    )
+    raw = F.lit(num) / (
+        F.col("z_hit")
+        + (F.lit(m) - F.col("m_hit")) * F.lit(1 << b_scale)
+    ).cast("double")
+    lin = F.lit(float(m)) * F.log(
+        F.lit(float(m)) / (F.lit(m) - F.col("m_hit")).cast("double")
+    )
+    est = F.when((raw < 2.5 * m) & (F.col("m_hit") < m), lin).otherwise(raw)
+    return per.select("g", F.round(est, 4).alias("est"))

@@ -364,3 +364,41 @@ def test_change_rate_estimator_hand_computed(spark):
     assert out["C"]["n_visits"] == 1
     assert out["C"]["rate_per_day"] is None
     assert out["C"]["interval_s"] == 86400.0
+
+
+def test_hyperball_path_graph_properties(spark):
+    # a->b->c: forward balls grow 1 per hop; the sink's ball never grows.
+    # With m=64 and <=3 items per ball, the corrected estimator tracks
+    # true cardinality to within a few percent, so the qualitative
+    # ordering is exact.
+    from crawler_spark.operators.graph import hyperball_harmonic
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string")
+    out = {r["node"]: r for r in
+           hyperball_harmonic(edges, rounds=3, p=6).collect()}
+    assert set(out) == {"a", "b", "c"}
+    for r in out.values():  # balls are nondecreasing in the radius
+        assert r["ball0"] <= r["ball1"] <= r["ball2"] <= r["ball3"]
+    assert out["c"]["harmonic"] == 0.0          # sink: ball never grows
+    assert out["a"]["harmonic"] > out["b"]["harmonic"] > 0.0
+    assert abs(out["a"]["ball2"] - 3.0) < 0.2   # {a,b,c}
+    assert abs(out["b"]["ball3"] - 2.0) < 0.15  # {b,c}, saturated
+    assert out["a"]["ball2"] == out["a"]["ball3"]  # converged
+
+
+def test_hyperball_estimates_merge_exactly_like_sets(spark):
+    # register max-merge == sketch of the union: a node pointing at two
+    # disjoint subtrees ends with the same ball estimate as a node
+    # pointing at one subtree with the union's members
+    from crawler_spark.operators.graph import hyperball_harmonic
+
+    e1 = spark.createDataFrame(
+        [("r", "x"), ("r", "y")], "src string, dst string")
+    e2 = spark.createDataFrame(
+        [("r", "x"), ("x", "y")], "src string, dst string")
+    b1 = {r["node"]: r["ball2"]
+          for r in hyperball_harmonic(e1, rounds=2, p=6).collect()}
+    b2 = {r["node"]: r["ball2"]
+          for r in hyperball_harmonic(e2, rounds=2, p=6).collect()}
+    assert b1["r"] == b2["r"]  # both balls are exactly {r, x, y}
