@@ -3495,6 +3495,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["link_hyperball_harmonic"] = link_hyperball_harmonic
 
+    def link_effective_diameter(spark, sf_dir):
+        # HyperANF 0.9-effective diameter over the same 11-host graph:
+        # one scalar aggregate over the ball sequence, standard linear
+        # interpolation between the bracketing radii
+        from crawler_spark.operators.graph import (
+            hyperball_effective_diameter)
+
+        docs = _docs_text_double(spark, sf_dir)
+        dst_mod = F.when(
+            F.col("doc_id") % 2 == 0, (F.col("doc_id") * 7 + 3) % 11
+        ).otherwise((F.col("doc_id") * 3 + 5) % 11)
+        edges = (
+            docs.select(
+                F.concat(F.lit("h"),
+                         (F.col("doc_id") % 11).cast("string")).alias("src"),
+                F.concat(F.lit("h"), dst_mod.cast("string")).alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        return hyperball_effective_diameter(edges, rounds=3, p=6)
+
+    q["link_effective_diameter"] = link_effective_diameter
+
     return _driver_gate_order(q)
 
 
@@ -3508,7 +3532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Round-4 additions past position 50 (feed discovery, HHI, edit-distance
 # verify, RFC wildcard, PQ ANN, bitext mining, sentence alignment,
 # leakage-safe splits, makespan bound, change-rate estimation, snapshot
-# drift, HyperBall harmonic) queue for the round-5 rotation with the
+# drift, HyperBall harmonic, effective diameter) queue for the round-5 rotation with the
 # other never-sampled entries.
 _DRIVER_GATE_FIRST = [
     "corpus_pack_shards",       # round-3 red (HUGEINT cast) — prove the fix
@@ -8201,6 +8225,26 @@ def oracle_sql() -> dict[str, str]:
                  + (est2.est - est1.est) / 2.0
                  + (est3.est - est2.est) / 3.0, 4) AS harmonic
     FROM est0 JOIN est1 USING (g) JOIN est2 USING (g) JOIN est3 USING (g)
+    """
+
+    # HyperANF effective diameter: the same ball sequence folded to one
+    # row; bracketing + interpolation on the 4-d.p.-rounded totals
+    o["link_effective_diameter"] = f"""
+    WITH hb AS ({o["link_hyperball_harmonic"]}),
+    tot AS (
+      SELECT round(sum(ball0), 4) AS t0, round(sum(ball1), 4) AS t1,
+             round(sum(ball2), 4) AS t2, round(sum(ball3), 4) AS t3
+      FROM hb
+    )
+    SELECT t0 AS n_pairs_r0, t1 AS n_pairs_r1,
+           t2 AS n_pairs_r2, t3 AS n_pairs_r3,
+           round(CASE
+             WHEN t0 >= 0.9 * t3 THEN 0.0
+             WHEN t1 >= 0.9 * t3 THEN 0.0 + (0.9 * t3 - t0) / (t1 - t0)
+             WHEN t2 >= 0.9 * t3 THEN 1.0 + (0.9 * t3 - t1) / (t2 - t1)
+             ELSE 2.0 + (0.9 * t3 - t2) / (t3 - t2)
+           END, 4) AS eff_diameter
+    FROM tot
     """
 
     return o

@@ -402,3 +402,24 @@ def test_hyperball_estimates_merge_exactly_like_sets(spark):
     b2 = {r["node"]: r["ball2"]
           for r in hyperball_harmonic(e2, rounds=2, p=6).collect()}
     assert b1["r"] == b2["r"]  # both balls are exactly {r, x, y}
+
+
+def test_effective_diameter_path_vs_clique(spark):
+    # complete bidirectional triangle: everything reached at r=1 -> the
+    # 0.9 target falls inside the first radius; 4-node directed path:
+    # coverage keeps growing through r=3, so the diameter lands deeper
+    from crawler_spark.operators.graph import hyperball_effective_diameter
+
+    tri = spark.createDataFrame(
+        [(a, b) for a in "abc" for b in "abc" if a != b],
+        "src string, dst string")
+    d_tri = hyperball_effective_diameter(tri, rounds=3, p=6).collect()[0]
+    assert 0.0 < d_tri["eff_diameter"] <= 1.0
+    assert d_tri["n_pairs_r1"] == d_tri["n_pairs_r3"]  # saturated at r=1
+
+    path = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string")
+    d_path = hyperball_effective_diameter(path, rounds=3, p=6).collect()[0]
+    assert d_path["eff_diameter"] > d_tri["eff_diameter"]
+    assert d_path["n_pairs_r0"] < d_path["n_pairs_r1"] \
+        < d_path["n_pairs_r2"] < d_path["n_pairs_r3"]
