@@ -3519,6 +3519,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["link_effective_diameter"] = link_effective_diameter
 
+    def link_triangle_clustering(spark, sf_dir):
+        # exact triangle counting (degree-ordered orientation) + local
+        # clustering over a 13-host graph with three affine generators
+        # (out-degree 3 => real wedges AND closed triangles)
+        from crawler_spark.operators.graph import triangle_counts
+
+        docs = _docs_text_double(spark, sf_dir)
+        h = F.col("doc_id") % 13
+        edges = None
+        parts = []
+        for mul, add in ((5, 2), (3, 7), (1, 1)):
+            parts.append(docs.select(
+                F.concat(F.lit("h"), h.cast("string")).alias("src"),
+                F.concat(F.lit("h"), ((h * mul + add) % 13).cast("string"))
+                .alias("dst"),
+            ))
+        edges = parts[0].unionByName(parts[1]).unionByName(parts[2])
+        return triangle_counts(edges.where(F.col("src") != F.col("dst")))
+
+    q["link_triangle_clustering"] = link_triangle_clustering
+
     return _driver_gate_order(q)
 
 
@@ -3532,7 +3553,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Round-4 additions past position 50 (feed discovery, HHI, edit-distance
 # verify, RFC wildcard, PQ ANN, bitext mining, sentence alignment,
 # leakage-safe splits, makespan bound, change-rate estimation, snapshot
-# drift, HyperBall harmonic, effective diameter) queue for the round-5 rotation with the
+# drift, HyperBall harmonic, effective diameter, triangle counting)
+# queue for the round-5 rotation with the
 # other never-sampled entries.
 _DRIVER_GATE_FIRST = [
     "corpus_pack_shards",       # round-3 red (HUGEINT cast) — prove the fix
@@ -8245,6 +8267,68 @@ def oracle_sql() -> dict[str, str]:
              ELSE 2.0 + (0.9 * t3 - t2) / (t3 - t2)
            END, 4) AS eff_diameter
     FROM tot
+    """
+
+    # exact triangle counting: degree-ordered orientation (a<b by
+    # (deg,node)), wedge join on the middle node, closing-edge semi
+    # join — every triangle counted once via its unique ordering
+    o["link_triangle_clustering"] = """
+    WITH raw_e AS (
+      SELECT 'h' || (doc_id % 13)::varchar AS src,
+             'h' || (((doc_id % 13) * 5 + 2) % 13)::varchar AS dst
+      FROM documents
+      UNION ALL
+      SELECT 'h' || (doc_id % 13)::varchar,
+             'h' || (((doc_id % 13) * 3 + 7) % 13)::varchar
+      FROM documents
+      UNION ALL
+      SELECT 'h' || (doc_id % 13)::varchar,
+             'h' || (((doc_id % 13) * 1 + 1) % 13)::varchar
+      FROM documents
+    ),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw_e WHERE src <> dst
+    ),
+    deg AS (
+      SELECT node, count(*)::bigint AS deg FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+      ) GROUP BY node
+    ),
+    oriented AS (
+      SELECT CASE WHEN fwd THEN a ELSE b END AS lo,
+             CASE WHEN fwd THEN b ELSE a END AS hi
+      FROM (
+        SELECT u.a, u.b,
+               (da.deg < db.deg
+                OR (da.deg = db.deg AND u.a < u.b)) AS fwd
+        FROM und u
+        JOIN deg da ON da.node = u.a
+        JOIN deg db ON db.node = u.b
+      )
+    ),
+    wedges AS (
+      SELECT o1.lo, o1.hi AS mid, o2.hi AS c
+      FROM oriented o1 JOIN oriented o2 ON o2.lo = o1.hi
+    ),
+    tri AS (
+      SELECT w.lo, w.mid, w.c FROM wedges w
+      SEMI JOIN oriented o ON o.lo = w.lo AND o.hi = w.c
+    ),
+    per AS (
+      SELECT node, count(*)::bigint AS triangles FROM (
+        SELECT lo AS node FROM tri
+        UNION ALL SELECT mid FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    )
+    SELECT d.node, d.deg AS degree,
+           coalesce(p.triangles, 0)::bigint AS triangles,
+           CASE WHEN d.deg >= 2 THEN
+             round(2.0 * coalesce(p.triangles, 0)
+                   / (d.deg * (d.deg - 1)), 6)
+           ELSE 0.0 END AS clustering
+    FROM deg d LEFT JOIN per p USING (node)
     """
 
     return o

@@ -729,3 +729,78 @@ def hyperball_effective_diameter(edges: DataFrame, src: str = "src",
         *[F.col(f"t{r}").alias(f"n_pairs_r{r}") for r in range(rounds + 1)],
         F.round(eff, 4).alias("eff_diameter"),
     )
+
+
+def triangle_counts(edges: DataFrame, src: str = "src",
+                    dst: str = "dst") -> DataFrame:
+    """Exact per-node triangle counts + local clustering coefficient —
+    the community-structure statistic that separates an organic link
+    neighborhood (friends-of-friends link, high clustering) from a
+    spam farm or programmatic link mesh (star/ring shapes, near-zero
+    clustering), and the standard graph benchmark kernel (LDBC).
+
+    Algorithm: degree-ordered edge orientation (the classic
+    wedge-counting fix): undirected-ize + dedupe, orient every edge
+    from the (degree, node)-smaller endpoint to the larger, join
+    oriented edges on the middle node to enumerate wedges a≺b≺c, and
+    keep wedges whose closing edge (a,c) exists (left-semi join).
+    Every triangle is counted EXACTLY once (its unique ≺-ordering),
+    and the orientation bounds the join fan-out by the max
+    out-degree ≈ O(sqrt(E)) instead of the max raw degree — the
+    difference between a feasible and an exploding plan on a
+    power-law web graph.  Three hash shuffles total (degree, wedge
+    join, closing semi-join), all on node keys; no window, no Python.
+
+    Returns (node, degree, triangles, clustering) — degree is the
+    undirected degree, ``clustering = 2·T / (d·(d-1))`` rounded 6
+    (0.0 for degree < 2).
+    """
+    und = (
+        edges.select(F.least(src, dst).alias("a"),
+                     F.greatest(src, dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    ranked = und.join(da, "a").join(db, "b")
+    fwd = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+    o2 = oriented.select(F.col("lo").alias("mid"), F.col("hi").alias("c"))
+    wedges = oriented.withColumnRenamed("hi", "mid").join(o2, "mid")
+    tri = wedges.join(
+        oriented.select(F.col("lo"), F.col("hi").alias("c")),
+        ["lo", "c"], "left_semi",
+    )
+    per = (
+        tri.select(F.explode(F.array("lo", "mid", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )
+    return (
+        deg.join(per, "node", "left")
+        .select(
+            "node",
+            F.col("deg").alias("degree"),
+            F.coalesce("triangles", F.lit(0)).cast("long")
+            .alias("triangles"),
+            F.when(
+                F.col("deg") >= 2,
+                F.round(
+                    2.0 * F.coalesce("triangles", F.lit(0))
+                    / (F.col("deg") * (F.col("deg") - 1)),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("clustering"),
+        )
+    )

@@ -423,3 +423,36 @@ def test_effective_diameter_path_vs_clique(spark):
     assert d_path["eff_diameter"] > d_tri["eff_diameter"]
     assert d_path["n_pairs_r0"] < d_path["n_pairs_r1"] \
         < d_path["n_pairs_r2"] < d_path["n_pairs_r3"]
+
+
+def test_triangle_counts_known_graphs(spark):
+    # K4: every node has 3 triangles, clustering 1.0; star S4: zero
+    # triangles, hub clustering 0.0; directed duplicates and both
+    # orientations collapse to one undirected edge
+    from crawler_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a != b]  # both dirs
+    out = {r["node"]: r for r in triangle_counts(
+        spark.createDataFrame(k4, "src string, dst string")).collect()}
+    assert all(r["degree"] == 3 and r["triangles"] == 3
+               and r["clustering"] == 1.0 for r in out.values())
+
+    star = [("hub", x) for x in ("s1", "s2", "s3", "s4")]
+    out = {r["node"]: r for r in triangle_counts(
+        spark.createDataFrame(star, "src string, dst string")).collect()}
+    assert out["hub"]["triangles"] == 0 and out["hub"]["clustering"] == 0.0
+    assert out["s1"]["degree"] == 1 and out["s1"]["clustering"] == 0.0
+
+
+def test_triangle_counts_triangle_plus_tail(spark):
+    # a-b-c triangle with a pendant d on a: T(a)=T(b)=T(c)=1;
+    # clustering(a) = 2*1/(3*2) = 1/3, b and c = 1.0, d = 0
+    from crawler_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")],
+        "src string, dst string")
+    out = {r["node"]: r for r in triangle_counts(edges).collect()}
+    assert out["a"]["triangles"] == 1 and out["a"]["clustering"] == round(1 / 3, 6)
+    assert out["b"]["clustering"] == 1.0 and out["c"]["clustering"] == 1.0
+    assert out["d"]["triangles"] == 0 and out["d"]["degree"] == 1
