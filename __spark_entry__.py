@@ -3540,6 +3540,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["link_triangle_clustering"] = link_triangle_clustering
 
+    def link_assortativity(spark, sf_dir):
+        # Newman degree-degree assortativity over the 13-host graph:
+        # three exact bigint sums, one final division
+        from crawler_spark.operators.graph import degree_assortativity
+
+        docs = _docs_text_double(spark, sf_dir)
+        h = F.col("doc_id") % 13
+        parts = [
+            docs.select(
+                F.concat(F.lit("h"), h.cast("string")).alias("src"),
+                F.concat(F.lit("h"), ((h * mul + add) % 13).cast("string"))
+                .alias("dst"),
+            )
+            for mul, add in ((5, 2), (3, 7), (1, 1))
+        ]
+        edges = parts[0].unionByName(parts[1]).unionByName(parts[2])
+        return degree_assortativity(
+            edges.where(F.col("src") != F.col("dst"))
+        )
+
+    q["link_assortativity"] = link_assortativity
+
+    def corpus_heaps_fit(spark, sf_dir):
+        # Heaps'-law V = K*N^beta fit across per-source (tokens, vocab)
+        # points; ln inputs are exact bigint counts, OLS like zipf_slope
+        from crawler_spark.operators.corpus import heaps_law_fit
+
+        return heaps_law_fit(_docs_text_double(spark, sf_dir))
+
+    q["corpus_heaps_fit"] = corpus_heaps_fit
+
     return _driver_gate_order(q)
 
 
@@ -3553,7 +3584,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Round-4 additions past position 50 (feed discovery, HHI, edit-distance
 # verify, RFC wildcard, PQ ANN, bitext mining, sentence alignment,
 # leakage-safe splits, makespan bound, change-rate estimation, snapshot
-# drift, HyperBall harmonic, effective diameter, triangle counting)
+# drift, HyperBall harmonic, effective diameter, triangle counting,
+# assortativity, Heaps-law fit)
 # queue for the round-5 rotation with the
 # other never-sampled entries.
 _DRIVER_GATE_FIRST = [
@@ -8329,6 +8361,77 @@ def oracle_sql() -> dict[str, str]:
                    / (d.deg * (d.deg - 1)), 6)
            ELSE 0.0 END AS clustering
     FROM deg d LEFT JOIN per p USING (node)
+    """
+
+    # Newman assortativity: same und/deg CTEs, three exact bigint sums,
+    # r = (4*M*S3 - S1^2)/(2*M*S2 - S1^2), nullif'd denominator
+    o["link_assortativity"] = """
+    WITH raw_e AS (
+      SELECT 'h' || (doc_id % 13)::varchar AS src,
+             'h' || (((doc_id % 13) * 5 + 2) % 13)::varchar AS dst
+      FROM documents
+      UNION ALL
+      SELECT 'h' || (doc_id % 13)::varchar,
+             'h' || (((doc_id % 13) * 3 + 7) % 13)::varchar
+      FROM documents
+      UNION ALL
+      SELECT 'h' || (doc_id % 13)::varchar,
+             'h' || (((doc_id % 13) * 1 + 1) % 13)::varchar
+      FROM documents
+    ),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw_e WHERE src <> dst
+    ),
+    deg AS (
+      SELECT node, count(*)::bigint AS deg FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+      ) GROUP BY node
+    ),
+    s AS (
+      SELECT count(*)::bigint AS m_edges,
+             sum(da.deg + db.deg)::bigint AS s1,
+             sum(da.deg * da.deg + db.deg * db.deg)::bigint AS s2,
+             sum(da.deg * db.deg)::bigint AS s3
+      FROM und u
+      JOIN deg da ON da.node = u.a
+      JOIN deg db ON db.node = u.b
+    )
+    SELECT m_edges, s1, s2, s3,
+           round((4 * m_edges * s3 - s1 * s1)::double
+                 / nullif(2 * m_edges * s2 - s1 * s1, 0)::double, 6)
+             AS assortativity
+    FROM s
+    """
+
+    # Heaps-law OLS of ln(vocab) on ln(tokens) across sources — the
+    # zipf_slope ln/round-4 discipline on exact bigint counts
+    o["corpus_heaps_fit"] = f"""
+    WITH toks AS (
+      SELECT source AS g, unnest({_TOKS}) AS w FROM documents
+    ),
+    per AS (
+      SELECT g, count(*)::bigint AS n_tok,
+             count(DISTINCT w)::bigint AS v_tok
+      FROM toks GROUP BY g
+    ),
+    s AS (
+      SELECT count(*)::bigint AS n_groups,
+             sum(ln(n_tok::double)) AS sx,
+             sum(ln(v_tok::double)) AS sy,
+             sum(ln(n_tok::double) * ln(n_tok::double)) AS sxx,
+             sum(ln(n_tok::double) * ln(v_tok::double)) AS sxy
+      FROM per
+    )
+    SELECT n_groups,
+           round((n_groups * sxy - sx * sy)
+                 / (CASE WHEN n_groups * sxx - sx * sx > 1e-12
+                         THEN n_groups * sxx - sx * sx END), 4) AS beta,
+           round((sy - ((n_groups * sxy - sx * sy)
+                        / (CASE WHEN n_groups * sxx - sx * sx > 1e-12
+                                THEN n_groups * sxx - sx * sx END)) * sx)
+                 / n_groups, 4) AS ln_k
+    FROM s
     """
 
     return o

@@ -3010,3 +3010,53 @@ def token_js_divergence(docs_a: DataFrame, docs_b: DataFrame,
         .alias("n_shared"),
         F.round(F.sum(contrib) / math.log(2.0), 6).alias("jsd_bits"),
     )
+
+
+def heaps_law_fit(docs: DataFrame, text_col: str = "text",
+                  group_col: str = "source") -> DataFrame:
+    """Heaps'-law fit ``V = K·N^beta`` over per-group (tokens, vocab)
+    points — the third classic corpus-scaling fingerprint next to the
+    Zipf slope and the Good-Turing growth estimate: natural text has
+    beta ≈ 0.4-0.6; machine-generated or template-flooded sources bend
+    the curve (beta → 0 for repetitive floods, → 1 for random-ish
+    noise), and the fitted K/beta pair extrapolates how much NEW
+    vocabulary another 10× of a source will contribute.
+
+    Per group: N = total tokens, V = distinct tokens (two
+    map-side-combined aggregates over one exploded token stream).
+    Fit: closed-form OLS of ln V on ln N across the groups (the
+    ``zipf_slope`` discipline — the ln inputs are exact bigint counts,
+    summation is over the group rows only, outputs rounded 4).
+    Groups need ≥ 2 distinct N values for a defined slope; the
+    degenerate case returns NULL (null-gated division).
+
+    Returns ONE row: (n_groups, beta, ln_k) — ``K = exp(ln_k)``.
+    """
+    from ..functions.text import tokens
+
+    toks = docs.select(F.col(group_col).alias("g"),
+                       F.explode(tokens(F.col(text_col))).alias("w"))
+    per = toks.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok"),
+        F.count_distinct("w").cast("long").alias("v_tok"),
+    )
+    x = F.log(F.col("n_tok").cast("double"))
+    y = F.log(F.col("v_tok").cast("double"))
+    s = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    den = F.col("n_groups") * F.col("sxx") - F.col("sx") * F.col("sx")
+    beta = (
+        (F.col("n_groups") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / F.when(den > 1e-12, den)
+    )
+    ln_k = (F.col("sy") - beta * F.col("sx")) / F.col("n_groups")
+    return s.select(
+        "n_groups",
+        F.round(beta, 4).alias("beta"),
+        F.round(ln_k, 4).alias("ln_k"),
+    )

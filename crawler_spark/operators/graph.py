@@ -804,3 +804,63 @@ def triangle_counts(edges: DataFrame, src: str = "src",
             ).otherwise(F.lit(0.0)).alias("clustering"),
         )
     )
+
+
+def degree_assortativity(edges: DataFrame, src: str = "src",
+                         dst: str = "dst") -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) — the one-number
+    answer to "do hubs link to hubs?": social graphs are assortative
+    (r > 0), the web graph is famously DISassortative (r < 0, hubs
+    link to leaves), and a link farm that wires hubs to hubs to pump
+    rank shows up as an assortativity anomaly against the web
+    baseline.
+
+    Over the deduped undirected edge set with endpoint degrees (j, k),
+    using the symmetrized-sample algebra reduced to three exact
+    integer sums — S1=Σ(j+k), S2=Σ(j²+k²), S3=Σ(j·k), M edges:
+
+        r = (4·M·S3 − S1²) / (2·M·S2 − S1²)
+
+    Every term is a bigint (degrees are integers); the single double
+    division at the end is the only floating op, rounded 6 — the
+    cross-engine-exact discipline.  Degenerate regular graphs (all
+    degrees equal → denominator 0) return NULL (no correlation is
+    defined), null-gated so ANSI mode can't throw.
+
+    Plan: the triangle_counts degree join (two hash joins) + one
+    global scalar aggregate.  Returns ONE row (m_edges, s1, s2, s3,
+    assortativity).
+    """
+    und = (
+        edges.select(F.least(src, dst).alias("a"),
+                     F.greatest(src, dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    j = F.col("deg_a")
+    k = F.col("deg_b")
+    per = (
+        und.join(deg.select(F.col("node").alias("a"),
+                            F.col("deg").alias("deg_a")), "a")
+        .join(deg.select(F.col("node").alias("b"),
+                         F.col("deg").alias("deg_b")), "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m_edges"),
+            F.sum(j + k).cast("long").alias("s1"),
+            F.sum(j * j + k * k).cast("long").alias("s2"),
+            F.sum(j * k).cast("long").alias("s3"),
+        )
+    )
+    num = (4 * F.col("m_edges") * F.col("s3") - F.col("s1") * F.col("s1"))
+    den = (2 * F.col("m_edges") * F.col("s2") - F.col("s1") * F.col("s1"))
+    return per.select(
+        "m_edges", "s1", "s2", "s3",
+        F.round(
+            num.cast("double") / F.when(den != 0, den.cast("double")), 6
+        ).alias("assortativity"),
+    )

@@ -1464,3 +1464,20 @@ def test_js_divergence_hand_computed_half_overlap(spark):
     want = (2 * 0.5 * 0.5 * math.log(2)) / math.log(2)
     assert out["jsd_bits"] == round(want, 6) == 0.5
     assert out["n_shared"] == 1
+
+
+def test_heaps_fit_recovers_planted_exponent(spark):
+    # plant V = N^0.5 exactly: source g_i has n_i = 4^i tokens with
+    # v_i = 2^i distinct (each word repeated n/v times) -> beta = 0.5,
+    # ln_k = 0
+    from crawler_spark.operators.corpus import heaps_law_fit
+
+    rows = []
+    for i in (1, 2, 3):
+        n, v = 4 ** i, 2 ** i
+        words = " ".join(f"w{j % v}" for j in range(n))
+        rows.append((i, words, f"src{i}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = heaps_law_fit(docs).collect()[0]
+    assert out["n_groups"] == 3
+    assert out["beta"] == 0.5 and out["ln_k"] == 0.0

@@ -456,3 +456,21 @@ def test_triangle_counts_triangle_plus_tail(spark):
     assert out["a"]["triangles"] == 1 and out["a"]["clustering"] == round(1 / 3, 6)
     assert out["b"]["clustering"] == 1.0 and out["c"]["clustering"] == 1.0
     assert out["d"]["triangles"] == 0 and out["d"]["degree"] == 1
+
+
+def test_assortativity_star_vs_cycle(spark):
+    # star: hub(deg 4) pairs only with leaves(deg 1) -> strongly
+    # disassortative (r = -1 for a pure star); cycle: all degrees equal
+    # -> denominator 0 -> NULL (undefined correlation)
+    from crawler_spark.operators.graph import degree_assortativity
+
+    star = spark.createDataFrame(
+        [("hub", f"s{i}") for i in range(4)], "src string, dst string")
+    r = degree_assortativity(star).collect()[0]
+    assert r["m_edges"] == 4 and r["assortativity"] == -1.0
+
+    cycle = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+        "src string, dst string")
+    r = degree_assortativity(cycle).collect()[0]
+    assert r["assortativity"] is None  # regular graph: undefined
