@@ -3571,6 +3571,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_heaps_fit"] = corpus_heaps_fit
 
+    def corpus_trending_terms(spark, sf_dir):
+        # batch twin of streaming.pipeline.trending_terms_stream: docs
+        # assigned to 48 hour-windows (integer epochs — exact-hour
+        # tumbling windows ARE the hour bucket), per-window token
+        # counts, top-3 by (n desc, term asc)
+        from pyspark.sql import Window
+
+        from crawler_spark.functions.text import tokens as _tokens
+
+        docs = _docs_text_double(spark, sf_dir)
+        wb = (F.lit(1704067200) + (F.col("doc_id") % 48) * 3600)
+        toks = docs.select(
+            wb.cast("long").alias("window_start"),
+            F.explode(_tokens(F.col("text"))).alias("term"),
+        )
+        counts = toks.groupBy("window_start", "term").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        w = Window.partitionBy("window_start").orderBy(
+            F.col("n").desc(), F.col("term").asc()
+        )
+        return (
+            counts.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+        )
+
+    q["corpus_trending_terms"] = corpus_trending_terms
+
     return _driver_gate_order(q)
 
 
@@ -3585,7 +3613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # verify, RFC wildcard, PQ ANN, bitext mining, sentence alignment,
 # leakage-safe splits, makespan bound, change-rate estimation, snapshot
 # drift, HyperBall harmonic, effective diameter, triangle counting,
-# assortativity, Heaps-law fit)
+# assortativity, Heaps-law fit, trending terms)
 # queue for the round-5 rotation with the
 # other never-sampled entries.
 _DRIVER_GATE_FIRST = [
@@ -8432,6 +8460,28 @@ def oracle_sql() -> dict[str, str]:
                                 THEN n_groups * sxx - sx * sx END)) * sx)
                  / n_groups, 4) AS ln_k
     FROM s
+    """
+
+    # trending terms (batch twin of the streaming operator): hour-bucket
+    # windows as integer epochs, per-window counts, top-3 ranked by
+    # (n desc, term asc)
+    o["corpus_trending_terms"] = f"""
+    WITH toks AS (
+      SELECT (1704067200 + (doc_id % 48) * 3600)::bigint AS window_start,
+             unnest({_TOKS}) AS term
+      FROM documents
+    ),
+    c AS (
+      SELECT window_start, term, count(*)::bigint AS n
+      FROM toks GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT window_start, term, n,
+             row_number() OVER (PARTITION BY window_start
+                                ORDER BY n DESC, term ASC) AS rank
+      FROM c
+    )
+    SELECT window_start, term, n, rank::int AS rank FROM r WHERE rank <= 3
     """
 
     return o

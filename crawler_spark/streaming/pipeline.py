@@ -168,3 +168,83 @@ def clean_docs_stream(pages_stream: DataFrame, watermark: str = "1 hour",
         .dropDuplicatesWithinWatermark(["content_hash"])
         .select("url", "ts", "content_hash", "n_tokens", "text")
     )
+
+
+def trending_terms_stream(docs_stream: DataFrame,
+                          watermark: str = "30 minutes",
+                          window: str = "1 hour",
+                          text_col: str = "text",
+                          ts_col: str = "ts") -> DataFrame:
+    """Watermarked per-window term counts — the aggregation half of the
+    classic "trending terms" stream (what's suddenly being said across
+    the crawl this hour): tokens explode per document (stateless,
+    per-batch), then an event-time tumbling-window count with a
+    late-data watermark so window state is BOUNDED and expires — the
+    unbounded-term-dictionary version would OOM a perpetual crawl.
+
+    Emitted in append mode a window's counts finalize exactly once,
+    when the watermark passes its end — downstream ranking (see
+    :func:`run_trending_terms`) therefore sees each window complete and
+    immutable, the property that makes per-window top-k a per-batch
+    operation instead of a stateful one.
+
+    Returns (window_start, window_end, term, n).
+    """
+    from ..functions.text import tokens
+
+    return (
+        docs_stream.withColumn("ts", F.col(ts_col).cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .select("ts", F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(F.window("ts", window).alias("w"), "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "term",
+            "n",
+        )
+    )
+
+
+def run_trending_terms(spark, source_dir: str, out_dir: str,
+                       checkpoint_dir: str, k: int = 3,
+                       schema=None, watermark: str = "30 minutes",
+                       window: str = "1 hour",
+                       max_files_per_trigger: int | None = None):
+    """Drive :func:`trending_terms_stream` end-to-end: append-mode
+    finalized windows rank to top-k inside ``foreachBatch`` (closed
+    windows arrive whole, so the rank is a plain partitioned
+    row_number over the batch — no extra streaming state) and land in
+    ``out_dir`` as parquet.  Ties break by term ascending —
+    deterministic across retries, which matters because foreachBatch
+    offers at-least-once sinks."""
+    from pyspark.sql import Window as W
+
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.format("parquet").load(source_dir)
+    agg = trending_terms_stream(stream, watermark=watermark, window=window)
+
+    def sink(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        w = W.partitionBy("window_start").orderBy(
+            F.col("n").desc(), F.col("term").asc()
+        )
+        (
+            batch_df.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .write.mode("append").parquet(out_dir)
+        )
+
+    return (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -333,3 +333,36 @@ def test_rate_anomaly_stream_split_invariance(spark, tmp_path):
         return sorted(tuple(r) for r in spark.read.parquet(out).collect())
 
     assert run(1, "a") == run(4, "b")
+
+
+def test_trending_terms_stream_ranks_closed_windows(spark, tmp_path):
+    """Two hour-windows of docs with planted term frequencies; a far-
+    future sentinel pushes the watermark past both so their counts
+    finalize (append mode); top-3 per window with term tie-break."""
+    from crawler_spark.streaming.pipeline import run_trending_terms
+
+    src = str(tmp_path / "docs"); out = str(tmp_path / "trend")
+    ckpt = str(tmp_path / "ck")
+    h1, h2 = "2024-01-01 10:", "2024-01-01 11:"
+    rows = (
+        [(f"{h1}0{i}:00", "spark spark spark crawl") for i in range(4)]
+        + [(f"{h1}2{i}:00", "index") for i in range(3)]
+        + [(f"{h2}0{i}:00", "bloom bloom filter") for i in range(2)]
+        + [("2024-01-03 00:00:00", "sentinel")]  # advances the watermark
+    )
+    spark.createDataFrame(rows, "ts string, text string").coalesce(1) \
+        .write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    q = run_trending_terms(spark, src, out, ckpt, k=3, schema=schema)
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out).collect()
+    by_win = {}
+    for r in got:
+        by_win.setdefault(str(r["window_start"]), []).append(
+            (r["rank"], r["term"], r["n"]))
+    w1 = sorted(by_win["2024-01-01 10:00:00"])
+    assert w1 == [(1, "spark", 12), (2, "crawl", 4), (3, "index", 3)]
+    w2 = sorted(by_win["2024-01-01 11:00:00"])
+    assert w2 == [(1, "bloom", 4), (2, "filter", 2)]
+    assert "2024-01-03 00:00:00" not in by_win  # sentinel window open
