@@ -3599,6 +3599,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_trending_terms"] = corpus_trending_terms
 
+    def seen_bloom_fpr(spark, sf_dir):
+        # Bloom FPR calibration at the north-star's own question: keys =
+        # even-doc urls in an m=2048/k=3 filter, probes = odd-doc urls
+        # (guaranteed-new via anti-join), measured vs (1-e^-kn/m)^k
+        from crawler_spark.operators.seen import bloom_fpr_calibration
+
+        docs = _docs_text_double(spark, sf_dir)
+        url = F.concat(F.lit("https://ex.org/p/"),
+                       F.col("doc_id").cast("string")).alias("key")
+        keys = docs.where(F.col("doc_id") % 2 == 0).select(url)
+        probes = docs.select(url)
+        return bloom_fpr_calibration(keys, probes, m_bits=2048, k_hashes=3)
+
+    q["seen_bloom_fpr"] = seen_bloom_fpr
+
     return _driver_gate_order(q)
 
 
@@ -3613,7 +3628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # verify, RFC wildcard, PQ ANN, bitext mining, sentence alignment,
 # leakage-safe splits, makespan bound, change-rate estimation, snapshot
 # drift, HyperBall harmonic, effective diameter, triangle counting,
-# assortativity, Heaps-law fit, trending terms)
+# assortativity, Heaps-law fit, trending terms, bloom FPR calibration)
 # queue for the round-5 rotation with the
 # other never-sampled entries.
 _DRIVER_GATE_FIRST = [
@@ -8482,6 +8497,46 @@ def oracle_sql() -> dict[str, str]:
       FROM c
     )
     SELECT window_start, term, n, rank::int AS rank FROM r WHERE rank <= 3
+    """
+
+    # Bloom FPR calibration: identical j-salted h32 bit positions mod
+    # 2048 (3 hashes unrolled as UNION ALL), bit table = distinct key
+    # positions, a probe false-positives when all 3 of its bits are set
+    _bf_salted = " UNION ALL ".join(
+        f"SELECT key, {_h32(repr(str(j) + '|') + ' || key')} % 2048 AS bit"
+        " FROM {src}" for j in range(3)
+    )
+    o["seen_bloom_fpr"] = f"""
+    WITH keys AS (
+      SELECT 'https://ex.org/p/' || doc_id::varchar AS key
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    new_probes AS (
+      SELECT 'https://ex.org/p/' || doc_id::varchar AS key
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    bit_table AS (
+      SELECT DISTINCT bit FROM ({_bf_salted.format(src="keys")})
+    ),
+    probe_bits AS ({_bf_salted.format(src="new_probes")}),
+    fp AS (
+      SELECT p.key FROM probe_bits p
+      SEMI JOIN bit_table b ON b.bit = p.bit
+      GROUP BY p.key HAVING count(*) = 3
+    ),
+    s AS (
+      SELECT (SELECT count(*) FROM keys)::bigint AS n_keys,
+             (SELECT count(*) FROM bit_table)::bigint AS n_bits_set,
+             (SELECT count(*) FROM new_probes)::bigint AS n_probes,
+             (SELECT count(*) FROM fp)::bigint AS false_positives
+    )
+    SELECT n_keys, n_bits_set, n_probes, false_positives,
+           round(false_positives::double
+                 / (CASE WHEN n_probes > 0 THEN n_probes END), 6)
+             AS measured_fpr,
+           round(power(1.0 - exp(-3.0 * n_keys / 2048.0), 3), 6)
+             AS theory_fpr
+    FROM s
     """
 
     return o

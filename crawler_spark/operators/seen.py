@@ -615,3 +615,76 @@ def filter_unseen_with_bloom_sharded(frontier_df: DataFrame, seen_df: DataFrame,
     maybe = flagged.where(F.col("maybe_seen")).drop("maybe_seen")
     confirmed_new = maybe.join(seen_df.select(key).distinct(), key, "left_anti")
     return definitely_new.unionByName(confirmed_new)
+
+
+def bloom_fpr_calibration(keys: DataFrame, probes: DataFrame,
+                          m_bits: int, k_hashes: int,
+                          key_col: str = "key") -> DataFrame:
+    """Measured-vs-theoretical Bloom false-positive calibration — the
+    sizing evidence behind the 10^10-URL seen filter: the north-star
+    frontier stakes its re-fetch rate on ``(1-e^{-kn/m})^k`` holding
+    for the actual hash family, and this report MEASURES it instead of
+    citing it (the cms_heavy_hitters / pq_recall calibration pattern).
+
+    A relational emulation of the production filter: the bit table is
+    the distinct set of ``h_j(x) mod m`` positions over the key set
+    (j-salted portable h32, the DSIR salting idiom, so the DuckDB twin
+    hashes identically); a probe "hits" when ALL k of its positions are
+    set (left-semi join + count == k).  Probes that are genuinely in
+    the key set are excluded by anti-join first, so every remaining hit
+    IS a false positive.  Exact integer bit positions and counts
+    end-to-end; the two formula evaluations (theory, measured rate) are
+    the only doubles, rounded 6.
+
+    Plan: one distinct (the bit table, ≤ m rows — the table IS the
+    filter, so its size is the filter's memory), one semi-join keyed on
+    bit position, two scalar aggregates.  Returns ONE row: (n_keys,
+    n_bits_set, n_probes, false_positives, measured_fpr, theory_fpr).
+    """
+    from ..functions.text import h32
+
+    def positions(df):
+        pos = F.array(*[
+            F.pmod(h32(F.concat(F.lit(f"{j}|"), F.col(key_col))),
+                   F.lit(int(m_bits)))
+            for j in range(k_hashes)
+        ])
+        return df.select(F.col(key_col), F.explode(pos).alias("bit"))
+
+    truly_new = probes.join(keys, key_col, "left_anti")
+    bit_table = positions(keys).select("bit").distinct()
+    probe_bits = positions(truly_new)
+    hits = (
+        probe_bits.join(bit_table, "bit", "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n_set"))
+        .where(F.col("n_set") == k_hashes)
+    )
+    n_keys = keys.agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    n_bits = bit_table.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bits_set")
+    )
+    n_probes = truly_new.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes")
+    )
+    n_fp = hits.agg(
+        F.count(F.lit(1)).cast("long").alias("false_positives")
+    )
+    out = (
+        n_keys.crossJoin(F.broadcast(n_bits))
+        .crossJoin(F.broadcast(n_probes))
+        .crossJoin(F.broadcast(n_fp))
+    )
+    theory = (
+        1.0
+        - F.exp(-F.lit(float(k_hashes)) * F.col("n_keys")
+                / F.lit(float(m_bits)))
+    ) ** k_hashes
+    return out.select(
+        "n_keys", "n_bits_set", "n_probes", "false_positives",
+        F.round(
+            F.col("false_positives").cast("double")
+            / F.when(F.col("n_probes") > 0, F.col("n_probes")), 6
+        ).alias("measured_fpr"),
+        F.round(theory, 6).alias("theory_fpr"),
+    )

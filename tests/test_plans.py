@@ -277,3 +277,25 @@ def test_makespan_bound_chain_vs_slot_binding(spark):
 
     one = crawl_makespan_bound(frontier, delays, n_slots=1).collect()[0]
     assert one["binding"] == "slots" and one["bound_s"] == 108.0
+
+
+def test_bloom_fpr_calibration_boundary_regimes(spark):
+    # saturated filter (m=8 bits, 20 keys): every bit set -> every
+    # truly-new probe false-positives (measured 1.0); oversized filter
+    # (m=2^20, 5 keys): zero false positives; in-key probes excluded
+    from crawler_spark.operators.seen import bloom_fpr_calibration
+
+    keys = spark.createDataFrame(
+        [(f"k{i}",) for i in range(20)], "key string")
+    probes = spark.createDataFrame(
+        [(f"k{i}",) for i in range(15, 25)], "key string")  # 5 overlap
+    sat = bloom_fpr_calibration(keys, probes, m_bits=8, k_hashes=3) \
+        .collect()[0]
+    assert sat["n_probes"] == 5            # overlap anti-joined away
+    assert sat["n_bits_set"] <= 8
+    assert sat["false_positives"] == 5 and sat["measured_fpr"] == 1.0
+
+    big = bloom_fpr_calibration(keys, probes, m_bits=1 << 20,
+                                k_hashes=3).collect()[0]
+    assert big["false_positives"] == 0 and big["measured_fpr"] == 0.0
+    assert big["theory_fpr"] < 0.001
