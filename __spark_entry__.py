@@ -3614,6 +3614,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["seen_bloom_fpr"] = seen_bloom_fpr
 
+    def robots_sitemap_conflict_audit(spark, sf_dir):
+        # publisher-misconfiguration audit: the robots_wildcard_match
+        # rule set evaluated over the same synthesized URL universe AS A
+        # SITEMAP — entries the site's own robots.txt blocks are flagged
+        from crawler_spark.operators.robots import robots_sitemap_conflicts
+
+        rules = spark.createDataFrame(
+            [("h0.example", "/src1*", False),
+             ("h0.example", "/src11", True),
+             ("h0.example", "/src2$", False),
+             ("h1.example", "*_x$", False),
+             ("h2.example", "/", False),
+             ("h2.example", "*/src3*", True)],
+            "host string, pattern string, is_allow boolean",
+        )
+        docs = _docs_text_double(spark, sf_dir)
+        sitemap = docs.select(
+            F.concat(
+                F.lit("https://h"), F.col("doc_id") % 3, F.lit(".example/"),
+                F.col("source"), F.lit("/"), F.col("doc_id"),
+                F.when(F.col("doc_id") % 7 == 0, F.lit("_x"))
+                .otherwise(F.lit("")),
+            ).alias("url"),
+            F.concat(F.lit("h"), F.col("doc_id") % 3, F.lit(".example"))
+            .alias("host"),
+        )
+        return robots_sitemap_conflicts(sitemap, rules)
+
+    q["robots_sitemap_conflict_audit"] = robots_sitemap_conflict_audit
+
+    def crawl_politeness_conformance(spark, sf_dir):
+        # executed-log politeness audit: events as a fetch log over 8
+        # hosts, 5 with declared binary-exact delays (64/128/256 s),
+        # 3 on the 1 s default; violations measured from exact
+        # second-floored gaps
+        from crawler_spark.operators.politeness import (
+            politeness_conformance)
+
+        _utc(spark)
+        ev = _t(spark, sf_dir, "events")
+        log = ev.select(
+            F.concat(F.lit("h"), (F.col("user_id") % 8).cast("string"))
+            .alias("host"),
+            F.col("ts"),
+        )
+        hn = F.col("user_id") % 8
+        delays = (
+            ev.select(hn.alias("hn")).where(F.col("hn") < 5).distinct()
+            .select(
+                F.concat(F.lit("h"), F.col("hn").cast("string"))
+                .alias("host"),
+                F.when(F.col("hn") % 3 == 0, F.lit(64.0))
+                .when(F.col("hn") % 3 == 1, F.lit(128.0))
+                .otherwise(F.lit(256.0)).alias("delay_s"),
+            )
+        )
+        return politeness_conformance(log, delays)
+
+    q["crawl_politeness_conformance"] = crawl_politeness_conformance
+
     return _driver_gate_order(q)
 
 
@@ -3628,7 +3688,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # verify, RFC wildcard, PQ ANN, bitext mining, sentence alignment,
 # leakage-safe splits, makespan bound, change-rate estimation, snapshot
 # drift, HyperBall harmonic, effective diameter, triangle counting,
-# assortativity, Heaps-law fit, trending terms, bloom FPR calibration)
+# assortativity, Heaps-law fit, trending terms, bloom FPR calibration,
+# sitemap-robots conflicts, politeness conformance)
 # queue for the round-5 rotation with the
 # other never-sampled entries.
 _DRIVER_GATE_FIRST = [
@@ -8537,6 +8598,105 @@ def oracle_sql() -> dict[str, str]:
            round(power(1.0 - exp(-3.0 * n_keys / 2048.0), 3), 6)
              AS theory_fpr
     FROM s
+    """
+
+    # sitemap-vs-robots conflicts: the robots_wildcard_match evaluation
+    # re-used over the same URL universe as a sitemap, conflict = NOT
+    # allowed, blocking rule carried for the report
+    o["robots_sitemap_conflict_audit"] = """
+    WITH rules AS (
+      SELECT * FROM (VALUES
+        ('h0.example', '/src1*', false),
+        ('h0.example', '/src11', true),
+        ('h0.example', '/src2$', false),
+        ('h1.example', '*_x$', false),
+        ('h2.example', '/', false),
+        ('h2.example', '*/src3*', true)
+      ) t(host, pattern, is_allow)
+    ),
+    compiled AS (
+      SELECT host, pattern, is_allow,
+             length(pattern)::bigint AS plen,
+             CASE WHEN ends_with(e, '$')
+                  THEN replace(substr(e, 1, length(e) - 1), '*', '%')
+                  ELSE replace(e, '*', '%') || '%' END AS like_pat
+      FROM (SELECT host, pattern, is_allow,
+                   replace(replace(replace(pattern, '!', '!!'),
+                           '%', '!%'), '_', '!_') AS e
+            FROM rules)
+    ),
+    urls AS (
+      SELECT 'https://h' || (doc_id % 3)::varchar || '.example/' || source
+             || '/' || doc_id::varchar
+             || CASE WHEN doc_id % 7 = 0 THEN '_x' ELSE '' END AS url,
+             'h' || (doc_id % 3)::varchar || '.example' AS host,
+             '/' || source || '/' || doc_id::varchar
+             || CASE WHEN doc_id % 7 = 0 THEN '_x' ELSE '' END AS path
+      FROM documents
+    ),
+    winners AS (
+      SELECT url, pattern AS rule_pattern, is_allow AS rule_is_allow
+      FROM (
+        SELECT u.url, c.pattern, c.is_allow,
+               row_number() OVER (
+                 PARTITION BY u.url
+                 ORDER BY c.plen DESC, c.is_allow DESC, c.pattern ASC
+               ) AS rn
+        FROM urls u
+        JOIN compiled c ON c.host = u.host
+        WHERE u.path LIKE c.like_pat ESCAPE '!'
+      ) WHERE rn = 1
+    )
+    SELECT u.host, u.url,
+           coalesce(w.rule_is_allow, true) AS allowed,
+           w.rule_pattern,
+           NOT coalesce(w.rule_is_allow, true) AS conflict
+    FROM (SELECT DISTINCT host, url FROM urls) u
+    LEFT JOIN winners w USING (url)
+    """
+
+    # executed-log politeness audit: second-floored epochs (floor, not
+    # the rounding ::bigint cast), per-host lag gaps, violations vs the
+    # promised binary-exact delays
+    o["crawl_politeness_conformance"] = """
+    WITH lg AS (
+      SELECT DISTINCT 'h' || (user_id % 8)::varchar AS host,
+             floor(epoch(ts))::bigint AS t
+      FROM events
+    ),
+    g AS (
+      SELECT host, t,
+             t - lag(t) OVER (PARTITION BY host ORDER BY t) AS gap
+      FROM lg
+    ),
+    d AS (
+      SELECT DISTINCT 'h' || (user_id % 8)::varchar AS host,
+             (CASE (user_id % 8) % 3 WHEN 0 THEN 64.0
+                   WHEN 1 THEN 128.0 ELSE 256.0 END)::double AS delay_s
+      FROM events WHERE user_id % 8 < 5
+    ),
+    per AS (
+      SELECT g.host, count(*)::bigint AS n_fetches,
+             min(gap)::bigint AS min_gap_s
+      FROM g GROUP BY 1
+    ),
+    viol AS (
+      SELECT g.host, count(*)::bigint AS n_violations,
+             round(max(coalesce(d.delay_s, 1.0) - gap), 6)
+               AS worst_deficit_s
+      FROM g LEFT JOIN d USING (host)
+      WHERE gap IS NOT NULL AND gap < coalesce(d.delay_s, 1.0)
+      GROUP BY 1
+    )
+    SELECT p.host, p.n_fetches,
+           round(coalesce(d.delay_s, 1.0), 6) AS delay_s,
+           p.min_gap_s,
+           coalesce(v.n_violations, 0)::bigint AS n_violations,
+           v.worst_deficit_s,
+           (coalesce(v.n_violations, 0) = 0) AS compliant
+    FROM per p
+    LEFT JOIN d USING (host)
+    LEFT JOIN viol v USING (host)
     """
 
     return o

@@ -459,3 +459,72 @@ def crawl_makespan_bound(frontier: DataFrame, delays: DataFrame,
             (F.col("chain_s") >= F.col("max_chain_s")).alias("is_critical"),
         )
     )
+
+
+def politeness_conformance(log: DataFrame, delays: DataFrame,
+                           host_col: str = "host", ts_col: str = "ts",
+                           default_delay_s: float = 1.0) -> DataFrame:
+    """Executed-crawl politeness audit: did the wave DELIVER the
+    per-host minimum gaps the scheduler promised?  The selection
+    operators bound what is *eligible*; this measures what *happened*
+    from the fetch log — the compliance check an operator runs before
+    claiming "polite" to a host that complained.
+
+    Per host, fetches ordered by second-floored epoch (exact bigint;
+    one lag window partitioned by host): ``gap = t - lag(t)``,
+    violation = gap < promised delay.  Reported per host: fetch count,
+    minimum observed gap, violation count, worst deficit (promised −
+    observed, only over violations), and the verdict.  Gaps are exact
+    integers, delays join as given (use binary-exact values for
+    cross-engine bit-equality), the one derived double rounds at 6.
+
+    Returns (host, n_fetches, delay_s, min_gap_s, n_violations,
+    worst_deficit_s, compliant).
+    """
+    from pyspark.sql import Window
+
+    d = delays.select(F.col(host_col).alias("host"),
+                      F.col("delay_s").cast("double").alias("delay_s"))
+    t = F.unix_timestamp(F.col(ts_col)).cast("long")
+    w = Window.partitionBy("host").orderBy("t")
+    gaps = (
+        log.select(F.col(host_col).alias("host"), t.alias("t"))
+        .distinct()
+        .select("host", "t", (F.col("t") - F.lag("t").over(w)).alias("gap"))
+    )
+    per = (
+        gaps.groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_fetches"),
+             F.min("gap").cast("long").alias("min_gap_s"))
+        .join(d, "host", "left")
+        .select("host", "n_fetches", "min_gap_s",
+                F.coalesce("delay_s", F.lit(float(default_delay_s)))
+                .alias("delay_s"))
+    )
+    viol = (
+        gaps.join(d, "host", "left")
+        .select(
+            "host", "gap",
+            F.coalesce("delay_s", F.lit(float(default_delay_s)))
+            .alias("delay_s"),
+        )
+        .where(F.col("gap").isNotNull() & (F.col("gap") < F.col("delay_s")))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_violations"),
+            F.round(F.max(F.col("delay_s") - F.col("gap")), 6)
+            .alias("worst_deficit_s"),
+        )
+    )
+    return (
+        per.join(viol, "host", "left")
+        .select(
+            "host", "n_fetches",
+            F.round("delay_s", 6).alias("delay_s"),
+            "min_gap_s",
+            F.coalesce("n_violations", F.lit(0)).cast("long")
+            .alias("n_violations"),
+            F.col("worst_deficit_s"),
+            (F.coalesce("n_violations", F.lit(0)) == 0).alias("compliant"),
+        )
+    )

@@ -318,3 +318,30 @@ def apply_robots_wildcard(frontier_df: DataFrame,
         F.col("allowed")
     ).select("url")
     return frontier_df.join(allowed, "url", "left_semi")
+
+
+def robots_sitemap_conflicts(sitemap_urls: DataFrame, rules_df: DataFrame,
+                             url_col: str = "url",
+                             host_col: str = "host") -> DataFrame:
+    """Sitemap entries the site's OWN robots.txt disallows — the
+    publisher-misconfiguration audit every major crawler runs (a
+    sitemap invites fetching; robots forbids it; a polite crawler must
+    skip, so the publisher silently loses coverage and support tickets
+    follow).  Flagging the conflict set per host turns silent loss
+    into an actionable report.
+
+    Pure composition: :func:`robots_wildcard_verdicts` (exact RFC 9309
+    wildcard precedence, broadcast rules, per-URL window) over the
+    sitemap URL set, conflict = NOT allowed.  Returns (host, url,
+    allowed, rule_pattern, conflict) — one row per sitemap entry, the
+    blocking rule named for the report.
+    """
+    v = robots_wildcard_verdicts(sitemap_urls, rules_df, url_col, host_col)
+    return (
+        sitemap_urls.select(host_col, url_col).distinct()
+        .join(v, url_col)
+        .select(
+            host_col, url_col, "allowed", "rule_pattern",
+            (~F.col("allowed")).alias("conflict"),
+        )
+    )

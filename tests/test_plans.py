@@ -299,3 +299,29 @@ def test_bloom_fpr_calibration_boundary_regimes(spark):
                                 k_hashes=3).collect()[0]
     assert big["false_positives"] == 0 and big["measured_fpr"] == 0.0
     assert big["theory_fpr"] < 0.001
+
+
+def test_politeness_conformance_violations_and_defaults(spark):
+    # host A promised 10s: gaps 5 and 20 -> one violation, deficit 5;
+    # host B undeclared (1s default): gap 1 ok; single-fetch host C
+    from crawler_spark.operators.politeness import politeness_conformance
+
+    log = spark.createDataFrame(
+        [("A", "2024-01-01 00:00:00"), ("A", "2024-01-01 00:00:05"),
+         ("A", "2024-01-01 00:00:25"),
+         ("B", "2024-01-01 00:00:00"), ("B", "2024-01-01 00:00:01"),
+         ("C", "2024-01-01 00:00:00")],
+        "host string, ts string",
+    ).select("host", F.to_timestamp("ts").alias("ts"))
+    delays = spark.createDataFrame([("A", 10.0)],
+                                   "host string, delay_s double")
+    out = {r["host"]: r for r in
+           politeness_conformance(log, delays).collect()}
+    a = out["A"]
+    assert a["n_fetches"] == 3 and a["min_gap_s"] == 5
+    assert a["n_violations"] == 1 and a["worst_deficit_s"] == 5.0
+    assert not a["compliant"]
+    b = out["B"]
+    assert b["delay_s"] == 1.0 and b["n_violations"] == 0 and b["compliant"]
+    c = out["C"]
+    assert c["min_gap_s"] is None and c["compliant"]

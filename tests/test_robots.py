@@ -299,3 +299,23 @@ def test_apply_robots_wildcard_filters_frontier(spark):
     )
     out = [r.url for r in apply_robots_wildcard(frontier, rules).collect()]
     assert out == ["https://h/ok/1"]
+
+
+def test_sitemap_conflicts_flag_blocked_entries(spark):
+    from crawler_spark.operators.robots import robots_sitemap_conflicts
+
+    rules = spark.createDataFrame(
+        [("ex.com", "/private*", False), ("ex.com", "/private/ok", True)],
+        "host string, pattern string, is_allow boolean")
+    sitemap = spark.createDataFrame(
+        [("ex.com", "https://ex.com/public/a"),
+         ("ex.com", "https://ex.com/private/b"),
+         ("ex.com", "https://ex.com/private/ok")],
+        "host string, url string")
+    out = {r["url"]: r for r in
+           robots_sitemap_conflicts(sitemap, rules).collect()}
+    assert not out["https://ex.com/public/a"]["conflict"]
+    c = out["https://ex.com/private/b"]
+    assert c["conflict"] and c["rule_pattern"] == "/private*"
+    # longest-match Allow rescues the explicit exception
+    assert not out["https://ex.com/private/ok"]["conflict"]
