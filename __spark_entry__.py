@@ -8129,10 +8129,11 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT p.doc_a, p.doc_b, p.lang_a, p.lang_b,
            round({_cos_sql("ea.v", "eb.v")}, 6) AS cosine,
-           (round({_cos_sql("ea.v", "eb.v")}, 6) >= 0.0) AS accepted
+           coalesce(round({_cos_sql("ea.v", "eb.v")}, 6) >= 0.0, false)
+             AS accepted
     FROM pr p
-    JOIN emb ea ON ea.vec_id = p.doc_a
-    JOIN emb eb ON eb.vec_id = p.doc_b
+    LEFT JOIN emb ea ON ea.vec_id = p.doc_a
+    LEFT JOIN emb eb ON eb.vec_id = p.doc_b
     """
 
     # length-based sentence alignment: same segmentation as
@@ -8655,13 +8656,14 @@ def oracle_sql() -> dict[str, str]:
     LEFT JOIN winners w USING (url)
     """
 
-    # executed-log politeness audit: second-floored epochs (floor, not
-    # the rounding ::bigint cast), per-host lag gaps, violations vs the
-    # promised binary-exact delays
+    # executed-log politeness audit: MICROSECOND epochs (second-floored
+    # times would hide same-second hammering, the exact abuse the audit
+    # catches), per-host lag gaps, violations vs the promised
+    # binary-exact delays x 10^6
     o["crawl_politeness_conformance"] = """
     WITH lg AS (
       SELECT DISTINCT 'h' || (user_id % 8)::varchar AS host,
-             floor(epoch(ts))::bigint AS t
+             epoch_us(ts)::bigint AS t
       FROM events
     ),
     g AS (
@@ -8677,20 +8679,21 @@ def oracle_sql() -> dict[str, str]:
     ),
     per AS (
       SELECT g.host, count(*)::bigint AS n_fetches,
-             min(gap)::bigint AS min_gap_s
+             min(gap)::bigint AS min_gap_us
       FROM g GROUP BY 1
     ),
     viol AS (
       SELECT g.host, count(*)::bigint AS n_violations,
-             round(max(coalesce(d.delay_s, 1.0) - gap), 6)
+             round(max(coalesce(d.delay_s, 1.0) - gap / 1000000.0), 6)
                AS worst_deficit_s
       FROM g LEFT JOIN d USING (host)
-      WHERE gap IS NOT NULL AND gap < coalesce(d.delay_s, 1.0)
+      WHERE gap IS NOT NULL
+        AND gap < coalesce(d.delay_s, 1.0) * 1000000.0
       GROUP BY 1
     )
     SELECT p.host, p.n_fetches,
            round(coalesce(d.delay_s, 1.0), 6) AS delay_s,
-           p.min_gap_s,
+           round(p.min_gap_us / 1000000.0, 6) AS min_gap_s,
            coalesce(v.n_violations, 0)::bigint AS n_violations,
            v.worst_deficit_s,
            (coalesce(v.n_violations, 0) = 0) AS compliant

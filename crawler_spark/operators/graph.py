@@ -553,7 +553,10 @@ def estimate_change_rates(visits: DataFrame, key_col: str = "url",
     [min_interval_s, max_interval_s]; keys with one visit (no interval)
     fall back to ``max_interval_s`` with rate NULL.
 
-    Determinism: every input to the single ``ln`` is a ratio of exact
+    Determinism: visits dedupe internally to one observation per
+    (key, second) with a ``min(digest)`` representative — duplicate
+    timestamps would otherwise make the lag order (and n_changes)
+    partition-order-dependent — and every input to the single ``ln`` is a ratio of exact
     integers, and outputs round at 6 d.p. — cross-engine libm last-ulp
     differences sit ~10 orders below the rounding point.  Plan: one
     window (partitioned by key, never global) + one map-side-combined
@@ -565,16 +568,24 @@ def estimate_change_rates(visits: DataFrame, key_col: str = "url",
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy(key_col).orderBy(ts_col)
-    obs = visits.select(
-        F.col(key_col).alias("key"),
-        F.unix_timestamp(F.col(ts_col)).cast("long").alias("t"),
-        F.col(digest_col).alias("dg"),
-    ).select(
-        "key", "t",
-        (F.col("dg") != F.lag("dg").over(
-            Window.partitionBy("key").orderBy("t"))).cast("int")
-        .alias("changed"),
+    # dedupe to one observation per (key, second) FIRST — with duplicate
+    # timestamps the lag order would be partition-order-dependent and
+    # n_changes nondeterministic; min(digest) is the deterministic
+    # representative for a same-second double-visit
+    obs = (
+        visits.select(
+            F.col(key_col).alias("key"),
+            F.unix_timestamp(F.col(ts_col)).cast("long").alias("t"),
+            F.col(digest_col).alias("dg"),
+        )
+        .groupBy("key", "t")
+        .agg(F.min("dg").alias("dg"))
+        .select(
+            "key", "t",
+            (F.col("dg") != F.lag("dg").over(
+                Window.partitionBy("key").orderBy("t"))).cast("int")
+            .alias("changed"),
+        )
     )
     per = obs.groupBy("key").agg(
         F.count(F.lit(1)).cast("long").alias("n_visits"),
@@ -671,6 +682,10 @@ def hyperball_harmonic(edges: DataFrame, src: str = "src",
         regs = (
             regs.select("g", "idx", "M").unionByName(pulled)
             .groupBy("g", "idx").agg(F.max("M").alias("M"))
+            # each round reads regs twice (self + pulled) and feeds an
+            # estimate join — truncate lineage per round or the plan
+            # doubles every radius (the resolve_redirects discipline)
+            .localCheckpoint(eager=False)
         )
         er = hll_estimate_corrected(regs, p=p).select(
             "g", F.col("est").alias(f"ball{r}")
@@ -731,6 +746,27 @@ def hyperball_effective_diameter(edges: DataFrame, src: str = "src",
     )
 
 
+def _undirected_degrees(edges: DataFrame, src: str,
+                        dst: str) -> tuple[DataFrame, DataFrame]:
+    """Shared graph-stat preamble: canonical undirected unique edge set
+    (least/greatest, self-loops dropped, both directions and duplicate
+    declarations collapsed) plus per-node undirected degrees.  One
+    canonicalization point so triangle_counts and degree_assortativity
+    can never disagree about what 'the undirected graph' means."""
+    und = (
+        edges.select(F.least(src, dst).alias("a"),
+                     F.greatest(src, dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    return und, deg
+
+
 def triangle_counts(edges: DataFrame, src: str = "src",
                     dst: str = "dst") -> DataFrame:
     """Exact per-node triangle counts + local clustering coefficient —
@@ -755,17 +791,7 @@ def triangle_counts(edges: DataFrame, src: str = "src",
     undirected degree, ``clustering = 2·T / (d·(d-1))`` rounded 6
     (0.0 for degree < 2).
     """
-    und = (
-        edges.select(F.least(src, dst).alias("a"),
-                     F.greatest(src, dst).alias("b"))
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-    )
-    deg = (
-        und.select(F.col("a").alias("node"))
-        .unionByName(und.select(F.col("b").alias("node")))
-        .groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg"))
-    )
+    und, deg = _undirected_degrees(edges, src, dst)
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
     ranked = und.join(da, "a").join(db, "b")
@@ -831,17 +857,7 @@ def degree_assortativity(edges: DataFrame, src: str = "src",
     global scalar aggregate.  Returns ONE row (m_edges, s1, s2, s3,
     assortativity).
     """
-    und = (
-        edges.select(F.least(src, dst).alias("a"),
-                     F.greatest(src, dst).alias("b"))
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-    )
-    deg = (
-        und.select(F.col("a").alias("node"))
-        .unionByName(und.select(F.col("b").alias("node")))
-        .groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg"))
-    )
+    und, deg = _undirected_degrees(edges, src, dst)
     j = F.col("deg_a")
     k = F.col("deg_b")
     per = (

@@ -428,8 +428,12 @@ def crawl_makespan_bound(frontier: DataFrame, delays: DataFrame,
     for the wave, ``is_critical`` marks hosts whose chain is the
     bound.  chain_s/bound_s rounded to 6.
     """
-    d = delays.select(F.col(host_col).alias("host"),
-                      F.col("delay_s").cast("double").alias("delay_s"))
+    # duplicate delays rows per host fold with min (strictest promise
+    # wins) so a repeated declaration can't fan the join out and
+    # double-count a host's chain in the slot bound
+    d = delays.groupBy(F.col(host_col).alias("host")).agg(
+        F.min(F.col("delay_s").cast("double")).alias("delay_s")
+    )
     per = (
         frontier.groupBy(F.col(host_col).alias("host"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_urls"))
@@ -470,22 +474,30 @@ def politeness_conformance(log: DataFrame, delays: DataFrame,
     from the fetch log — the compliance check an operator runs before
     claiming "polite" to a host that complained.
 
-    Per host, fetches ordered by second-floored epoch (exact bigint;
-    one lag window partitioned by host): ``gap = t - lag(t)``,
-    violation = gap < promised delay.  Reported per host: fetch count,
-    minimum observed gap, violation count, worst deficit (promised −
-    observed, only over violations), and the verdict.  Gaps are exact
-    integers, delays join as given (use binary-exact values for
-    cross-engine bit-equality), the one derived double rounds at 6.
+    Per host, fetches ordered by MICROSECOND epoch (exact bigint; one
+    lag window partitioned by host) — second-floored times would erase
+    same-second fetches, hiding exactly the hammering this audit
+    exists to catch: ``gap_us = t − lag(t)``, violation = ``gap_us <
+    delay_s·10^6`` (binary-exact delays × 10^6 are exact integers, so
+    the comparison is exact).  Duplicate (host, instant) rows dedupe —
+    identical microsecond timestamps are one observable event, and
+    keeping them would make the lag order nondeterministic.  Duplicate
+    ``delays`` rows per host fold with ``min`` (the strictest promise
+    wins — and a duplicated row can't double-count violations).
+    Reported per host: fetch count (distinct instants), minimum
+    observed gap, violation count, worst deficit in seconds (promised
+    − observed, only over violations), and the verdict.
 
     Returns (host, n_fetches, delay_s, min_gap_s, n_violations,
-    worst_deficit_s, compliant).
+    worst_deficit_s, compliant) — gap/deficit columns in SECONDS
+    (micros/10^6, rounded 6).
     """
     from pyspark.sql import Window
 
-    d = delays.select(F.col(host_col).alias("host"),
-                      F.col("delay_s").cast("double").alias("delay_s"))
-    t = F.unix_timestamp(F.col(ts_col)).cast("long")
+    d = delays.groupBy(F.col(host_col).alias("host")).agg(
+        F.min(F.col("delay_s").cast("double")).alias("delay_s")
+    )
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
     w = Window.partitionBy("host").orderBy("t")
     gaps = (
         log.select(F.col(host_col).alias("host"), t.alias("t"))
@@ -495,9 +507,9 @@ def politeness_conformance(log: DataFrame, delays: DataFrame,
     per = (
         gaps.groupBy("host")
         .agg(F.count(F.lit(1)).cast("long").alias("n_fetches"),
-             F.min("gap").cast("long").alias("min_gap_s"))
+             F.min("gap").cast("long").alias("min_gap_us"))
         .join(d, "host", "left")
-        .select("host", "n_fetches", "min_gap_s",
+        .select("host", "n_fetches", "min_gap_us",
                 F.coalesce("delay_s", F.lit(float(default_delay_s)))
                 .alias("delay_s"))
     )
@@ -508,12 +520,16 @@ def politeness_conformance(log: DataFrame, delays: DataFrame,
             F.coalesce("delay_s", F.lit(float(default_delay_s)))
             .alias("delay_s"),
         )
-        .where(F.col("gap").isNotNull() & (F.col("gap") < F.col("delay_s")))
+        .where(
+            F.col("gap").isNotNull()
+            & (F.col("gap") < F.col("delay_s") * 1000000.0)
+        )
         .groupBy("host")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_violations"),
-            F.round(F.max(F.col("delay_s") - F.col("gap")), 6)
-            .alias("worst_deficit_s"),
+            F.round(
+                F.max(F.col("delay_s") - F.col("gap") / 1000000.0), 6
+            ).alias("worst_deficit_s"),
         )
     )
     return (
@@ -521,7 +537,7 @@ def politeness_conformance(log: DataFrame, delays: DataFrame,
         .select(
             "host", "n_fetches",
             F.round("delay_s", 6).alias("delay_s"),
-            "min_gap_s",
+            F.round(F.col("min_gap_us") / 1000000.0, 6).alias("min_gap_s"),
             F.coalesce("n_violations", F.lit(0)).cast("long")
             .alias("n_violations"),
             F.col("worst_deficit_s"),

@@ -651,7 +651,12 @@ def bloom_fpr_calibration(keys: DataFrame, probes: DataFrame,
         ])
         return df.select(F.col(key_col), F.explode(pos).alias("bit"))
 
-    truly_new = probes.join(keys, key_col, "left_anti")
+    # distinct both sides: duplicate probe rows would hit 2k positions
+    # (failing the count == k test and hiding real false positives),
+    # and duplicate keys would inflate n in the theory formula
+    keys = keys.select(key_col).distinct()
+    truly_new = probes.select(key_col).distinct() \
+        .join(keys, key_col, "left_anti")
     bit_table = positions(keys).select("bit").distinct()
     probe_bits = positions(truly_new)
     hits = (

@@ -233,10 +233,11 @@ def hll_registers(items: DataFrame, p: int = 10) -> DataFrame:
     return reg.groupBy("g", "idx").agg(F.max("rho").alias("M"))
 
 
-def hll_estimate_from_registers(regs: DataFrame, p: int = 10) -> DataFrame:
-    """Register table (g, idx, M) → (g, est_hll), same scaled-bigint
-    harmonic-sum discipline as :func:`hll_distinct_estimate` (one final
-    double division, numerator pre-folded)."""
+def _register_harmonics(regs: DataFrame, p: int):
+    """Shared per-group register fold: (g, m_hit, z_hit) plus the raw
+    harmonic-estimate expression — the ONE place the scaled-bigint
+    discipline lives, so the plain and small-range-corrected estimators
+    can never diverge on it."""
     m = 1 << p
     b_scale = 32 - p + 1
     num = 0.7213 / (1.0 + 1.079 / m) * (m * m) * float(1 << b_scale)
@@ -245,11 +246,19 @@ def hll_estimate_from_registers(regs: DataFrame, p: int = 10) -> DataFrame:
         F.sum(F.expr(f"CAST(shiftleft(1, {b_scale} - M) AS BIGINT)"))
         .cast("long").alias("z_hit"),
     )
-    est = F.lit(num) / (
+    raw = F.lit(num) / (
         F.col("z_hit")
         + (F.lit(m) - F.col("m_hit")) * F.lit(1 << b_scale)
     ).cast("double")
-    return per.select("g", F.round(est, 4).alias("est_hll"))
+    return per, raw
+
+
+def hll_estimate_from_registers(regs: DataFrame, p: int = 10) -> DataFrame:
+    """Register table (g, idx, M) → (g, est_hll), same scaled-bigint
+    harmonic-sum discipline as :func:`hll_distinct_estimate` (one final
+    double division, numerator pre-folded)."""
+    per, raw = _register_harmonics(regs, p)
+    return per.select("g", F.round(raw, 4).alias("est_hll"))
 
 
 def hll_distinct_estimate(
@@ -444,17 +453,7 @@ def hll_estimate_corrected(regs: DataFrame, p: int = 10) -> DataFrame:
     deterministic.
     """
     m = 1 << p
-    b_scale = 32 - p + 1
-    num = 0.7213 / (1.0 + 1.079 / m) * (m * m) * float(1 << b_scale)
-    per = regs.groupBy("g").agg(
-        F.count(F.lit(1)).cast("long").alias("m_hit"),
-        F.sum(F.expr(f"CAST(shiftleft(1, {b_scale} - M) AS BIGINT)"))
-        .cast("long").alias("z_hit"),
-    )
-    raw = F.lit(num) / (
-        F.col("z_hit")
-        + (F.lit(m) - F.col("m_hit")) * F.lit(1 << b_scale)
-    ).cast("double")
+    per, raw = _register_harmonics(regs, p)
     lin = F.lit(float(m)) * F.log(
         F.lit(float(m)) / (F.lit(m) - F.col("m_hit")).cast("double")
     )

@@ -1706,8 +1706,12 @@ def mine_bitext_pairs(docs: DataFrame, alternates: DataFrame,
                            F.col(vec_col).alias("va"))
     eb = embeddings.select(F.col(id_col).alias("doc_b"),
                            F.col(vec_col).alias("vb"))
+    # LEFT joins: a candidate missing an embedding row (normal at
+    # production scale — the embedding pass lags the crawl) stays in
+    # the audit set with cosine NULL / accepted false instead of
+    # silently vanishing
     scored = (
-        pairs.join(ea, "doc_a").join(eb, "doc_b")
+        pairs.join(ea, "doc_a", "left").join(eb, "doc_b", "left")
         .select(
             "doc_a", "doc_b", "lang_a", "lang_b",
             F.round(cosine_expr(F.col("va"), F.col("vb")), 6)
@@ -1715,5 +1719,7 @@ def mine_bitext_pairs(docs: DataFrame, alternates: DataFrame,
         )
     )
     return scored.withColumn(
-        "accepted", F.col("cosine") >= F.lit(float(min_cosine))
+        "accepted",
+        F.coalesce(F.col("cosine") >= F.lit(float(min_cosine)),
+                   F.lit(False)),
     )

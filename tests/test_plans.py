@@ -300,10 +300,20 @@ def test_bloom_fpr_calibration_boundary_regimes(spark):
     assert big["false_positives"] == 0 and big["measured_fpr"] == 0.0
     assert big["theory_fpr"] < 0.001
 
+    # duplicate probe/key rows must not distort the measurement: a
+    # duplicated probe explodes 2k bit rows, which would fail the
+    # count==k hit test and hide the false positive
+    dup_probes = probes.unionByName(probes)
+    dup = bloom_fpr_calibration(keys.unionByName(keys), dup_probes,
+                                m_bits=8, k_hashes=3).collect()[0]
+    assert dup["n_keys"] == 20 and dup["n_probes"] == 5
+    assert dup["false_positives"] == 5 and dup["measured_fpr"] == 1.0
+
 
 def test_politeness_conformance_violations_and_defaults(spark):
     # host A promised 10s: gaps 5 and 20 -> one violation, deficit 5;
-    # host B undeclared (1s default): gap 1 ok; single-fetch host C
+    # host B undeclared (1s default): gap 1 ok; single-fetch host C;
+    # duplicate delay declarations for A fold to one (min)
     from crawler_spark.operators.politeness import politeness_conformance
 
     log = spark.createDataFrame(
@@ -313,15 +323,33 @@ def test_politeness_conformance_violations_and_defaults(spark):
          ("C", "2024-01-01 00:00:00")],
         "host string, ts string",
     ).select("host", F.to_timestamp("ts").alias("ts"))
-    delays = spark.createDataFrame([("A", 10.0)],
+    delays = spark.createDataFrame([("A", 10.0), ("A", 10.0)],
                                    "host string, delay_s double")
     out = {r["host"]: r for r in
            politeness_conformance(log, delays).collect()}
     a = out["A"]
-    assert a["n_fetches"] == 3 and a["min_gap_s"] == 5
+    assert a["n_fetches"] == 3 and a["min_gap_s"] == 5.0
     assert a["n_violations"] == 1 and a["worst_deficit_s"] == 5.0
     assert not a["compliant"]
     b = out["B"]
     assert b["delay_s"] == 1.0 and b["n_violations"] == 0 and b["compliant"]
     c = out["C"]
     assert c["min_gap_s"] is None and c["compliant"]
+
+
+def test_politeness_conformance_sees_subsecond_hammering(spark):
+    # two fetches 600ms apart against a promised 1s delay MUST register
+    # as a violation — second-floored audits are blind to exactly this
+    from crawler_spark.operators.politeness import politeness_conformance
+
+    log = spark.createDataFrame(
+        [("H", "2024-01-01 00:00:00.200"),
+         ("H", "2024-01-01 00:00:00.800")],
+        "host string, ts string",
+    ).select("host", F.to_timestamp("ts").alias("ts"))
+    delays = spark.createDataFrame([("H", 1.0)],
+                                   "host string, delay_s double")
+    h = politeness_conformance(log, delays).collect()[0]
+    assert h["n_fetches"] == 2 and h["min_gap_s"] == 0.6
+    assert h["n_violations"] == 1 and not h["compliant"]
+    assert h["worst_deficit_s"] == 0.4

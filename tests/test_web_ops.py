@@ -1081,3 +1081,20 @@ def test_bitext_pairs_threshold_accepts(spark):
         "doc_id long, embedding array<double>")
     r = mine_bitext_pairs(docs, alts, emb, min_cosine=0.99).collect()[0]
     assert r["cosine"] == 1.0 and r["accepted"]
+
+
+def test_bitext_pairs_missing_embedding_stays_auditable(spark):
+    # a declared pair whose embedding is missing must remain in the
+    # audit set (cosine NULL, accepted False), not silently vanish
+    from crawler_spark.operators.web import mine_bitext_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "u1", "en"), (2, "u2", "fr")],
+        "doc_id long, url string, lang string")
+    alts = spark.createDataFrame([(1, "u2")], "doc_id long, href string")
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "doc_id long, embedding array<double>")
+    rows = mine_bitext_pairs(docs, alts, emb, min_cosine=0.5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["cosine"] is None and r["accepted"] is False
