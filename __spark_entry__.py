@@ -3674,6 +3674,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_politeness_conformance"] = crawl_politeness_conformance
 
+    def link_wcc_summary(spark, sf_dir):
+        # bow-tie fragmentation check over a deliberately fragmented
+        # 20-node graph (edges only within residue classes mod 4 ->
+        # four 5-cycles); numeric node ids per the CC contract
+        from crawler_spark.operators.graph import wcc_summary
+
+        docs = _docs_text_double(spark, sf_dir)
+        n = F.col("doc_id") % 20
+        edges = docs.select(
+            n.cast("long").alias("src"),
+            ((n + 4) % 20).cast("long").alias("dst"),
+        ).distinct()
+        return wcc_summary(edges)
+
+    q["link_wcc_summary"] = link_wcc_summary
+
+    def link_kcore_members(spark, sf_dir):
+        # 2-core peeling over a 9-cycle with pendant chains q->p->c:
+        # q peels in round 1, p in round 2 (multi-round), the cycle
+        # survives as the 2-core
+        from crawler_spark.operators.graph import kcore_peel
+
+        docs = _docs_text_double(spark, sf_dir)
+        r = (F.col("doc_id") % 9).cast("string")
+        r1 = ((F.col("doc_id") % 9 + 1) % 9).cast("string")
+        cyc = docs.select(F.concat(F.lit("c"), r).alias("src"),
+                          F.concat(F.lit("c"), r1).alias("dst"))
+        pend = docs.select(F.concat(F.lit("p"), r).alias("src"),
+                           F.concat(F.lit("c"), r).alias("dst"))
+        chain = docs.select(F.concat(F.lit("q"), r).alias("src"),
+                            F.concat(F.lit("p"), r).alias("dst"))
+        edges = cyc.unionByName(pend).unionByName(chain)
+        return kcore_peel(edges, k=2, rounds=4)
+
+    q["link_kcore_members"] = link_kcore_members
+
     return _driver_gate_order(q)
 
 
@@ -3689,7 +3725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # leakage-safe splits, makespan bound, change-rate estimation, snapshot
 # drift, HyperBall harmonic, effective diameter, triangle counting,
 # assortativity, Heaps-law fit, trending terms, bloom FPR calibration,
-# sitemap-robots conflicts, politeness conformance)
+# sitemap-robots conflicts, politeness conformance, WCC summary, k-core)
 # queue for the round-5 rotation with the
 # other never-sampled entries.
 _DRIVER_GATE_FIRST = [
@@ -8700,6 +8736,96 @@ def oracle_sql() -> dict[str, str]:
     FROM per p
     LEFT JOIN d USING (host)
     LEFT JOIN viol v USING (host)
+    """
+
+    # weak-CC summary: recursive transitive closure (doc_dup_clusters
+    # idiom) over the four 5-cycles, min-label components, one-row fold
+    o["link_wcc_summary"] = """
+    WITH RECURSIVE e0 AS (
+      SELECT DISTINCT (doc_id % 20)::bigint AS s,
+             (((doc_id % 20) + 4) % 20)::bigint AS d
+      FROM documents
+    ),
+    edges AS (SELECT s, d FROM e0 UNION SELECT d AS s, s AS d FROM e0),
+    reach(src, node) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT r.src, e.d FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    labels AS (SELECT node, min(src) AS comp FROM reach GROUP BY node),
+    sizes AS (SELECT comp, count(*)::bigint AS sz FROM labels GROUP BY comp)
+    SELECT sum(sz)::bigint AS n_nodes,
+           count(*)::bigint AS n_components,
+           max(sz)::bigint AS giant_size,
+           round(max(sz)::double / sum(sz), 6) AS giant_frac
+    FROM sizes
+    """
+
+    # k-core peeling: 4 unrolled rounds (idempotent once converged, so
+    # the unconditional unroll matches the operator's fixed rounds)
+    o["link_kcore_members"] = f"""
+    WITH raw_e AS (
+      SELECT 'c' || (doc_id % 9)::varchar AS src,
+             'c' || ((doc_id % 9 + 1) % 9)::varchar AS dst
+      FROM documents
+      UNION ALL
+      SELECT 'p' || (doc_id % 9)::varchar, 'c' || (doc_id % 9)::varchar
+      FROM documents
+      UNION ALL
+      SELECT 'q' || (doc_id % 9)::varchar, 'p' || (doc_id % 9)::varchar
+      FROM documents
+    ),
+    e0 AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw_e WHERE src <> dst
+    ),
+    d0 AS (
+      SELECT node, count(*)::bigint AS d FROM (
+        SELECT a AS node FROM e0 UNION ALL SELECT b AS node FROM e0
+      ) GROUP BY node
+    ),
+    keep0 AS (SELECT node FROM d0 WHERE d >= 2),
+    e1 AS (
+      SELECT e.a, e.b FROM e0 e
+      SEMI JOIN keep0 ka ON ka.node = e.a
+      SEMI JOIN keep0 kb ON kb.node = e.b
+    ),
+    d1 AS (
+      SELECT node, count(*)::bigint AS d FROM (
+        SELECT a AS node FROM e1 UNION ALL SELECT b AS node FROM e1
+      ) GROUP BY node
+    ),
+    keep1 AS (SELECT node FROM d1 WHERE d >= 2),
+    e2 AS (
+      SELECT e.a, e.b FROM e1 e
+      SEMI JOIN keep1 ka ON ka.node = e.a
+      SEMI JOIN keep1 kb ON kb.node = e.b
+    ),
+    d2 AS (
+      SELECT node, count(*)::bigint AS d FROM (
+        SELECT a AS node FROM e2 UNION ALL SELECT b AS node FROM e2
+      ) GROUP BY node
+    ),
+    keep2 AS (SELECT node FROM d2 WHERE d >= 2),
+    e3 AS (
+      SELECT e.a, e.b FROM e2 e
+      SEMI JOIN keep2 ka ON ka.node = e.a
+      SEMI JOIN keep2 kb ON kb.node = e.b
+    ),
+    d3 AS (
+      SELECT node, count(*)::bigint AS d FROM (
+        SELECT a AS node FROM e3 UNION ALL SELECT b AS node FROM e3
+      ) GROUP BY node
+    ),
+    keep3 AS (SELECT node FROM d3 WHERE d >= 2),
+    e4 AS (
+      SELECT e.a, e.b FROM e3 e
+      SEMI JOIN keep3 ka ON ka.node = e.a
+      SEMI JOIN keep3 kb ON kb.node = e.b
+    )
+    SELECT node, count(*)::bigint AS core_degree FROM (
+      SELECT a AS node FROM e4 UNION ALL SELECT b AS node FROM e4
+    ) GROUP BY node HAVING count(*) >= 2
     """
 
     return o

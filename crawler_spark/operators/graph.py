@@ -880,3 +880,78 @@ def degree_assortativity(edges: DataFrame, src: str = "src",
             num.cast("double") / F.when(den != 0, den.cast("double")), 6
         ).alias("assortativity"),
     )
+
+
+def wcc_summary(edges: DataFrame, src: str = "src", dst: str = "dst",
+                max_iter: int = 20) -> DataFrame:
+    """Weakly-connected-component structure summary — the bow-tie
+    question every web-graph study asks first (Broder 2000): is the
+    crawl one giant component plus dust, or fragmented islands the
+    frontier will never bridge?  A giant_frac far below the ~0.9 of a
+    healthy hyperlink crawl means the seed list or the link extractor
+    is broken.
+
+    Components come from :func:`crawler_spark.operators.dedup.
+    connected_components` (min-label propagation, one shuffle/round,
+    monotone-potential convergence — node ids must be NUMERIC, its
+    probe sums labels); the summary is ONE aggregate over the per-
+    component sizes.  Returns ONE row: (n_nodes, n_components,
+    giant_size, giant_frac rounded 6).
+    """
+    from .dedup import connected_components
+
+    labels = connected_components(
+        edges.select(F.col(src).alias("id_a"), F.col(dst).alias("id_b")),
+        max_iter=max_iter,
+    )
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    return sizes.agg(
+        F.sum("sz").cast("long").alias("n_nodes"),
+        F.count(F.lit(1)).cast("long").alias("n_components"),
+        F.max("sz").cast("long").alias("giant_size"),
+        F.round(F.max("sz").cast("double") / F.sum("sz"), 6)
+        .alias("giant_frac"),
+    )
+
+
+def kcore_peel(edges: DataFrame, k: int = 2, rounds: int = 4,
+               src: str = "src", dst: str = "dst") -> DataFrame:
+    """k-core membership by iterative peeling — the density skeleton
+    spam analysis leans on: organic pages live in shallow cores while
+    link farms manufacture deep, dense cores, and "in the 2-core at
+    all" already separates content pages from pendant leaf sprawl.
+
+    Per round: recompute degrees over the surviving undirected edge
+    set, keep only edges whose BOTH endpoints still have degree ≥ k
+    (two left-semi joins), truncate lineage.  ``rounds`` is FIXED —
+    peeling is idempotent once converged (no node qualifies for
+    removal → the edge set is a fixpoint), so extra rounds are no-ops
+    and the oracle unrolls the identical count; size ``rounds`` to the
+    longest pendant chain you care to peel (each round removes one
+    layer).  Fully lazy — no driver probe.
+
+    Returns (node, core_degree) for nodes in the k-core after
+    ``rounds`` peels.
+    """
+    e, _ = _undirected_degrees(edges, src, dst)
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.where(F.col("d") >= k)
+        e = (
+            e.join(keep.select(F.col("node").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("node").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    final = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )
+    return final.where(F.col("core_degree") >= k)

@@ -474,3 +474,34 @@ def test_assortativity_star_vs_cycle(spark):
         "src string, dst string")
     r = degree_assortativity(cycle).collect()[0]
     assert r["assortativity"] is None  # regular graph: undefined
+
+
+def test_wcc_summary_counts_components(spark):
+    # two triangles + an isolated edge: 3 components, giant size 3
+    from crawler_spark.operators.graph import wcc_summary
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10), (20, 21)],
+        "src long, dst long")
+    r = wcc_summary(edges).collect()[0]
+    assert r["n_nodes"] == 8 and r["n_components"] == 3
+    assert r["giant_size"] == 3 and r["giant_frac"] == 0.375
+
+
+def test_kcore_peels_pendant_chains_transitively(spark):
+    # triangle a-b-c with chain e-d-a: e peels round 1 (deg 1), d only
+    # AFTER e is gone (round 2) — the multi-round case; triangle stays
+    from crawler_spark.operators.graph import kcore_peel
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a"), ("e", "d")],
+        "src string, dst string")
+    out = {r["node"]: r["core_degree"]
+           for r in kcore_peel(edges, k=2, rounds=4).collect()}
+    assert out == {"a": 2, "b": 2, "c": 2}
+
+    # rounds beyond convergence are no-ops (idempotence the oracle
+    # unroll relies on)
+    out8 = {r["node"]: r["core_degree"]
+            for r in kcore_peel(edges, k=2, rounds=8).collect()}
+    assert out8 == out

@@ -18,7 +18,7 @@ survive a 100x scale-up, regardless of which operator family they appear in:
 This is the sweep version of the targeted assertions in test_plans*.py:
 those pin the *good* shape of individual flagship plans (broadcasts,
 pushed filters, map-side combines); this one guarantees no query in the
-189-entry inventory regresses into a known scale-killer.
+191-entry inventory regresses into a known scale-killer.
 """
 
 from __future__ import annotations
