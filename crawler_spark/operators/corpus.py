@@ -2888,9 +2888,16 @@ def align_sentences_by_length(pairs: DataFrame, sents: DataFrame,
              >= F.col("b_lo_num") * F.lit(2) * F.col("a_den"))
     lt_hi = (F.col("a_mid_num") * F.col("b_den")
              < F.col("b_cum") * F.lit(2) * F.col("a_den"))
+    # den > 0 guard on BOTH sides: a pair whose document is all
+    # zero-length sentences has den = 0, which makes ge_lo true (0 >= 0)
+    # and the closed-last-interval clause (b_cum == b_den, 0 == 0) true
+    # for EVERY b row — every a-sentence would match every b-sentence
+    # with NULL fractions.  Unreachable via split_sentences (min_chars=2)
+    # but the public API accepts arbitrary sents.
     return (
         a.join(b, "pair_id")
-        .where(ge_lo & (lt_hi | (F.col("b_cum") == F.col("b_den"))))
+        .where((F.col("a_den") > 0) & (F.col("b_den") > 0)
+               & ge_lo & (lt_hi | (F.col("b_cum") == F.col("b_den"))))
         .select(
             "pair_id", "a_idx", "b_idx",
             F.round(F.col("a_mid_num") / (F.col("a_den") * 2), 6)

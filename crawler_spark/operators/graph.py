@@ -582,9 +582,21 @@ def estimate_change_rates(visits: DataFrame, key_col: str = "url",
         .agg(F.min("dg").alias("dg"))
         .select(
             "key", "t",
-            (F.col("dg") != F.lag("dg").over(
-                Window.partitionBy("key").orderBy("t"))).cast("int")
-            .alias("changed"),
+            # null-SAFE digest inequality: with plain `!=` a NULL digest
+            # (missing checksum from a failed fetch) makes the comparison
+            # NULL, which F.sum silently skips — under-counting n_changes
+            # with no signal to the caller.  eqNullSafe treats NULL as a
+            # distinct digest value (NULL -> 'x' and 'x' -> NULL both
+            # count as changes, NULL -> NULL does not); the first
+            # observation per key (no predecessor, detected via lag over
+            # the never-null t) stays NULL so sum still ignores it,
+            # exactly as before for fully non-null inputs.
+            F.when(
+                F.lag("t").over(
+                    Window.partitionBy("key").orderBy("t")).isNotNull(),
+                (~F.col("dg").eqNullSafe(F.lag("dg").over(
+                    Window.partitionBy("key").orderBy("t")))).cast("int"),
+            ).alias("changed"),
         )
     )
     per = obs.groupBy("key").agg(

@@ -216,9 +216,13 @@ def run_trending_terms(spark, source_dir: str, out_dir: str,
     finalized windows rank to top-k inside ``foreachBatch`` (closed
     windows arrive whole, so the rank is a plain partitioned
     row_number over the batch — no extra streaming state) and land in
-    ``out_dir`` as parquet.  Ties break by term ascending —
-    deterministic across retries, which matters because foreachBatch
-    offers at-least-once sinks."""
+    ``out_dir`` as parquet.  Ties break by term ascending, and the sink
+    is IDEMPOTENT under foreachBatch's at-least-once contract: each
+    batch overwrites its own ``batch_id=N`` partition directory, so a
+    batch retried after a partial/unacknowledged write replaces its
+    previous attempt instead of appending duplicate top-k rows.
+    Consumers read ``out_dir`` as a partitioned dataset (the inferred
+    ``batch_id`` column doubles as sink lineage)."""
     from pyspark.sql import Window as W
 
     reader = spark.readStream
@@ -238,7 +242,7 @@ def run_trending_terms(spark, source_dir: str, out_dir: str,
         (
             batch_df.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
-            .write.mode("append").parquet(out_dir)
+            .write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
         )
 
     return (

@@ -1481,3 +1481,21 @@ def test_heaps_fit_recovers_planted_exponent(spark):
     out = heaps_law_fit(docs).collect()[0]
     assert out["n_groups"] == 3
     assert out["beta"] == 0.5 and out["ln_k"] == 0.0
+
+
+def test_sentence_align_zero_length_docs_emit_nothing(spark):
+    # ADVICE r4: a pair whose documents are all zero-length sentences
+    # has den=0, which (pre-guard) made every a-sentence match every
+    # b-sentence with NULL fractions; the den>0 guard drops the pair.
+    # A normal pair in the same input is unaffected.
+    from crawler_spark.operators.corpus import align_sentences_by_length
+
+    sents = spark.createDataFrame(
+        [(1, 0, ""), (1, 1, ""), (2, 0, ""), (2, 1, ""),
+         (3, 0, "aaaa"), (4, 0, "bb")],
+        "doc_id long, sent_idx int, sentence string")
+    pairs = spark.createDataFrame(
+        [(7, 1, 2), (8, 3, 4)], "pair_id long, doc_a long, doc_b long")
+    out = align_sentences_by_length(pairs, sents).collect()
+    assert {r["pair_id"] for r in out} == {8}
+    assert len(out) == 1 and out[0]["a_idx"] == 0 and out[0]["b_idx"] == 0

@@ -505,3 +505,25 @@ def test_kcore_peels_pendant_chains_transitively(spark):
     out8 = {r["node"]: r["core_degree"]
             for r in kcore_peel(edges, k=2, rounds=8).collect()}
     assert out8 == out
+
+
+def test_change_rate_null_digest_counts_as_change(spark):
+    # ADVICE r4: with plain `!=` a NULL digest made the lag comparison
+    # NULL, which F.sum silently skipped — under-counting n_changes.
+    # eqNullSafe semantics: 'a' -> NULL -> 'a' is TWO changes; the
+    # all-NULL url never "changes"; fully non-null behavior unchanged.
+    from crawler_spark.operators.graph import estimate_change_rates
+
+    rows = [
+        ("A", "2024-01-01 00:00:00", "a"),
+        ("A", "2024-01-01 00:01:00", None),   # a -> NULL: change
+        ("A", "2024-01-01 00:02:00", "a"),    # NULL -> a: change
+        ("B", "2024-01-01 00:00:00", None),
+        ("B", "2024-01-01 00:01:00", None),   # NULL -> NULL: no change
+    ]
+    visits = spark.createDataFrame(
+        rows, "url string, ts string, digest string"
+    ).select("url", F.to_timestamp("ts").alias("ts"), "digest")
+    out = {r["key"]: r for r in estimate_change_rates(visits).collect()}
+    assert out["A"]["n_changes"] == 2 and out["A"]["n_intervals"] == 2
+    assert out["B"]["n_changes"] == 0 and out["B"]["n_intervals"] == 1
