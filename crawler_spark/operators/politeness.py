@@ -106,51 +106,76 @@ def select_wave(frontier_df: DataFrame, wave_seconds: int = 60,
     return out.drop("crawl_delay_ms") if robots_df is not None else out
 
 
+def hot_host_list(frontier_df: DataFrame,
+                  hot_host_threshold: int = 100_000) -> DataFrame:
+    """Hosts holding >= ``hot_host_threshold`` frontier rows, as a slim
+    one-column DataFrame.  Broadcast-safe by construction: at 10^10 urls
+    the FULL per-host count table could be 10^7+ rows, but the hot subset
+    is bounded by total/threshold (<= 10^5 rows, KBs).  The hot set
+    changes slowly between waves — a crawl loop should compute it once
+    and refresh every few waves rather than re-aggregating the whole
+    frontier per wave (see CrawlJob.hot_refresh_waves)."""
+    return (
+        frontier_df.groupBy("host")
+        .agg(F.count(F.lit(1)).alias("__host_n"))
+        .where(F.col("__host_n") >= hot_host_threshold)
+        .select("host")
+    )
+
+
 def select_wave_salted(frontier_df: DataFrame, wave_seconds: int = 60,
                        robots_df: DataFrame | None = None,
                        n_salts: int = 16,
-                       hot_host_threshold: int = 100_000) -> DataFrame:
-    """Skew-safe token bucket (north_rule: 'salted priority queue').
+                       hot_host_threshold: int = 100_000,
+                       hot_hosts: DataFrame | None = None) -> DataFrame:
+    """Skew-safe token bucket (north_rule: 'salted priority queue'),
+    single-pass: ONE scan of the frontier and ONE shuffle.
 
-    Hosts above ``hot_host_threshold`` frontier rows are salted: ranking runs
-    within (host, salt = pmod(xxhash64(url), n_salts)) and each salt gets
-    budget/n_salts (min 1).  Cold hosts take the exact path.  The salted
-    budget can overshoot by ≤ n_salts-1 urls per hot host per wave — an
-    accepted politeness rounding at scale, never a correctness issue.
+    Every row ranks within window partition (host, __salt): hot hosts
+    (>= ``hot_host_threshold`` frontier rows) get
+    ``salt = pmod(xxhash64(url), n_salts)`` and budget/n_salts tokens per
+    salt (min 1) — so no single task ever sorts a hot host's whole
+    frontier; cold hosts get the constant salt 0, making their partition
+    the entire host and their ranking bit-identical to the exact
+    ``select_wave`` path.  The salted budget can overshoot by
+    ≤ n_salts-1 urls per hot host per wave — an accepted politeness
+    rounding at scale, never a correctness issue.
+
+    ``hot_hosts`` (optional) is a precomputed one-column host DataFrame
+    (see :func:`hot_host_list`).  Passing it skips the per-wave count
+    aggregation — the production shape, since the hot set changes slowly
+    and a stale entry only costs a few waves of either per-salt rounding
+    (cold host still salted) or single-task ranking (new-hot host not yet
+    salted), never a budget violation beyond the documented n_salts-1.
     """
-    # broadcast only the HOT host list: hosts above the threshold are few by
-    # definition (at 10^10 urls the full per-host count table could be 10^7+
-    # rows — too big to broadcast; the hot subset is KBs)
-    hot_hosts = (
-        frontier_df.groupBy("host")
-        .agg(F.count("*").alias("__host_n"))
-        .where(F.col("__host_n") >= hot_host_threshold)
-        .select("host")
-        .withColumn("__hot", F.lit(True))
+    if hot_hosts is None:
+        hot_hosts = hot_host_list(frontier_df, hot_host_threshold)
+    df = frontier_df.join(
+        F.broadcast(hot_hosts.withColumn("__hot", F.lit(True))), "host", "left"
     )
-    df = frontier_df.join(F.broadcast(hot_hosts), "host", "left")
-    hot = df.where(F.col("__hot").isNotNull()).drop("__hot")
-    cold = df.where(F.col("__hot").isNull()).drop("__hot")
-
-    cold_sel = select_wave(cold, wave_seconds, robots_df)
-
     if robots_df is not None:
         delays = F.broadcast(
             robots_df.groupBy("host").agg(F.min("crawl_delay_ms").alias("crawl_delay_ms"))
         )
-        hot = hot.join(delays, "host", "left")
+        df = df.join(delays, "host", "left")
+    is_hot = F.col("__hot").isNotNull()
+    df = df.withColumn(
+        "__salt",
+        F.when(is_hot, F.pmod(F.xxhash64("url"), F.lit(n_salts)))
+        .otherwise(F.lit(0)),
+    )
     budget = _budget_per_host(robots_df, wave_seconds)
     per_salt_budget = F.greatest(F.lit(1), (budget / F.lit(n_salts)).cast("long"))
-    salted = hot.withColumn("__salt", F.pmod(F.xxhash64("url"), F.lit(n_salts)))
     w = Window.partitionBy("host", "__salt").orderBy(F.col("seq").asc())
-    hot_sel = (
-        salted.withColumn("__rank", F.row_number().over(w))
-        .withColumn("selected", F.col("__rank") <= per_salt_budget)
-        .drop("__rank", "__salt")
+    out = (
+        df.withColumn("__rank", F.row_number().over(w))
+        .withColumn(
+            "selected",
+            F.col("__rank") <= F.when(is_hot, per_salt_budget).otherwise(budget),
+        )
+        .drop("__rank", "__salt", "__hot")
     )
-    if robots_df is not None:
-        hot_sel = hot_sel.drop("crawl_delay_ms")
-    return cold_sel.unionByName(hot_sel)
+    return out.drop("crawl_delay_ms") if robots_df is not None else out
 
 
 def allocate_crawl_budget(hosts: DataFrame, budget: int,

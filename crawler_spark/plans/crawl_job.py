@@ -36,7 +36,9 @@ from ..functions.parse_udfs import with_parsed_card
 from ..functions.url import url_hash, url_host
 from ..operators.fetch import fetch_downloaded, fetch_wave, within_retry_budget
 from ..operators.photos import fanin_photos, fanout_photos, validate_image
-from ..operators.politeness import apply_robots, select_wave, select_wave_salted
+from ..operators.politeness import (
+    apply_robots, hot_host_list, select_wave, select_wave_salted,
+)
 from ..operators.seen import (
     CuckooFilter,
     ShardedBloom,
@@ -74,7 +76,8 @@ class CrawlJob:
                  retry_max_delay_ms: int | None = None,
                  seen_filter: str = "bloom",
                  prefilter_min_seen: int = 2_000_000,
-                 pages_bucketed: bool = False):
+                 pages_bucketed: bool = False,
+                 hot_refresh_waves: int = 4):
         self.spark = spark
         self.store = SnapshotStore(store_dir)
         self.pages = pages_df
@@ -91,6 +94,15 @@ class CrawlJob:
         self.robots = robots_df
         self.use_bloom = use_bloom
         self.salted = salted
+        # hot-host cache for the salted selector: the set of hosts above
+        # the salting threshold changes slowly between waves, so the
+        # per-wave frontier count aggregation is refreshed only every
+        # hot_refresh_waves waves (a stale entry costs a few waves of
+        # per-salt rounding or single-task ranking, never a budget
+        # violation beyond the documented n_salts-1 overshoot)
+        self.hot_refresh_waves = max(1, hot_refresh_waves)
+        self._hot_hosts: list[str] | None = None
+        self._hot_age = 0
         # F2 fault/retry surface: faults_df (url, fail_attempts) injects
         # transport errors; the fib budget parameters default to the
         # reference's 100ms unit / 180s cap (Downloader.fs:134-137)
@@ -441,9 +453,26 @@ class CrawlJob:
 
         t0 = _mark("seen_missing_filters", t0)
 
-        # F3: politeness token bucket
-        selector = select_wave_salted if self.salted else select_wave
-        picked = selector(frontier, self.wave_seconds, self.robots)
+        # F3: politeness token bucket.  The salted path reuses the cached
+        # hot-host list (refreshed every hot_refresh_waves) so the steady-
+        # state wave pays ONE frontier scan + ONE shuffle instead of a
+        # count aggregation job per wave.
+        if self.salted:
+            if (self._hot_hosts is None
+                    or self._hot_age >= self.hot_refresh_waves):
+                self._hot_hosts = sorted(
+                    r["host"] for r in hot_host_list(frontier).collect()
+                )
+                self._hot_age = 0
+            self._hot_age += 1
+            hot_df = self.spark.createDataFrame(
+                [(h,) for h in self._hot_hosts], "host string"
+            )
+            picked = select_wave_salted(
+                frontier, self.wave_seconds, self.robots, hot_hosts=hot_df
+            )
+        else:
+            picked = select_wave(frontier, self.wave_seconds, self.robots)
         picked.cache()
         batch = picked.where(F.col("selected")).drop("selected")
         deferred = picked.where(~F.col("selected")).drop("selected")
