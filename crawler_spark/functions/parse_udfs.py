@@ -91,6 +91,9 @@ FLAT_CARD_TYPE = StructType(
         StructField("author_present", BooleanType(), True),
         StructField("photos_json", StringType(), True),
         StructField("error", StringType(), True),
+        # telemetry: did this row's parse fall back whole-document from the
+        # fast scanner to the stdlib engine?  (dom.FALLBACK_COUNT delta)
+        StructField("parse_fallback", BooleanType(), True),
     ]
 )
 
@@ -107,14 +110,18 @@ def parse_card_udf(text: pd.Series) -> pd.DataFrame:
         for k in _FLAT_KEYS:
             cols[k].append(kv.get(k))
 
+    from ..html import dom
+
     for t in text:
         if t is None:
-            emit(error="No page content")
+            emit(error="No page content", parse_fallback=False)
             continue
+        fb0 = dom.FALLBACK_COUNT
         try:
             c = pet911.parse_card(t)
         except Exception as exc:  # defensive: a kernel bug must not kill the executor
-            emit(error=f"Parser exception: {exc}")
+            emit(error=f"Parser exception: {exc}",
+                 parse_fallback=dom.FALLBACK_COUNT > fb0)
             continue
         emit(
             id=c["id"],
@@ -132,6 +139,7 @@ def parse_card_udf(text: pd.Series) -> pd.DataFrame:
                 c["photos"], ensure_ascii=False
             ),
             error=c["error"],
+            parse_fallback=dom.FALLBACK_COUNT > fb0,
         )
     return pd.DataFrame(cols)
 
@@ -166,7 +174,14 @@ def with_parsed_card(df: DataFrame, text_col: str = "text",
         F.from_json(fc["photos_json"], PHOTOS_JSON_SCHEMA).alias("photos"),
         fc["error"].alias("error"),
     )
-    return flat.withColumn(out_col, card).drop("__flat")
+    # parse_fallback rides OUTSIDE the card struct: it's engine telemetry
+    # (fast-scanner -> stdlib whole-document fallback), not card data — the
+    # cards sink drops it after the wave metric aggregates it.
+    return (
+        flat.withColumn(out_col, card)
+        .withColumn("parse_fallback", fc["parse_fallback"])
+        .drop("__flat")
+    )
 
 
 @pandas_udf(CATALOG_TYPE)

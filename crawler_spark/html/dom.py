@@ -413,6 +413,16 @@ def parse_html_stdlib(text: str) -> Node:
     return builder.finish()
 
 
+# Telemetry: count of fast-scanner parses that fell back whole-document to
+# the stdlib engine (markup outside the scanner's verified subset).  The
+# fallback is ~1.6x slower (BENCH.md §15), so at 100x scale a silent 5%
+# fallback rate would erase the pruned kernel's win — the parse UDF
+# snapshots this counter per row and CrawlJob surfaces the per-wave sum as
+# wave_metrics.parse_fallbacks.  Per-Python-worker counter; only deltas
+# within one row's parse are read, so cross-process totals never mix.
+FALLBACK_COUNT = 0
+
+
 def parse_html(text: str) -> Node:
     """Parse an HTML string into a Node tree (document root).
 
@@ -428,6 +438,8 @@ def parse_html(text: str) -> Node:
     try:
         return parse_html_fast(text)
     except FallbackNeeded:
+        global FALLBACK_COUNT
+        FALLBACK_COUNT += 1
         return parse_html_stdlib(text)
 
 
@@ -442,4 +454,6 @@ def parse_html_pruned(text: str, trigger_substrings) -> Node:
     try:
         return parse_html_fast(text, _PruningBuilder(trigger_substrings))
     except FallbackNeeded:
+        global FALLBACK_COUNT
+        FALLBACK_COUNT += 1
         return parse_html_stdlib(text)

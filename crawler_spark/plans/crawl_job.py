@@ -547,6 +547,9 @@ class CrawlJob:
                 *[F.col(f"card.{c}").alias(c) for c in
                   ("animal", "sex", "type", "address", "latitude", "longitude",
                    "date", "description", "author", "photos", "error")],
+                # engine telemetry (dropped before the cards commit;
+                # aggregated into wave_metrics.parse_fallbacks)
+                "parse_fallback",
             )
         ).cache()
         good_cards = parsed.where(F.col("error").isNull())
@@ -698,7 +701,8 @@ class CrawlJob:
 
         fut = {
             "cards": self._submit_commit(
-                "tail.cards", steps, "cards", parsed.drop("url")),
+                "tail.cards", steps, "cards",
+                parsed.drop("url", "parse_fallback")),
             "card_photos": self._submit_commit(
                 "tail.card_photos", steps, "card_photos", photo_results),
             "missing": self._submit_commit(
@@ -715,6 +719,11 @@ class CrawlJob:
                 mode="overwrite"),
             "parsed_ok": self._pool.submit(_timed(
                 "tail.parsed_ok", good_cards.count)),
+            "parse_fallbacks": self._pool.submit(_timed(
+                "tail.parse_fallbacks",
+                lambda: parsed.agg(F.sum(
+                    F.col("parse_fallback").cast("long")
+                ).alias("n")).collect()[0]["n"])),
             "enqueued_photos": self._pool.submit(_timed(
                 "tail.enqueued_photos", photo_frontier.count)),
             "picked_agg": self._pool.submit(_timed(
@@ -759,11 +768,12 @@ class CrawlJob:
                     wave, int(stats["fetched"]), stats["downloaded"],
                     stats["absent"], int(stats["parsed_ok"]),
                     int(stats["deferred"]), int(stats["enqueued_photos"]),
+                    int(results["parse_fallbacks"] or 0),
                     _json.dumps(steps),
                 )],
                 "wave int, fetched long, downloaded long, absent long, "
                 "parsed_ok long, deferred long, enqueued_photos long, "
-                "step_seconds_json string",
+                "parse_fallbacks long, step_seconds_json string",
             )
 
         def _release():
@@ -886,7 +896,7 @@ class CrawlJob:
             "wave_metrics",
             "wave int, fetched long, downloaded long, absent long, "
             "parsed_ok long, deferred long, enqueued_photos long, "
-            "step_seconds_json string",
+            "parse_fallbacks long, step_seconds_json string",
         )
 
     def host_metrics(self) -> DataFrame:

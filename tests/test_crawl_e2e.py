@@ -346,6 +346,11 @@ def test_e2e_metrics_tables(crawl_result):
         assert row["fetched"] == s["fetched"]
         assert row["parsed_ok"] == s["parsed_ok"]
         assert set(json.loads(row["step_seconds_json"])) == set(s["step_seconds"])
+        # the fixture-derived corpus is entirely inside the fast scanner's
+        # verified subset: any whole-document stdlib fallback here is a
+        # kernel regression (at 100x scale a silent 5% fallback rate would
+        # erase the pruned engine's 1.62x)
+        assert row["parse_fallbacks"] == 0
 
     hm = job.host_metrics()
     # per-host rows sum back to the per-wave totals

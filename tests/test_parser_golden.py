@@ -271,3 +271,24 @@ def test_fast_scanner_tree_identical_to_stdlib():
         assert tree_sig(parse_html(probe)) == tree_sig(
             parse_html_stdlib(probe)
         ), repr(probe)
+
+
+def test_fallback_counter_and_udf_flag(spark):
+    """dom.FALLBACK_COUNT increments exactly on stdlib fallback, and the
+    parse UDF surfaces the per-row parse_fallback telemetry flag."""
+    from crawler_spark.html import dom
+    from crawler_spark.functions.parse_udfs import with_parsed_card
+
+    before = dom.FALLBACK_COUNT
+    dom.parse_html("<html><body><p>clean</p></body></html>")
+    assert dom.FALLBACK_COUNT == before          # in-subset: no fallback
+    dom.parse_html("<div><!-- unterminated")
+    assert dom.FALLBACK_COUNT == before + 1      # out-of-subset: one
+
+    _, good = load("petCard_rf518209.html.dump")
+    hostile = "<div class='card'><!-- unterminated"
+    df = spark.createDataFrame(
+        [("good", good), ("hostile", hostile)], "tag string, text string")
+    out = {r["tag"]: r["parse_fallback"]
+           for r in with_parsed_card(df, "text").collect()}
+    assert out == {"good": False, "hostile": True}
