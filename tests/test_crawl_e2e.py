@@ -709,3 +709,69 @@ def test_e2e_sharded_routed_seen_filter_matches_broadcast(
     )
     plan = flagged._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_corrupt_heal_through_resumed_cuckoo_job_equals_clean_run(
+        spark, tmp_path):
+    """C4 self-heal across a RESUME boundary (VERDICT r4 item 5): a card
+    corrupted in the stored crawl is healed by a brand-new CrawlJob over
+    the same store — the persisted cuckoo filter reloads from its blob,
+    the revalidation sweep DELETES the healed key from it, the re-crawl
+    re-adds it — and the final store state is indistinguishable from a
+    crawl that never saw the corruption."""
+    from crawler_spark.plans.crawl_job import CrawlJob
+    from crawler_spark.sources.pages import (
+        NUM_BASE, build_pages, synthetic_docs_from_range,
+    )
+
+    docs = synthetic_docs_from_range(spark, 10)
+    pages = build_pages(spark, "", include_fixtures=False, docs_df=docs)
+    broken = pages.withColumn(
+        "text",
+        F.when(
+            F.col("url").endswith(f"rf{NUM_BASE + 4}"),
+            F.regexp_replace(F.col("text"), "card-info", "x"),
+        ).otherwise(F.col("text")),
+    ).withColumn("html", F.encode(F.col("text"), "UTF-8"))
+
+    CARD_COLS = ["id", "animal", "sex", "type", "address", "latitude",
+                 "longitude", "date", "description"]
+
+    def final_state(job):
+        good = job.cards().where(F.col("error").isNull())
+        return (
+            sorted(map(tuple, good.select(*CARD_COLS).distinct().collect())),
+            sorted(r["url_hash"] for r in
+                   job.seen_set().select("url_hash").distinct().collect()),
+        )
+
+    # baseline: never-corrupted run
+    clean_job = CrawlJob(spark, str(tmp_path / "clean"), pages,
+                         wave_seconds=3600 * 1000, use_bloom=True,
+                         seen_filter="cuckoo")
+    clean_job.seed_range(NUM_BASE, NUM_BASE + 9)
+    clean_job.crawl()
+    want = final_state(clean_job)
+
+    # run 1 crawls the corrupted universe, then "shuts down"
+    job1 = CrawlJob(spark, str(tmp_path / "store"), broken,
+                    wave_seconds=3600 * 1000, use_bloom=True,
+                    seen_filter="cuckoo")
+    job1.seed_range(NUM_BASE, NUM_BASE + 9)
+    job1.crawl()
+    assert job1.cards().where(F.col("error").isNotNull()).count() == 1
+    del job1
+
+    # run 2: fresh job over the SAME store against the healed universe —
+    # cuckoo state must come from the persisted blob, not job1's memory
+    job2 = CrawlJob(spark, str(tmp_path / "store"), pages,
+                    wave_seconds=3600 * 1000, use_bloom=True,
+                    seen_filter="cuckoo")
+    assert job2.revalidate_cards() == {"revalidated": 1}
+    assert not job2._filter_degraded
+    job2.crawl()
+
+    assert final_state(job2) == want
+    # idempotence: a later sweep finds nothing to heal, enqueues nothing
+    assert job2.revalidate_cards() == {"revalidated": 0}
+    assert job2.pending_frontier().isEmpty()
