@@ -77,7 +77,8 @@ class CrawlJob:
                  seen_filter: str = "bloom",
                  prefilter_min_seen: int = 2_000_000,
                  pages_bucketed: bool = False,
-                 hot_refresh_waves: int = 4):
+                 hot_refresh_waves: int = 4,
+                 hot_host_threshold: int = 100_000):
         self.spark = spark
         self.store = SnapshotStore(store_dir)
         self.pages = pages_df
@@ -99,10 +100,20 @@ class CrawlJob:
         # per-wave frontier count aggregation is refreshed only every
         # hot_refresh_waves waves (a stale entry costs a few waves of
         # per-salt rounding or single-task ranking, never a budget
-        # violation beyond the documented n_salts-1 overshoot)
+        # violation beyond the documented n_salts-1 overshoot).
+        # Composition-shift guard: a wave whose frontier size estimate
+        # (previous wave's deferred + enqueued_photos — free from the
+        # wave stats) moved outside [0.5x, 2x] of the size at the last
+        # refresh forces an early refresh — this is exactly the
+        # card-wave -> photo-wave transition, where a never-seen host
+        # (the photo CDN) can arrive already-hot and would otherwise
+        # rank unsalted in one task for up to hot_refresh_waves-1 waves.
         self.hot_refresh_waves = max(1, hot_refresh_waves)
+        self.hot_host_threshold = hot_host_threshold
         self._hot_hosts: list[str] | None = None
         self._hot_age = 0
+        self._hot_n: int | None = None   # frontier-size est at last refresh
+        self._next_n: int | None = None  # est of the upcoming wave's frontier
         # F2 fault/retry surface: faults_df (url, fail_attempts) injects
         # transport errors; the fib budget parameters default to the
         # reference's 100ms unit / 180s cap (Downloader.fs:134-137)
@@ -458,12 +469,21 @@ class CrawlJob:
         # state wave pays ONE frontier scan + ONE shuffle instead of a
         # count aggregation job per wave.
         if self.salted:
+            est = self._next_n
+            shifted = est is not None and (
+                self._hot_n is None
+                or not (self._hot_n // 2 <= est <= self._hot_n * 2)
+            )
             if (self._hot_hosts is None
-                    or self._hot_age >= self.hot_refresh_waves):
+                    or self._hot_age >= self.hot_refresh_waves
+                    or shifted):
                 self._hot_hosts = sorted(
-                    r["host"] for r in hot_host_list(frontier).collect()
+                    r["host"] for r in hot_host_list(
+                        frontier, self.hot_host_threshold
+                    ).collect()
                 )
                 self._hot_age = 0
+                self._hot_n = est
             self._hot_age += 1
             hot_df = self.spark.createDataFrame(
                 [(h,) for h in self._hot_hosts], "host string"
@@ -761,6 +781,12 @@ class CrawlJob:
             stats["parsed_ok"] = results["parsed_ok"]
             stats["deferred"] = int(prow["n"]) - int(prow["selected"] or 0)
             stats["enqueued_photos"] = results["enqueued_photos"]
+            # next wave's frontier size estimate, feeding the hot-host
+            # composition-shift refresh (benign race under pipelining: a
+            # missed update only delays the refresh to the age trigger)
+            self._next_n = int(stats["deferred"]) + int(
+                stats["enqueued_photos"] or 0
+            )
             import json as _json
 
             return self.spark.createDataFrame(

@@ -775,3 +775,42 @@ def test_corrupt_heal_through_resumed_cuckoo_job_equals_clean_run(
     # idempotence: a later sweep finds nothing to heal, enqueues nothing
     assert job2.revalidate_cards() == {"revalidated": 0}
     assert job2.pending_frontier().isEmpty()
+
+
+def test_hot_host_cache_refreshes_on_composition_shift(spark, tmp_path):
+    """The cached hot-host list must pick up a host that FIRST appears in
+    a later wave (the photo CDN arrives in wave 2 already-hot): the
+    composition-shift trigger (next-frontier estimate outside [0.5x,2x]
+    of the last refresh) forces an early refresh, so the CDN is salted
+    without waiting out hot_refresh_waves.  Results stay identical to
+    the exact selector."""
+    from crawler_spark.plans.crawl_job import CrawlJob
+    from crawler_spark.sources.pages import (
+        NUM_BASE, build_pages, synthetic_docs_from_range,
+    )
+
+    docs = synthetic_docs_from_range(spark, 120)
+    pages = build_pages(spark, "", include_fixtures=False, docs_df=docs)
+
+    job = CrawlJob(spark, str(tmp_path / "salted"), pages,
+                   wave_seconds=3600 * 1000, hot_refresh_waves=10,
+                   hot_host_threshold=50)
+    job.seed_range(NUM_BASE, NUM_BASE + 119)
+    job.crawl()
+    # wave 1's refresh could only see pet911.ru; the CDN host carries the
+    # photo frontier and must have been picked up by the shift trigger
+    # (hot_refresh_waves=10 means the age trigger can NOT have fired)
+    assert "cdn.pet911.ru" in (job._hot_hosts or [])
+
+    exact = CrawlJob(spark, str(tmp_path / "exact"), pages,
+                     wave_seconds=3600 * 1000, salted=False)
+    exact.seed_range(NUM_BASE, NUM_BASE + 119)
+    exact.crawl()
+
+    def state(j):
+        good = j.cards().where(F.col("error").isNull())
+        return sorted(
+            map(tuple, good.select("id", "address", "description").collect())
+        )
+
+    assert state(job) == state(exact)
